@@ -1,0 +1,115 @@
+"""Text column functions — tokenization, shingling, fingerprinting.
+
+Everything here is a composition of built-in higher-order / regexp functions
+(JVM-side, codegen'd); no Python UDFs. The exact regexes are part of the
+contract: the DuckDB oracle SQL in ``plans.queries`` replicates them
+verbatim, so any change here must change there too.
+
+Cross-engine hash: ``md5`` produces the same hex string in Spark and DuckDB,
+and lexicographic min over hex strings is collation-stable in both — that is
+the portable MinHash primitive used by the dedup operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Token = maximal run of ascii alnum over lowercased text. Mirrors DuckDB
+#: ``regexp_extract_all(lower(text), '[a-z0-9]+')``.
+TOKEN_RE = "[a-z0-9]+"
+
+#: A BPE-ish subword splitter: runs of letters, runs of digits, or a single
+#: non-space symbol — approximates byte-pair tokenizer pre-splitting.
+BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def normalized_text(col) -> Column:
+    """Lowercase + collapse whitespace; canonical form for exact dedup."""
+    return F.trim(F.regexp_replace(F.lower(col), "\\s+", " "))
+
+
+def tokens(col) -> Column:
+    """Array of word tokens."""
+    return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), 0)
+
+
+def token_count(col, pattern: str = TOKEN_RE) -> Column:
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pattern), 0))
+
+
+def bpe_token_count(col) -> Column:
+    """Token count under the BPE-ish splitter (case-sensitive runs)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_RE), 0))
+
+
+def word_shingles(tokens_col, n: int = 3) -> Column:
+    """Array of n-word shingles (space-joined), the MinHash input unit.
+
+    DuckDB mirror:
+    ``list_transform(generate_series(1, greatest(len(t)-n+1, 1)),
+    i -> array_to_string(list_slice(t, i, i+n-1), ' '))``.
+    """
+    t = tokens_col if isinstance(tokens_col, Column) else F.col(tokens_col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - F.lit(n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(t, i, n), " "),
+    )
+
+
+def shingles(col, n: int = 3) -> Column:
+    """Text → n-word shingle array in one step."""
+    return word_shingles(tokens(col), n)
+
+
+def minhash_signature(shingles_col, k: int = 16) -> Column:
+    """k-wide MinHash signature as an array of hex strings.
+
+    sig[j] = min over shingles of md5(j || ':' || shingle). Uses md5-hex +
+    lexicographic min so the DuckDB oracle computes bit-identical values
+    (see module docstring). At scale this is one pass over the shingle array
+    per row — no shuffle, no UDF.
+    """
+    s = shingles_col if isinstance(shingles_col, Column) else F.col(shingles_col)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda j: F.array_min(
+            F.transform(s, lambda sh: F.md5(F.concat_ws(":", j.cast("string"), sh)))
+        ),
+    )
+
+
+def simhash64(tokens_col) -> Column:
+    """64-bit SimHash over word tokens, as a BIGINT.
+
+    For each bit b: sum over distinct tokens of (+1 if bit b of
+    md5-derived 64-bit token hash set else -1); simhash bit b = sign.
+    Token hash = first 15 hex chars of md5 (60 bits) — portable to DuckDB
+    via ``('0x' || substr(md5(tok),1,15))::UBIGINT``.
+    """
+    t = tokens_col if isinstance(tokens_col, Column) else F.col(tokens_col)
+    distinct = F.array_distinct(t)
+    hashes = F.transform(
+        distinct, lambda tok: F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+    )
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(59)),
+        lambda b: F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, 1).otherwise(-1),
+            )
+            > 0,
+            F.shiftleft(F.lit(1).cast("long"), b),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
+
+
+def doc_fingerprint(col) -> Column:
+    """Deterministic document fingerprint: md5 of normalized text. The
+    cheap exact-dup key (winnowing/rolling-hash fingerprints are in
+    operators.textstats for the locality-sensitive variant)."""
+    return F.md5(normalized_text(col))

@@ -1,0 +1,68 @@
+"""Sinks (reference operators K1-K5, SURVEY.md §2.2).
+
+The reference's serving layer is row-at-a-time inserts into Postgres
+(s3_to_postgres.py:80-82 — ``insert_rows(rows=df.values.tolist())``), its
+scalability ceiling. The native serving layer here is partitioned Parquet
+written in parallel by every executor; JDBC append exists only for parity
+with external Postgres consumers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_partitioned_table(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("ingest_date", "ingest_hour"),
+    mode: str = "overwrite",
+) -> None:
+    """Gold-layer append with exactly-once per run.
+
+    With ``partitionOverwriteMode=dynamic`` (set in session.py) and
+    ``mode="overwrite"``, a re-run replaces only the partitions it produces —
+    the idempotency the reference approximates with ``replace=True`` on CSV
+    uploads only (etl_dag.py:111) and entirely lacks on the DB insert.
+    Replaces K4+K5: the table is created by the first write; no DDL step.
+    """
+    df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+
+
+def export_csv(df: DataFrame, path: str) -> None:
+    """CSV export (reference K3). Timestamps render as the reference's
+    ``yyyy-MM-dd HH:mm:ss`` at this boundary only — types stay native
+    inside the engine."""
+    df.write.option("header", "true").option(
+        "timestampFormat", "yyyy-MM-dd HH:mm:ss"
+    ).mode("overwrite").csv(path)
+
+
+def export_json(df: DataFrame, path: str) -> None:
+    """Raw/bronze JSON persistence (reference K1)."""
+    df.write.mode("overwrite").json(path)
+
+
+def append_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    batchsize: int = 10_000,
+    num_partitions: int = 8,
+    properties: dict | None = None,
+) -> None:
+    """Postgres-parity sink: partition-parallel batched INSERTs — the
+    distributed replacement for the reference's single-threaded
+    ``insert_rows`` loop. Untestable in this container (no Postgres);
+    exercised only when a JDBC URL is supplied."""
+    writer = (
+        df.repartition(num_partitions)
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", batchsize)
+        .mode("append")
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()

@@ -1,0 +1,98 @@
+"""Golden tests for the two reference ingestion branches (SURVEY §5 item 2).
+
+Fixtures include the reference's observed edge cases: a station_id > int32
+(19179944124), an all-zero-docks station, and a stale last_reported
+(station 516395829, ~17 days behind — SURVEY §2.8).
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from etl_dag_paris_velib_spark.sinks import write_partitioned_table
+from etl_dag_paris_velib_spark.sources import ingest_station_status, ingest_weather
+from etl_dag_paris_velib_spark.sources.velib import with_ingest_partitions
+
+RUN_TS = datetime(2025, 1, 31, 10, 0, 0)
+
+
+def test_station_status_flatten(spark, fixtures_dir):
+    df = ingest_station_status(
+        spark, os.path.join(fixtures_dir, "station_status.json"), RUN_TS
+    )
+    rows = {r.station_id: r for r in df.collect()}
+    assert len(rows) == 3
+
+    r = rows[36255]
+    assert r.station_code == "16107"
+    assert r.num_bikes_available == 5
+    assert r.num_bikes_mechanical == 3
+    assert r.num_bikes_ebike == 2
+    assert r.record_id == "36255_1738317900"
+    assert r.last_reported == datetime(2025, 1, 31, 10, 5, 0)
+    assert r.dag_id == "citymapper_dag"
+    assert r.execution_date == RUN_TS
+
+    # >int32 station_id survives with faithful LongType (reference DDL
+    # declared FLOAT and would have lost precision)
+    assert rows[19179944124].num_docks_available == 0
+    # stale station retained; dedup is a separate declared operator
+    assert rows[516395829].is_renting == 0
+
+    types = dict(df.dtypes)
+    assert types["station_id"] == "bigint"
+    assert types["last_reported"] == "timestamp"
+    assert types["is_renting"] == "int"
+
+
+def test_weather_flatten(spark, fixtures_dir):
+    df = ingest_weather(spark, os.path.join(fixtures_dir, "weather.json"), RUN_TS)
+    r = df.collect()[0]
+    assert r.temp == 6.42
+    assert r.feels_like == 3.11
+    assert r.pressure == 1021
+    assert r.humidity == 87
+    assert r.wind_speed == 4.63
+    assert r.weather_description == "broken clouds"
+    assert r.timestamp == datetime(2025, 1, 31, 10, 0, 0)
+    assert df.count() == 1
+
+
+def test_partitioned_write_is_idempotent(spark, fixtures_dir, tmp_path):
+    """Dynamic partition overwrite: re-running the same hour replaces, not
+    duplicates — the exactly-once semantics the reference lacks (SURVEY §7)."""
+    path = str(tmp_path / "station_status_table")
+    df = with_ingest_partitions(
+        ingest_station_status(
+            spark, os.path.join(fixtures_dir, "station_status.json"), RUN_TS
+        )
+    )
+    write_partitioned_table(df, path)
+    write_partitioned_table(df, path)  # re-run same hour
+    out = spark.read.parquet(path)
+    assert out.count() == 3
+    assert str(out.select("ingest_date").distinct().collect()[0][0]) == "2025-01-31"
+
+
+def test_hourly_broadcast_join(spark, fixtures_dir):
+    """The reference's implied downstream query (README: weather × bikes per
+    hour) as a broadcast equi-join on date_trunc('hour') — canonical plan:
+    1-row weather side broadcasts."""
+    stations = ingest_station_status(
+        spark, os.path.join(fixtures_dir, "station_status.json"), RUN_TS
+    )
+    weather = ingest_weather(spark, os.path.join(fixtures_dir, "weather.json"), RUN_TS)
+    joined = stations.withColumn(
+        "hour", F.date_trunc("hour", "last_reported")
+    ).join(
+        F.broadcast(weather.withColumn("hour", F.date_trunc("hour", "timestamp"))),
+        "hour",
+        "left",
+    )
+    got = {r.station_id: r.temp for r in joined.collect()}
+    assert got[36255] == 6.42  # same hour → weather attached
+    assert got[516395829] is None  # stale station → no weather that hour
+    assert "BroadcastHashJoin" in joined._jdf.queryExecution().executedPlan().toString()

@@ -1,0 +1,56 @@
+"""As-of (point-in-time) join — an operator Spark lacks natively.
+
+Composition strategy (SURVEY §2.5): union both sides with a type tag and use
+one window pass with ``last(..., ignorenulls=True)`` to carry the most recent
+right-side row forward onto each left-side row. Compared to the naive
+range-join (left × right with ``r.ts <= l.ts`` then argmax), this is a single
+shuffle on the join key and O(n log n) per key instead of O(n·m) — the shape
+that survives 100 TB: state per key is one carried row, and skewed keys are
+handled by AQE since it's a plain window, not a join.
+
+Tie semantics: right rows at exactly ``l.ts`` match (>=, like DuckDB's
+ASOF JOIN); among equal timestamps the row with the greatest ``right_id``
+wins (deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    right_cols: tuple[str, ...],
+    right_id: str,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right.ts <= left.ts`` sharing the ``on`` key.
+
+    ``right_cols`` are the right-side columns to carry; ``right_id`` is a
+    unique right-side column used as the deterministic tie-break.
+    """
+    carry = list(dict.fromkeys([*right_cols, ts, right_id]))
+    lhs = left.withColumn("_tag", F.lit(1))
+    rhs = right.select(
+        on, ts, F.lit(0).alias("_tag"), *[F.col(c).alias(f"_r_{c}") for c in carry]
+    )
+    unioned = lhs.unionByName(rhs, allowMissingColumns=True)
+
+    # right rows sort before left rows at equal ts (_tag 0 < 1) so ties match
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col("_tag").asc(), F.col(f"_r_{right_id}").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in carry:
+        unioned = unioned.withColumn(
+            f"{c}{suffix}", F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w)
+        )
+    return unioned.filter(F.col("_tag") == 1).drop(
+        "_tag", *[f"_r_{c}" for c in carry]
+    )

@@ -1,0 +1,699 @@
+"""Relational/analytical query surface over the testdata star schema.
+
+These are the declared capabilities from SURVEY.md §2.3-2.7 — the full
+predicate/aggregation/join/window/set-op surface the reference's accumulated
+time-series tables need downstream. Each spec pairs the Spark DataFrame plan
+with its DuckDB oracle SQL (same column aliases, same rounding) for the
+driver's differential gate.
+
+Scale notes are per-query docstrings; common ones:
+- dims (region, nation, supplier, part) are broadcast — at 100 TB the fact
+  tables shuffle only when the grouping key demands it;
+- double aggregates are rounded in BOTH engines (sum order differs across
+  engines/partitionings; the value hash must not see the last ulp);
+- every LIMIT query carries a unique-key tie-break so top-k is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..sources.tpch import load_table
+from .spec import Registry
+
+R = Registry()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# q01 — pricing summary (TPC-H Q1 shape): scan-filter-agg, the map-side
+# partial-agg workhorse. At 100 TB: no join, one shuffle of ~4 groups.
+# ---------------------------------------------------------------------------
+@R.add(
+    "q01_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 6)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="Filter + grouped aggregation with arithmetic expressions (SURVEY §2.4).",
+    tags=("agg", "filter"),
+)
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q02 — selective filter + sum (TPC-H Q6 shape): the predicate-pushdown
+# showcase. All three predicates reach the parquet row-group level.
+# ---------------------------------------------------------------------------
+@R.add(
+    "q02_forecast_revenue",
+    oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""",
+    doc="Conjunctive predicates pushed to the scan; global aggregate (SURVEY §2.3).",
+    tags=("filter", "agg", "pushdown"),
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q03 — shipping priority (TPC-H Q3 shape): 3-way join, agg, deterministic
+# top-10. customer side is filtered then broadcast-able at test sf; at 100 TB
+# customer×orders co-shuffle on custkey, lineitem joins on orderkey.
+# ---------------------------------------------------------------------------
+@R.add(
+    "q03_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+    doc="Multi-join + agg + top-k with unique tie-break (SURVEY §2.5, §2.6).",
+    tags=("join", "agg", "topk"),
+)
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q04 — order priority check (TPC-H Q4 shape): EXISTS → left-semi join.
+# ---------------------------------------------------------------------------
+@R.add(
+    "q04_order_priority",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+    doc="Semi-join (EXISTS) + agg (SURVEY §2.5).",
+    tags=("join", "semi", "agg"),
+)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# ---------------------------------------------------------------------------
+# q05 — region revenue (TPC-H Q5 shape): 5-way join through broadcast dims.
+# region(5) and nation(25) broadcast at any scale; customer broadcasts at
+# test sf and co-shuffles at 100 TB (AQE decides).
+# ---------------------------------------------------------------------------
+@R.add(
+    "q05_region_revenue",
+    oracle="""
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM region JOIN nation   ON n_regionkey = r_regionkey
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders   ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+WHERE r_name = 'EUROPE'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+""",
+    doc="Star join across all dims with broadcast hints (SURVEY §2.5).",
+    tags=("join", "broadcast", "agg"),
+)
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q06 — latest order per customer: the row_number window pattern; same shape
+# dedups the velib station table to its latest snapshot (SURVEY §2.6).
+# ---------------------------------------------------------------------------
+@R.add(
+    "q06_latest_order_per_customer",
+    oracle="""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+FROM (
+  SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+         row_number() OVER (PARTITION BY c_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM customer JOIN orders ON o_custkey = c_custkey
+) WHERE rn = 1
+""",
+    doc="row_number window: latest-snapshot-per-key dedup pattern.",
+    tags=("window", "join"),
+)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q07 — per-user running total over the events stream: rows-frame window.
+# ---------------------------------------------------------------------------
+@R.add(
+    "q07_running_total",
+    oracle="""
+SELECT event_id, user_id, ts, event_type,
+       round(sum(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_value
+FROM events
+WHERE event_type = 'purchase'
+""",
+    doc="Cumulative window with rows frame over event time (SURVEY §2.6).",
+    tags=("window", "events"),
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q08 — lag/lead deltas: inter-event gap per user.
+# ---------------------------------------------------------------------------
+@R.add(
+    "q08_event_gaps",
+    oracle="""
+SELECT event_id, user_id, ts,
+       CAST(date_diff('second',
+            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+          AS BIGINT) AS gap_seconds
+FROM events
+""",
+    doc="lag() window: event-time deltas (SURVEY §2.6).",
+    tags=("window", "events"),
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.unix_timestamp("ts") - F.unix_timestamp(prev)).cast("bigint").alias("gap_seconds"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q09 — rollup: order counts/revenue by (status, priority) with subtotals.
+# ---------------------------------------------------------------------------
+@R.add(
+    "q09_status_priority_rollup",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    doc="ROLLUP grouping sets (SURVEY §2.4).",
+    tags=("agg", "rollup"),
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10 — cube over events.
+# ---------------------------------------------------------------------------
+@R.add(
+    "q10_events_cube",
+    oracle="""
+SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY CUBE (event_type, user_bucket)
+""",
+    doc="CUBE grouping sets (SURVEY §2.4).",
+    tags=("agg", "cube"),
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 10).cast("bigint")
+    )
+    return ev.cube("event_type", "user_bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11 — distinct counting (exact; the approx variant is a separate
+# rows-only spec since HLL estimates differ across engines).
+# ---------------------------------------------------------------------------
+@R.add(
+    "q11_distinct_customers",
+    oracle="""
+SELECT c_mktsegment,
+       count(DISTINCT c_nationkey) AS n_nations,
+       count(*) AS n_customers
+FROM customer
+GROUP BY c_mktsegment
+""",
+    doc="COUNT DISTINCT (expand+two-phase in Spark) (SURVEY §2.4).",
+    tags=("agg", "distinct"),
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count_distinct("c_nationkey").alias("n_nations"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@R.add(
+    "q11b_approx_distinct",
+    oracle=None,  # HLL sketches are engine-specific; rows-only check
+    doc="approx_count_distinct (HyperLogLog++) — the 100 TB path for distincts.",
+    tags=("agg", "approx"),
+)
+def q11b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12 — set operations.
+# ---------------------------------------------------------------------------
+@R.add(
+    "q12_set_ops",
+    oracle="""
+WITH buyers AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'),
+     building AS (SELECT c_custkey AS custkey FROM customer
+                  WHERE c_mktsegment = 'BUILDING')
+SELECT 'intersect' AS op, count(*) AS n FROM (SELECT * FROM buyers INTERSECT SELECT * FROM building)
+UNION ALL
+SELECT 'except' AS op, count(*) AS n FROM (SELECT * FROM building EXCEPT SELECT * FROM buyers)
+UNION ALL
+SELECT 'union' AS op, count(*) AS n FROM (SELECT * FROM buyers UNION SELECT * FROM building)
+""",
+    doc="INTERSECT / EXCEPT / UNION DISTINCT (SURVEY §2.6).",
+    tags=("setops",),
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    buyers = (
+        orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    spark_ = spark
+
+    def count_of(df, label):
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(label).alias("op"), "n"
+        )
+
+    return (
+        count_of(buyers.intersect(building), "intersect")
+        .unionAll(count_of(building.exceptAll(buyers).distinct(), "except"))
+        .unionAll(count_of(buyers.union(building).distinct(), "union"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13 — hourly event aggregation: the velib "bikes per hour" time-series
+# shape on the events table (date_trunc equi-bucket).
+# ---------------------------------------------------------------------------
+@R.add(
+    "q13_hourly_events",
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value,
+       round(avg(value), 4) AS avg_value
+FROM events
+GROUP BY hour, event_type
+""",
+    doc="Time-bucketed aggregation (the reference's implied hourly rollup).",
+    tags=("agg", "time", "events"),
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14 — pivot via conditional aggregation (portable to SQL).
+# ---------------------------------------------------------------------------
+@R.add(
+    "q14_event_pivot",
+    oracle="""
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+FROM events
+GROUP BY user_id
+""",
+    doc="Pivot as conditional aggregation (single shuffle, no pivot pass).",
+    tags=("agg", "pivot"),
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+
+    def n(et):
+        return F.sum(F.when(F.col("event_type") == et, 1).otherwise(0)).cast(
+            "bigint"
+        ).alias(f"n_{et}")
+
+    return ev.groupBy("user_id").agg(
+        n("click"), n("view"), n("purchase"), n("signup"), n("error")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15 — as-of join: each purchase gets the user's most recent prior click.
+# ---------------------------------------------------------------------------
+@R.add(
+    "q15_asof_purchase_click",
+    oracle="""
+WITH purchases AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+     clicks    AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ts,
+       round(p.value, 2) AS purchase_value,
+       (SELECT max(c.ts) FROM clicks c
+         WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS ts_asof,
+       (SELECT max(c.event_id) FROM clicks c
+         WHERE c.user_id = p.user_id AND c.ts <= p.ts
+           AND c.ts = (SELECT max(c2.ts) FROM clicks c2
+                       WHERE c2.user_id = p.user_id AND c2.ts <= p.ts)) AS event_id_asof
+FROM purchases p
+""",
+    doc="As-of join composed as union+window (operators.asof); oracle uses "
+    "correlated argmax. One shuffle on user_id vs O(n*m) range join.",
+    tags=("asof", "window", "events"),
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 2).alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        ts="ts",
+        right_cols=(),
+        right_id="event_id",
+    ).select(
+        "event_id", "user_id", "ts", "purchase_value", "ts_asof", "event_id_asof"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — top-k per group: most valuable order per priority class (rank).
+# ---------------------------------------------------------------------------
+@R.add(
+    "q16_topk_per_group",
+    oracle="""
+SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+    doc="Top-k per group via window (no global sort; SURVEY §2.6).",
+    tags=("window", "topk"),
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 — anti join: customers with no orders at all.
+# ---------------------------------------------------------------------------
+@R.add(
+    "q17_customers_without_orders",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+""",
+    doc="Anti join (NOT EXISTS) (SURVEY §2.5).",
+    tags=("join", "anti"),
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 — scalar function surface: string/date/math/json in one projection.
+# ---------------------------------------------------------------------------
+@R.add(
+    "q18_scalar_functions",
+    oracle="""
+SELECT event_id,
+       upper(event_type) AS event_type_upper,
+       substr(event_type, 1, 3) AS event_type_prefix,
+       concat(event_type, ':', CAST(user_id AS VARCHAR)) AS event_key,
+       CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+       CAST(dayofweek(ts) AS INT) AS dow,
+       round(abs(value - 50.0), 2) AS dist_from_50,
+       round(sqrt(greatest(value, 0.0)), 4) AS sqrt_value,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k,
+       CASE WHEN value >= 50 THEN 'high' ELSE 'low' END AS value_band,
+       coalesce(nullif(event_type, 'error'), 'ERR') AS safe_type
+FROM events
+""",
+    doc="String/date/math/JSON scalar functions + CASE/COALESCE/NULLIF "
+    "(the §2.3 scalar surface). All codegen'd, zero UDFs.",
+    tags=("scalar", "functions"),
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dayofweek: 0=Sunday..6.
+    # Normalize to DuckDB's numbering in the Spark plan.
+    return ev.select(
+        "event_id",
+        F.upper("event_type").alias("event_type_upper"),
+        F.substring("event_type", 1, 3).alias("event_type_prefix"),
+        F.concat_ws(":", "event_type", F.col("user_id").cast("string")).alias("event_key"),
+        F.year("ts").cast("int").alias("y"),
+        F.month("ts").cast("int").alias("m"),
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.round(F.abs(F.col("value") - 50.0), 2).alias("dist_from_50"),
+        F.round(F.sqrt(F.greatest("value", F.lit(0.0))), 4).alias("sqrt_value"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+        F.when(F.col("value") >= 50, "high").otherwise("low").alias("value_band"),
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("ERR")).alias("safe_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19 — join with inequality + aggregation over parts/lineitems:
+# small-qty orders of large parts (join + HAVING shape).
+# ---------------------------------------------------------------------------
+@R.add(
+    "q19_brand_revenue",
+    oracle="""
+SELECT p_brand,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_size >= 30 AND l_quantity BETWEEN 10 AND 40
+GROUP BY p_brand
+HAVING count(*) > 10
+""",
+    doc="Fact-dim broadcast join + HAVING post-aggregate filter.",
+    tags=("join", "agg", "having"),
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 30)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity").between(10, 40))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .filter(F.col("n_items") > 10)
+    )

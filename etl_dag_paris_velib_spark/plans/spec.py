@@ -1,0 +1,48 @@
+"""Query registry plumbing.
+
+Every declared capability of the engine is a :class:`QuerySpec`: a named
+Spark plan builder plus (when SQL-expressible) the ANSI-SQL oracle that
+DuckDB runs on the same parquet for differential testing. Keeping the two
+adjacent in source is the sync mechanism — a semantic change that doesn't
+touch both is visible in review and caught by the differential tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None = rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = ()
+
+
+class Registry:
+    def __init__(self) -> None:
+        self._specs: dict[str, QuerySpec] = {}
+
+    def add(self, name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()):
+        def deco(fn):
+            if name in self._specs:
+                raise ValueError(f"duplicate query name: {name}")
+            self._specs[name] = QuerySpec(name, fn, oracle, doc, tags)
+            return fn
+
+        return deco
+
+    def merge(self, other: "Registry") -> None:
+        for name, spec in other._specs.items():
+            if name in self._specs:
+                raise ValueError(f"duplicate query name: {name}")
+            self._specs[name] = spec
+
+    @property
+    def specs(self) -> dict[str, QuerySpec]:
+        return dict(self._specs)

@@ -15,7 +15,8 @@ Layout
 - ``operators``  Dedup family, similarity search, as-of join, top-k,
                  text analysis, multimodal column plumbing.
 - ``plans``      The declared analytical query surface (the driver-facing
-                 ``queries()`` registry lives in ``plans.queries``).
+                 registry is ``plans.REGISTRY``; ``__spark_entry__`` is a
+                 thin view over it).
 - ``streaming``  Structured Streaming ingestion: watermarked dedup,
                  tumbling/sliding/session windows.
 """

@@ -1,0 +1,15 @@
+"""Declared analytical query surface.
+
+``REGISTRY`` is the union of every query module's specs; the driver-facing
+``__spark_entry__.queries()`` / ``oracle_sql()`` are views over it.
+"""
+
+from __future__ import annotations
+
+from .relational import R as _relational
+from .spec import QuerySpec, Registry
+
+REGISTRY = Registry()
+REGISTRY.merge(_relational)
+
+__all__ = ["REGISTRY", "QuerySpec", "Registry"]

@@ -58,8 +58,15 @@ def get_spark(
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         # keep timestamps deterministic across engines (oracle = DuckDB UTC)
         "spark.sql.session.timeZone": "UTC",
-        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+        # events.parquet stores INT64 TIMESTAMP(NANOS) which Spark refuses
+        # natively (PARQUET_TYPE_ILLEGAL); read as long nanos and convert in
+        # sources.tpch.load_table (nanos → micros, matching DuckDB truncation)
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
     }
+    # NOTE: spark.driver.memory cannot be set after the JVM starts — it must
+    # come from spark-submit / SPARK_DRIVER_MEMORY before launch; setting it
+    # via builder.config on an existing session is a silent no-op, so we
+    # deliberately do not pass it here.
     if extra_conf:
         confs.update(extra_conf)
     for k, v in confs.items():

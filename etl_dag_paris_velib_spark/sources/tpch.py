@@ -5,6 +5,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..schemas import TESTDATA_TABLES
 
@@ -13,7 +15,16 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or DEFAULT_SF_DIR
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.parquet stores ts as INT64 TIMESTAMP(NANOS); with
+    # spark.sql.legacy.parquet.nanosAsLong=true (session.py) Spark reads it
+    # as raw long nanos. Convert nanos → micros → TimestampType, matching
+    # DuckDB's nanos→micros truncation so the differential oracle agrees.
+    # Integer division (DIV) — float division would round-trip the long
+    # through double and lose sub-microsecond precision at 1.7e18 nanos.
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
 
 
 def load_tables(

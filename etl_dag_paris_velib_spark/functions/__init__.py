@@ -1,7 +1,11 @@
 from .scalar import epoch_to_ts, surrogate_key, with_lineage
 from .text import (
+    bpe_token_count,
+    doc_fingerprint,
+    minhash_signature,
     normalized_text,
     shingles,
+    simhash64,
     token_count,
     tokens,
     word_shingles,
@@ -12,8 +16,12 @@ __all__ = [
     "epoch_to_ts",
     "surrogate_key",
     "with_lineage",
+    "bpe_token_count",
+    "doc_fingerprint",
+    "minhash_signature",
     "normalized_text",
     "shingles",
+    "simhash64",
     "token_count",
     "tokens",
     "word_shingles",

@@ -92,6 +92,9 @@ def simhash64(tokens_col) -> Column:
     hashes = F.transform(
         distinct, lambda tok: F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
     )
+    # F.shiftleft requires a literal int numBits; inside the transform lambda
+    # the bit index is a Column, so call the SQL function form instead.
+    one = F.lit(1).cast("long")
     bits = F.transform(
         F.sequence(F.lit(0), F.lit(59)),
         lambda b: F.when(
@@ -99,10 +102,12 @@ def simhash64(tokens_col) -> Column:
                 hashes,
                 F.lit(0),
                 lambda acc, h: acc
-                + F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, 1).otherwise(-1),
+                + F.when(
+                    h.bitwiseAND(F.call_function("shiftleft", one, b)) != 0, 1
+                ).otherwise(-1),
             )
             > 0,
-            F.shiftleft(F.lit(1).cast("long"), b),
+            F.call_function("shiftleft", one, b),
         ).otherwise(F.lit(0).cast("long")),
     )
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))

@@ -36,21 +36,29 @@ def asof_join(
     """
     carry = list(dict.fromkeys([*right_cols, ts, right_id]))
     lhs = left.withColumn("_tag", F.lit(1))
+    # Carry ALL right columns as ONE struct so the matched row is atomic —
+    # carrying columns independently with last(ignorenulls) would mix values
+    # from different right rows whenever the newest row holds a NULL.
     rhs = right.select(
-        on, ts, F.lit(0).alias("_tag"), *[F.col(c).alias(f"_r_{c}") for c in carry]
+        on,
+        ts,
+        F.lit(0).alias("_tag"),
+        F.struct(*[F.col(c).alias(c) for c in carry]).alias("_r"),
     )
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)
 
     # right rows sort before left rows at equal ts (_tag 0 < 1) so ties match
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts).asc(), F.col("_tag").asc(), F.col(f"_r_{right_id}").asc_nulls_first())
+        .orderBy(
+            F.col(ts).asc(),
+            F.col("_tag").asc(),
+            F.col(f"_r.{right_id}").asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in carry:
-        unioned = unioned.withColumn(
-            f"{c}{suffix}", F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w)
-        )
-    return unioned.filter(F.col("_tag") == 1).drop(
-        "_tag", *[f"_r_{c}" for c in carry]
+    matched = unioned.withColumn("_m", F.last(F.col("_r"), ignorenulls=True).over(w))
+    return matched.filter(F.col("_tag") == 1).select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in carry],
     )

@@ -447,7 +447,6 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
         F.col("c_custkey").alias("custkey")
     )
-    spark_ = spark
 
     def count_of(df, label):
         return df.agg(F.count(F.lit(1)).alias("n")).select(
@@ -456,7 +455,7 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         count_of(buyers.intersect(building), "intersect")
-        .unionAll(count_of(building.exceptAll(buyers).distinct(), "except"))
+        .unionAll(count_of(building.subtract(buyers), "except"))
         .unionAll(count_of(buyers.union(building).distinct(), "union"))
     )
 
@@ -599,14 +598,18 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q17 — anti join: customers with no orders at all.
+# q17 — anti join: customers with no 1997 orders. (Every customer has SOME
+# order in this testdata, so the year predicate keeps the complement
+# non-empty — an all-customers anti join would be vacuously green.)
 # ---------------------------------------------------------------------------
 @R.add(
     "q17_customers_without_orders",
     oracle="""
 SELECT c_mktsegment, count(*) AS n_customers
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
 GROUP BY c_mktsegment
 """,
     doc="Anti join (NOT EXISTS) (SURVEY §2.5).",
@@ -614,9 +617,12 @@ GROUP BY c_mktsegment
 )
 def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders_1997 = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(orders_1997, cust.c_custkey == orders_1997.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )

@@ -1,0 +1,353 @@
+"""Similarity search & near-duplicate joins (SURVEY.md §2.10).
+
+This is the module ``functions.vector``/``functions.text`` build toward:
+the primitives (MinHash signatures, SimHash, JVM-side cosine) composed into
+distributed operators. Three families:
+
+- **MinHash-LSH near-dup join** (`minhash_lsh_pairs`): shingle → signature →
+  band bucket → candidate pairs → exact-Jaccard verify. Never all-pairs:
+  the only shuffle is the band-bucket self-join, whose bucket sizes are
+  bounded by actual near-dup cluster sizes (AQE skew-split covers
+  pathological clusters).
+- **SimHash near-dup join** (`simhash_pairs`): 60-bit SimHash split into
+  15-bit bands, candidates = band-equal pairs, verify by Hamming distance.
+  Cheaper than MinHash (one long per doc, integer-equality buckets).
+- **Vector search** (`brute_force_topk`, `ivf_topk`): cosine top-k over an
+  embedding column. Brute force is the exactness baseline — two-phase
+  partial top-k (salted window then global window) so no single partition
+  ever holds the full candidate stream. IVF is the scale path: coarse
+  quantization to C centroids, probe the ``nprobe`` nearest lists, search
+  only those inverted lists — the candidate set shrinks by ~C/nprobe.
+
+All hashing is md5-hex (portable: the DuckDB oracle in ``plans.llm``
+computes bit-identical signatures, so the differential gate checks the LSH
+logic itself, not just row counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import minhash_signature, shingles, simhash64, tokens
+from ..functions.vector import cosine_similarity
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH
+# ---------------------------------------------------------------------------
+
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str, shingle_n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, exact Jaccard >= threshold).
+
+    Candidate recall for a pair with true Jaccard j is
+    ``1 - (1 - j^r)^bands`` with r = k/bands; at the defaults (r=2, b=8)
+    a j=0.9 pair is missed with probability ~2e-6. Candidates are then
+    verified with the exact Jaccard on distinct shingle sets, so precision
+    is 1.0 by construction.
+
+    Scale: signatures are a per-row array pass (no shuffle). The band
+    explode multiplies rows by ``bands`` but carries only (id, band,
+    band_key) — the shingle arrays are re-joined only for the verified
+    candidate pairs, which is the set that must be small for LSH to make
+    sense at all.
+    """
+    r = k // bands
+    sh = _shingle_sets(df, id_col, text_col, shingle_n)
+    sig = sh.withColumn("sig", minhash_signature("sh", k))
+    band_arr = F.array(
+        *[F.array_join(F.slice("sig", b * r + 1, r), "|") for b in range(bands)]
+    )
+    banded = sig.select("id", F.posexplode(band_arr).alias("band", "band_key"))
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    verified = (
+        cand.join(sa, F.col("id_a") == F.col("sa.id"))
+        .join(sb, F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sa.sh", "sb.sh"))
+                / F.size(F.array_union("sa.sh", "sb.sh"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram-Jaccard join via shingle-inverted-index — the
+    ground-truth companion to :func:`minhash_lsh_pairs` (used by tests to
+    measure LSH recall).
+
+    Not all-pairs: explodes shingles into an inverted index, counts shared
+    shingles per pair with one groupBy, then computes Jaccard from
+    |A∩B| / (|A| + |B| - |A∩B|). The pair space is bounded by co-occurring
+    shingles, not n². Still superlinear for pathological shingle hubs —
+    at 100 TB drop shingles with document frequency above a cap first
+    (standard df-pruning) — but exact for the verify threshold.
+    """
+    sh = _shingle_sets(df, id_col, text_col, shingle_n)
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    inv = sh.select("id", F.explode("sh").alias("s"))
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za, zb = sizes.alias("za"), sizes.alias("zb")
+    return (
+        inter.join(za, F.col("id_a") == F.col("za.id"))
+        .join(zb, F.col("id_b") == F.col("zb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common")
+                / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    band_bits: int = 15,
+    n_bands: int = 4,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share at least one 15-bit band
+    of the 60-bit hash; verified by Hamming distance <= max_hamming.
+
+    Band-equality guarantees recall only for Hamming <= n_bands - 1
+    (pigeonhole); the registered query's oracle mirrors the banding
+    exactly, so the differential check is over the operator's actual
+    output, and tests quantify recall separately.
+    """
+    hashed = df.select(
+        F.col(id_col).alias("id"), simhash64(tokens(F.col(text_col))).alias("h")
+    )
+    mask = (1 << band_bits) - 1
+    band_arr = F.array(
+        *[
+            F.shiftright("h", band_bits * b).bitwiseAND(F.lit(mask))
+            for b in range(n_bands)
+        ]
+    )
+    banded = hashed.select("id", "h", F.posexplode(band_arr).alias("band", "band_val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h"))).cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vector search
+# ---------------------------------------------------------------------------
+
+def _as_double(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Cast the embedding to double once — float->double per-element cast
+    up front keeps every downstream dot product in one deterministic
+    double-precision fold (and matches the DuckDB oracle's arithmetic)."""
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "qv",
+    salt_partitions: int = 32,
+) -> DataFrame:
+    """Exact cosine top-k per query vector. Returns (q_id, vec_id, score).
+
+    Plan: broadcast the (small) query set against the embedding table,
+    score JVM-side, then two-phase top-k — a salted window computes a
+    per-salt partial top-k in parallel, and the global window merges only
+    ``salt_partitions * k`` survivors per query. No partition ever sees
+    the full n-row candidate stream, so the operator survives n in the
+    billions as long as k * salts stays small.
+    """
+    base = _as_double(embeddings, id_col, vec_col)
+    scored = (
+        base.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col(query_id_col))
+        .select(
+            F.col(query_id_col).alias("q_id"),
+            "vec_id",
+            cosine_similarity(F.col(query_vec_col), F.col("v")).alias("score"),
+        )
+    )
+    salted = Window.partitionBy(
+        "q_id", F.crc32(F.col("vec_id").cast("string")) % salt_partitions
+    ).orderBy(F.desc("score"), F.asc("vec_id"))
+    partial = (
+        scored.withColumn("_prn", F.row_number().over(salted))
+        .filter(F.col("_prn") <= k)
+        .drop("_prn")
+    )
+    final = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        partial.withColumn("_rn", F.row_number().over(final))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def make_query_set(
+    embeddings: DataFrame,
+    predicate,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Select query vectors (as q_id/qv) from the embedding table itself."""
+    return _as_double(embeddings.filter(predicate), id_col, vec_col).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    centroid_mod: int = 50,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via IVF coarse quantization.
+
+    Deterministic centroid choice (every ``centroid_mod``-th vector by id)
+    keeps the operator oracle-checkable; a production build would plug in
+    k-means centroids without changing the dataflow. Steps:
+
+    1. assign: every vector joins the broadcast centroid set, keeps its
+       nearest centroid (one pass, no shuffle beyond the window on vec_id);
+    2. probe: each query keeps its ``nprobe`` nearest centroids;
+    3. search: candidates = inverted lists of probed centroids only —
+       the join is on ``c_id``, so at scale the lists can be bucketed /
+       partitioned by centroid and the probe prunes partitions.
+    """
+    base = _as_double(embeddings, id_col, vec_col)
+    cents = base.filter(F.col("vec_id") % centroid_mod == 0).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+    )
+
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("c_id"))
+    assigned = (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("cos_c", cosine_similarity(F.col("v"), F.col("cv")))
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "v", "c_id")
+    )
+
+    w_probe = Window.partitionBy("q_id").orderBy(F.desc("cos_c"), F.asc("c_id"))
+    probed = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("cos_c", cosine_similarity(F.col("qv"), F.col("cv")))
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= nprobe)
+        .select("q_id", "qv", "c_id")
+    )
+
+    w_final = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        probed.join(assigned, "c_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine_similarity(F.col("qv"), F.col("v")).alias("score"),
+        )
+        .withColumn("_rn", F.row_number().over(w_final))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def all_pairs_nn(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest neighbor for EVERY vector (the embedding-dedup candidate
+    generator: a pair whose cosine ~ 1 is a near-duplicate). Exact
+    all-pairs — n²/2 scored pairs — kept as the correctness baseline; the
+    100 TB path is :func:`ivf_topk` with queries = all vectors, which cuts
+    the candidate space by the centroid fan-out."""
+    base = _as_double(embeddings, id_col, vec_col)
+    other = base.select(F.col("vec_id").alias("nn_id"), F.col("v").alias("nv"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("nn_id"))
+    return (
+        base.join(other, F.col("vec_id") != F.col("nn_id"))
+        .select(
+            "vec_id",
+            "nn_id",
+            cosine_similarity(F.col("v"), F.col("nv")).alias("score"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

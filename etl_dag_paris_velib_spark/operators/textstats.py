@@ -1,0 +1,155 @@
+"""Text-analysis operators over document tables (SURVEY.md §2.10).
+
+Language ID, quality scoring, winnowing fingerprints, and token-window
+chunking — the per-document passes a training-data pipeline runs before
+dedup/filtering. Everything is JVM-side (regexp + higher-order array
+functions inside whole-stage codegen); there is deliberately no Python in
+these hot paths. Each operator has a DuckDB-mirrorable formulation so the
+registered queries in ``plans.llm`` get full differential checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import bpe_token_count, tokens, word_shingles
+
+#: Marker (stopword) lists per language for the n-gram/stopword language-ID
+#: heuristic. Tiny on purpose: the operator contract is the scoring
+#: mechanism (portable argmax over marker-hit counts), not lexicon quality —
+#: swap in real lexicons without touching the dataflow.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "das", "ist", "nicht"),
+    "en": ("the", "a", "and", "of", "is", "to"),
+    "es": ("el", "los", "las", "es", "una", "y"),
+    "fr": ("le", "la", "les", "et", "est", "une"),
+    "zh": ("de0", "shi4", "le0", "zai4", "he2", "you3"),
+}
+
+#: Priority order for argmax ties (first match wins). Fixed and mirrored in
+#: the oracle SQL.
+LANG_PRIORITY: tuple[str, ...] = ("de", "en", "es", "fr", "zh")
+
+
+def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    """Number of distinct marker tokens present in the token set."""
+    return F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(m) for m in markers])
+        )
+    )
+
+
+def language_scores(text_col) -> dict[str, Column]:
+    toks = tokens(text_col)
+    return {lang: _marker_hits(toks, LANG_MARKERS[lang]) for lang in LANG_PRIORITY}
+
+
+def predicted_language(text_col) -> Column:
+    """Argmax language with fixed-priority tie-break; 'und' when no marker
+    of any language is present (undetermined, BCP-47 style)."""
+    scores = language_scores(text_col)
+    best = F.greatest(*scores.values())
+    expr = F.when(best == 0, F.lit("und"))
+    for lang in LANG_PRIORITY:
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the quality-signal columns used for corpus filtering:
+
+    - n_tokens, n_bpe_tokens: size under word / BPE-ish tokenizers;
+    - type_token_ratio: lexical diversity (distinct/total tokens);
+    - alnum_ratio: alphanumeric chars / total chars (markup & mojibake
+      detector);
+    - stopword_ratio: English-marker occurrences / tokens (natural-prose
+      detector);
+    - quality_score: fixed-weight blend in [0, 1] — the corpus-filter
+      knob; weights are part of the declared contract and mirrored in the
+      oracle.
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_toks = F.size(toks)
+    stop = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    ttr = F.size(F.array_distinct(toks)) / n_toks
+    alnum = F.length(F.regexp_replace(c, "[^a-zA-Z0-9]", "")) / F.length(c)
+    stop_ratio = n_stop / n_toks
+    length_score = F.least(n_toks / F.lit(100.0), F.lit(1.0))
+    score = (
+        0.3 * length_score + 0.3 * ttr + 0.2 * stop_ratio + 0.2 * alnum
+    )
+    return df.select(
+        "*",
+        n_toks.alias("n_tokens"),
+        bpe_token_count(c).alias("n_bpe_tokens"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(alnum, 6).alias("alnum_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def winnow_fingerprints(
+    text_col,
+    shingle_n: int = 3,
+    window: int = 4,
+    hash_chars: int = 16,
+) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 scheme
+    re-expressed over word shingles): hash every positional n-gram, slide a
+    window of ``window`` hashes, keep each window's minimum, distinct the
+    result. Guarantees any shared run of ``shingle_n + window - 1`` tokens
+    between two documents shares a fingerprint. Hashes are md5-hex prefixes
+    with lexicographic min — the portable cross-engine idiom."""
+    sh = word_shingles(tokens(text_col), shingle_n)  # positional, not distinct
+    hashes = F.transform(sh, lambda s: F.substring(F.md5(s), 1, hash_chars))
+    m = F.size(hashes)
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(m - F.lit(window - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )
+    return F.array_distinct(wins)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+) -> DataFrame:
+    """1 row -> N chunks of ``chunk_tokens`` word tokens with ``overlap``
+    tokens of context between consecutive chunks (the LLM-ingest chunker).
+
+    JVM-side: chunk starts are an arithmetic ``sequence`` (step =
+    chunk_tokens - overlap, last start <= m - overlap so the tail is
+    covered without an empty chunk), chunks are ``slice`` + ``array_join``,
+    and ``posexplode`` fans out — no UDTF needed, so chunking stays inside
+    whole-stage codegen (the UDTF formulation exists in
+    ``operators.multimodal`` as the escape hatch pattern for non-arithmetic
+    chunkers).
+    """
+    step = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    m = F.size(toks)
+    starts = F.sequence(
+        F.lit(1), F.greatest(m - F.lit(overlap), F.lit(1)), F.lit(step)
+    )
+    chunks = F.transform(
+        starts, lambda s: F.array_join(F.slice(toks, s, chunk_tokens), " ")
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.size(F.regexp_extract_all(F.lower("chunk_text"), F.lit("[a-z0-9]+"), 0)).alias(
+            "n_chunk_tokens"
+        ),
+        F.md5("chunk_text").alias("chunk_hash"),
+    )

@@ -6,10 +6,12 @@
 
 from __future__ import annotations
 
+from .llm import L as _llm
 from .relational import R as _relational
 from .spec import QuerySpec, Registry
 
 REGISTRY = Registry()
 REGISTRY.merge(_relational)
+REGISTRY.merge(_llm)
 
 __all__ = ["REGISTRY", "QuerySpec", "Registry"]

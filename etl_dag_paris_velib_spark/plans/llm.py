@@ -1,0 +1,620 @@
+"""LLM-training-data pipeline query surface (SURVEY.md §2.10) plus the
+relational gap-fill specs (full outer join, P9 filename parsing).
+
+Specs q20-q32 run over ``documents.parquet`` / ``embeddings.parquet`` (and
+customer/orders for the join gap-fill). Every hash in these pipelines is
+md5-hex so the DuckDB oracle reproduces signatures bit-identically — the
+differential gate therefore checks the LSH/banding/winnowing *logic*, not
+just row counts (see functions/text.py module docstring for the idiom).
+
+Cross-engine conventions (mirrored in every oracle):
+- integer outputs cast to BIGINT on both sides (Spark ``size``/``posexplode``
+  are int32, DuckDB ``len`` is int64 — pick one);
+- doubles rounded in BOTH engines AFTER thresholds/filters are applied to
+  the raw value;
+- tie-breaks on unique ids wherever a rank cutoff exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import bow_dedup, exact_dedup
+from ..operators.similarity import (
+    all_pairs_nn,
+    brute_force_topk,
+    ivf_topk,
+    make_query_set,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from ..operators.textstats import (
+    chunk_documents,
+    predicted_language,
+    quality_features,
+    winnow_fingerprints,
+)
+from ..sources.tpch import load_table
+from .spec import Registry
+
+L = Registry()
+
+#: DuckDB fragments shared by several oracles (word tokens / 3-shingles) —
+#: the SQL mirror of functions.text.tokens / shingles.
+_SQL_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_SQL_SHINGLES = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len(t) - 2, 1)), "
+    "i -> array_to_string(t[i:i+2], ' ')))"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "documents", sf_dir)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "embeddings", sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# q20 — exact dedup (keep-first by content fingerprint)
+# ---------------------------------------------------------------------------
+@L.add(
+    "q20_exact_dedup",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, lang, source,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+)
+SELECT doc_id, lang, source, fingerprint
+FROM f
+QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+""",
+    doc="Exact-content dedup: md5(normalized text), keep lowest doc_id "
+    "(operators/dedup.py:exact_dedup). One hash shuffle at any scale.",
+    tags=("dedup", "llm"),
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs(spark, sf_dir)).select(
+        "doc_id", "lang", "source", "fingerprint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 — MinHash-LSH near-duplicate pairs
+# ---------------------------------------------------------------------------
+@L.add(
+    "q21_near_dup_pairs",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks),
+sig AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 15),
+           j -> list_min(list_transform(s, x -> md5(j::varchar || ':' || x)))) AS sig
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, b, array_to_string(sig[b*2+1:b*2+2], '|') AS bk
+  FROM sig, (SELECT unnest(generate_series(0, 7)) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id
+),
+scored AS (
+  SELECT id_a, id_b,
+         len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(sa.s || sb.s)) AS j
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.id_a
+  JOIN sh sb ON sb.doc_id = cand.id_b
+)
+SELECT id_a, id_b, round(j, 6) AS jaccard FROM scored WHERE j >= 0.5
+""",
+    doc="MinHash(k=16)-LSH(8 bands of 2) candidate generation + exact-Jaccard "
+    "verify at 0.5 on distinct 3-word shingles "
+    "(operators/similarity.py:minhash_lsh_pairs). The oracle mirrors the "
+    "banding, so LSH logic itself is differential-checked. Never all-pairs.",
+    tags=("dedup", "lsh", "llm"),
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir))
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# q22 — brute-force cosine top-k (similarity search baseline)
+# ---------------------------------------------------------------------------
+@L.add(
+    "q22_vector_topk",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+s AS (
+  SELECT q_id, e.vec_id,
+         list_dot_product(qv, v)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS c
+  FROM q, e WHERE e.vec_id <> q.q_id
+),
+r AS (
+  SELECT q_id, vec_id, c,
+         row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn
+  FROM s
+)
+SELECT q_id, vec_id, round(c, 6) AS score FROM r WHERE rn <= 10
+""",
+    doc="Exact cosine top-10 for 5 query vectors via two-phase (salted "
+    "partial -> global merge) top-k — no partition sees the full stream "
+    "(operators/similarity.py:brute_force_topk).",
+    tags=("vector", "topk", "llm"),
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qs = make_query_set(emb, F.col("vec_id") < 5)
+    top = brute_force_topk(emb, qs, k=10)
+    return top.select("q_id", "vec_id", F.round("score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# q23 — corpus statistics per (lang, source)
+# ---------------------------------------------------------------------------
+@L.add(
+    "q23_text_stats",
+    oracle="""
+SELECT lang, source, count(*) AS n_docs,
+       round(avg(len(regexp_extract_all(lower(text), '[a-z0-9]+'))), 4) AS avg_tokens,
+       round(avg(n_chars), 4) AS avg_chars,
+       sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')))::BIGINT
+         AS total_bpe_tokens
+FROM documents
+GROUP BY lang, source
+""",
+    doc="Per-(lang, source) corpus stats: doc counts, mean word-token and "
+    "char lengths, BPE-ish token totals (functions/text.py tokenizers). "
+    "Map-side partial agg; one shuffle of ~|lang|x|source| groups.",
+    tags=("textstats", "llm"),
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    from ..functions.text import BPE_RE, TOKEN_RE
+
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.avg(F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0))), 4
+        ).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0)).cast("long")
+        ).alias("total_bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q24 — full outer join (J6 gap-fill)
+# ---------------------------------------------------------------------------
+@L.add(
+    "q24_full_outer",
+    oracle="""
+WITH c AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal
+  FROM customer WHERE c_acctbal > 7000
+),
+o AS (
+  SELECT o_custkey, count(*) AS n_orders_1997,
+         round(sum(o_totalprice), 2) AS total_1997
+  FROM orders WHERE year(o_orderdate) = 1997
+  GROUP BY o_custkey
+)
+SELECT coalesce(c_custkey, o_custkey) AS custkey,
+       c_mktsegment,
+       round(c_acctbal, 2) AS acctbal,
+       n_orders_1997, total_1997,
+       CASE WHEN c_custkey IS NULL THEN 'orders_only'
+            WHEN o_custkey IS NULL THEN 'customer_only'
+            ELSE 'both' END AS side
+FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+""",
+    doc="Full outer join: high-balance customers x 1997 order activity; all "
+    "three match classes non-empty at sf0.01 (97/844/333). Shuffle join on "
+    "custkey; neither side broadcastable by definition of full outer.",
+    tags=("join",),
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .filter(F.col("c_acctbal") > 7000)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+    ords = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.year("o_orderdate") == 1997)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders_1997"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_1997"),
+        )
+    )
+    j = cust.join(ords, cust.c_custkey == ords.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        "n_orders_1997",
+        "total_1997",
+        F.when(F.col("c_custkey").isNull(), "orders_only")
+        .when(F.col("o_custkey").isNull(), "customer_only")
+        .otherwise("both")
+        .alias("side"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q25 — language identification (marker-token heuristic)
+# ---------------------------------------------------------------------------
+@L.add(
+    "q25_language_id",
+    oracle="""
+WITH t AS (
+  SELECT lang, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dt
+  FROM documents
+),
+s AS (
+  SELECT lang,
+    len(list_intersect(dt, ['der','die','und','das','ist','nicht'])) AS s_de,
+    len(list_intersect(dt, ['the','a','and','of','is','to'])) AS s_en,
+    len(list_intersect(dt, ['el','los','las','es','una','y'])) AS s_es,
+    len(list_intersect(dt, ['le','la','les','et','est','une'])) AS s_fr,
+    len(list_intersect(dt, ['de0','shi4','le0','zai4','he2','you3'])) AS s_zh
+  FROM t
+),
+p AS (
+  SELECT lang,
+    CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+         WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+         WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+         WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+         ELSE 'zh' END AS predicted
+  FROM s
+)
+SELECT lang, predicted, count(*) AS n_docs
+FROM p GROUP BY lang, predicted
+""",
+    doc="Stopword-marker language ID (operators/textstats.py:"
+    "predicted_language): per-language marker-hit counts, fixed-priority "
+    "argmax, confusion matrix vs the labeled lang. Pure per-row pass + tiny "
+    "group-by.",
+    tags=("textstats", "llm"),
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("lang", predicted_language(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q26 — quality scoring (corpus-filter features)
+# ---------------------------------------------------------------------------
+@L.add(
+    "q26_quality_score",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+    len(tk)::BIGINT AS n_tokens,
+    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT
+      AS n_bpe_tokens,
+    len(list_distinct(tk))::DOUBLE / len(tk) AS ttr,
+    length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))::DOUBLE / length(text)
+      AS alnum,
+    len(list_filter(tk, x -> list_contains(['the','a','and','of','is','to'], x)))::DOUBLE
+      / len(tk) AS stopr
+  FROM t
+)
+SELECT doc_id, n_tokens, n_bpe_tokens,
+       round(ttr, 6) AS type_token_ratio,
+       round(alnum, 6) AS alnum_ratio,
+       round(stopr, 6) AS stopword_ratio,
+       round(0.3 * least(n_tokens / 100.0, 1.0) + 0.3 * ttr
+             + 0.2 * stopr + 0.2 * alnum, 6) AS quality_score
+FROM f
+""",
+    doc="Per-document quality features + fixed-weight score "
+    "(operators/textstats.py:quality_features): token counts, type-token "
+    "ratio, alnum ratio, stopword ratio. Zero-shuffle row pass.",
+    tags=("textstats", "llm"),
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = quality_features(_docs(spark, sf_dir))
+    return feats.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        "type_token_ratio",
+        "alnum_ratio",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q27 — bag-of-words dedup (order-insensitive near-exact)
+# ---------------------------------------------------------------------------
+@L.add(
+    "q27_bow_dedup",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, lang, source,
+         md5(array_to_string(
+           list_sort(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))),
+           ' ')) AS bow_fp
+  FROM documents
+)
+SELECT doc_id, lang, source, bow_fp
+FROM f
+QUALIFY row_number() OVER (PARTITION BY bow_fp ORDER BY doc_id) = 1
+""",
+    doc="Bag-of-words dedup (operators/dedup.py:bow_dedup): md5 over the "
+    "sorted distinct token set collapses word-order-shuffled duplicates "
+    "that exact fingerprints miss. Non-vacuous at sf0.01 (identical token "
+    "sets exist). Same one-shuffle profile as q20.",
+    tags=("dedup", "llm"),
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bow_dedup(_docs(spark, sf_dir)).select("doc_id", "lang", "source", "bow_fp")
+
+
+# ---------------------------------------------------------------------------
+# q28 — SimHash near-duplicate pairs
+# ---------------------------------------------------------------------------
+@L.add(
+    "q28_simhash_pairs",
+    oracle=f"""
+WITH t AS (SELECT doc_id, list_distinct({_SQL_TOKS}) AS dt FROM documents),
+hs AS (
+  SELECT doc_id,
+         list_transform(dt, tok -> ('0x' || substr(md5(tok), 1, 15))::UBIGINT::BIGINT)
+           AS th
+  FROM t
+),
+sim AS (
+  SELECT doc_id,
+    list_sum(list_transform(generate_series(0, 59),
+      b -> CASE WHEN list_sum(list_transform(th,
+                    h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS h
+  FROM hs
+),
+bands AS (
+  SELECT doc_id, h, b, (h >> (15 * b)) & 32767 AS bv
+  FROM sim, (SELECT unnest(generate_series(0, 3)) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         bit_count(xor(a.h, c.h))::INT AS hamming
+  FROM bands a JOIN bands c
+    ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id
+)
+SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 8
+""",
+    doc="SimHash(60-bit) near-dup join (operators/similarity.py:"
+    "simhash_pairs): 4x15-bit band buckets for candidates, Hamming<=8 "
+    "verify. One long per doc — the cheapest near-dup index; oracle mirrors "
+    "bit arithmetic exactly.",
+    tags=("dedup", "lsh", "llm"),
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(_docs(spark, sf_dir)).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q29 — IVF approximate top-k (the 100 TB vector-search path)
+# ---------------------------------------------------------------------------
+@L.add(
+    "q29_ivf_topk",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+asg AS (
+  SELECT vec_id, v, c_id FROM (
+    SELECT e.vec_id, e.v, cents.c_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.v, cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv)))
+             DESC, c_id) AS rn
+    FROM e, cents
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+probe AS (
+  SELECT q_id, qv, c_id FROM (
+    SELECT q.q_id, q.qv, cents.c_id,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+             DESC, c_id) AS rn
+    FROM q, cents
+  ) WHERE rn <= 2
+),
+s AS (
+  SELECT p.q_id, a.vec_id,
+         list_dot_product(p.qv, a.v)
+           / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v)))
+           AS c
+  FROM probe p JOIN asg a ON a.c_id = p.c_id AND a.vec_id <> p.q_id
+),
+r AS (
+  SELECT q_id, vec_id, c,
+         row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn
+  FROM s
+)
+SELECT q_id, vec_id, round(c, 6) AS score FROM r WHERE rn <= 10
+""",
+    doc="IVF approximate cosine top-10 (operators/similarity.py:ivf_topk): "
+    "deterministic coarse centroids (vec_id %% 50), nprobe=2 inverted "
+    "lists searched. The scale path — candidates shrink by centroids/nprobe "
+    "and the c_id join partition-prunes when lists are bucketed by centroid.",
+    tags=("vector", "topk", "ann", "llm"),
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qs = make_query_set(emb, F.col("vec_id") < 5)
+    top = ivf_topk(emb, qs, k=10, centroid_mod=50, nprobe=2)
+    return top.select("q_id", "vec_id", F.round("score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# q30 — winnowing fingerprints
+# ---------------------------------------------------------------------------
+@L.add(
+    "q30_winnow_fingerprints",
+    oracle="""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+           FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(tk) - 2, 1)),
+           i -> array_to_string(tk[i:i+2], ' ')) AS s
+  FROM t
+),
+h AS (SELECT doc_id, list_transform(s, x -> substr(md5(x), 1, 16)) AS hs FROM sh),
+w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
+           i -> list_min(hs[i:i+3]))) AS fps
+  FROM h
+)
+SELECT doc_id, len(fps)::BIGINT AS n_fingerprints, list_min(fps) AS min_fp FROM w
+""",
+    doc="Winnowing fingerprints (operators/textstats.py:winnow_fingerprints, "
+    "Schleimer et al. SIGMOD'03 scheme): positional 3-shingle hashes, "
+    "window-4 minima, distinct. Per-row array pass, no shuffle.",
+    tags=("textstats", "fingerprint", "llm"),
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wf = winnow_fingerprints(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(wf).cast("long").alias("n_fingerprints"),
+        F.array_min(wf).alias("min_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q31 — token-window chunking (1 row -> N chunks)
+# ---------------------------------------------------------------------------
+@L.add(
+    "q31_doc_chunks",
+    oracle="""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+           FROM documents),
+c AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(1, greatest(len(tk) - 10, 1), 40)) AS s
+  FROM t
+),
+x AS (
+  SELECT doc_id, (s - 1) // 40 AS chunk_idx,
+         array_to_string(tk[s:s+49], ' ') AS chunk_text
+  FROM c
+)
+SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+       len(regexp_extract_all(lower(chunk_text), '[a-z0-9]+'))::BIGINT
+         AS n_chunk_tokens,
+       md5(chunk_text) AS chunk_hash
+FROM x
+""",
+    doc="LLM-ingest chunker (operators/textstats.py:chunk_documents): 50-token "
+    "chunks, 10-token overlap, arithmetic starts + slice + posexplode — "
+    "whole-stage-codegen fan-out, no UDTF in the hot path.",
+    tags=("textstats", "chunking", "llm"),
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = chunk_documents(_docs(spark, sf_dir))
+    return ch.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+        "chunk_hash",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q32 — filename-stem parsing (P9 gap-fill)
+# ---------------------------------------------------------------------------
+@L.add(
+    "q32_filename_parse",
+    oracle="""
+WITH k AS (
+  SELECT doc_id,
+         source || '/' || doc_id::VARCHAR || '_' || lang || '.json' AS file_key
+  FROM documents
+)
+SELECT doc_id, file_key,
+       regexp_extract(file_key, '([^/]+)\\.json$', 1) AS stem,
+       (string_split(file_key, '.'))[-1] AS ext,
+       (string_split(file_key, '/'))[1] AS dir_part
+FROM k
+""",
+    doc="P9 filename-stem parsing (reference etl_dag.py:102,106 "
+    "filename.split('.')): split + regexp_extract over constructed object "
+    "keys. Pure scalar pass.",
+    tags=("scalar",),
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    key = F.concat_ws(
+        "/",
+        F.col("source"),
+        F.concat(F.col("doc_id").cast("string"), F.lit("_"), F.col("lang"), F.lit(".json")),
+    )
+    return d.select(
+        "doc_id",
+        key.alias("file_key"),
+        F.regexp_extract(key, "([^/]+)\\.json$", 1).alias("stem"),
+        F.element_at(F.split(key, "\\."), -1).alias("ext"),
+        F.element_at(F.split(key, "/"), 1).alias("dir_part"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q33 — all-vector nearest neighbor (embedding-dedup candidates)
+# ---------------------------------------------------------------------------
+@L.add(
+    "q33_embedding_nn",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT a.vec_id, b.vec_id AS nn_id,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT vec_id, nn_id, c,
+         row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, nn_id) AS rn
+  FROM s
+)
+SELECT vec_id, nn_id, round(c, 6) AS score FROM r WHERE rn = 1
+""",
+    doc="Embedding-cosine near-dup candidates: exact nearest neighbor for "
+    "every vector (operators/similarity.py:all_pairs_nn). Correctness "
+    "baseline for embedding dedup; the 100 TB path swaps in ivf_topk with "
+    "queries = all vectors.",
+    tags=("vector", "dedup", "llm"),
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nn = all_pairs_nn(_emb(spark, sf_dir))
+    return nn.select("vec_id", "nn_id", F.round("score", 6).alias("score"))

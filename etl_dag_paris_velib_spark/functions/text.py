@@ -79,6 +79,40 @@ def minhash_signature(shingles_col, k: int = 16) -> Column:
     )
 
 
+#: Mersenne prime 2^31 - 1: the modulus of the integer MinHash family.
+#: Small enough that (2k+1) * m never overflows int64 in either engine.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_signature_int(shingles_col, k: int = 16) -> Column:
+    """k-wide integer MinHash signature — the fast variant.
+
+    One md5 per shingle (vs one per shingle PER LANE in
+    :func:`minhash_signature`): the 60-bit md5 prefix is reduced mod
+    2^31-1 once, then the k lanes are affine mixes
+    ``((2j+1) * m + 40503 j + 11) mod (2^31-1)`` — cheap 64-bit integer
+    arithmetic with no overflow in Spark (wrapping) or DuckDB (checked),
+    since (2k+1) * (2^31-1) << 2^63. DuckDB mirror:
+    ``('0x' || substr(md5(x), 1, 15))::UBIGINT % 2147483647`` then the same
+    affine mix. ~16x fewer md5 evaluations than the hex variant.
+    """
+    s = shingles_col if isinstance(shingles_col, Column) else F.col(shingles_col)
+    ms = F.transform(
+        s,
+        lambda sh: F.conv(F.substring(F.md5(sh), 1, 15), 16, 10).cast("long")
+        % F.lit(MINHASH_P),
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                ms,
+                lambda m: ((2 * j + 1) * m + j * 40503 + 11) % F.lit(MINHASH_P),
+            )
+        ),
+    )
+
+
 def simhash64(tokens_col) -> Column:
     """64-bit SimHash over word tokens, as a BIGINT.
 

@@ -1,0 +1,84 @@
+"""Arrow-vectorized (pandas) UDFs for the hashing hot paths.
+
+Spark's higher-order array functions (``transform``/``aggregate``) are
+evaluated by the *interpreted* expression evaluator — they sit outside
+whole-stage codegen. For MinHash (k lanes x |shingles| lambda evals per
+row) and SimHash (60 bits x |tokens|) that interpretation dominates the
+runtime, so these two operators are the legitimate exception to the
+"built-ins first" rule: one Arrow batch transfer, one Python md5 per
+shingle, and numpy does the lane mixing / bit counting vectorized.
+
+The JVM formulations in ``functions.text`` remain the portable reference
+semantics — ``tests/test_llm_operators.py`` asserts bit-identical output
+between the two paths, and the DuckDB oracles mirror the same md5-based
+formulas, so swapping the implementation never changes a query result.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from .text import MINHASH_P
+
+
+def _md5_60bit(s: str) -> int:
+    """First 15 hex chars of md5 as an int — mirrors the Spark
+    ``conv(substring(md5(x), 1, 15), 16, 10)`` / DuckDB
+    ``('0x' || substr(md5(x), 1, 15))::UBIGINT`` idiom."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def make_minhash_sig_udf(k: int = 16):
+    """pandas_udf: array<string> shingles -> array<bigint> signature.
+
+    Bit-identical to :func:`functions.text.minhash_signature_int`:
+    m = md5_60bit(shingle) mod P, lane j = min((2j+1) m + 40503 j + 11 mod P).
+    """
+    a = 2 * np.arange(k, dtype=np.int64) + 1          # (k,)
+    b = 40503 * np.arange(k, dtype=np.int64) + 11     # (k,)
+
+    # DataType instance, not a DDL string: string return types are parsed
+    # through the active SparkContext, which may not exist at import time
+    @pandas_udf(ArrayType(LongType()))
+    def minhash_sig(shingles: pd.Series) -> pd.Series:
+        out = []
+        for arr in shingles:
+            if arr is None or len(arr) == 0:
+                out.append(None if arr is None else [])
+                continue
+            m = np.fromiter(
+                (_md5_60bit(s) % MINHASH_P for s in arr), np.int64, len(arr)
+            )
+            lanes = (a[:, None] * m[None, :] + b[:, None]) % MINHASH_P  # (k, n)
+            out.append(lanes.min(axis=1).tolist())
+        return pd.Series(out)
+
+    return minhash_sig
+
+
+@pandas_udf(LongType())
+def simhash64_udf(tokens: pd.Series) -> pd.Series:
+    """pandas_udf: array<string> distinct tokens -> 60-bit SimHash bigint.
+
+    Bit-identical to :func:`functions.text.simhash64` (which see for the
+    bit-vote construction and the DuckDB mirror).
+    """
+    shifts = np.arange(60, dtype=np.int64)
+    out = []
+    for arr in tokens:
+        if arr is None:
+            out.append(None)
+            continue
+        uniq = list(dict.fromkeys(arr))
+        if not uniq:
+            out.append(0)
+            continue
+        h = np.fromiter((_md5_60bit(t) for t in uniq), np.int64, len(uniq))
+        votes = (((h[:, None] >> shifts[None, :]) & 1) * 2 - 1).sum(axis=0)  # (60,)
+        out.append(int(((votes > 0).astype(np.int64) << shifts).sum()))
+    return pd.Series(out)

@@ -29,8 +29,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import minhash_signature, shingles, simhash64, tokens
-from ..functions.vector import cosine_similarity
+from ..functions.text import shingles, tokens
+from ..functions.udfs import make_minhash_sig_udf, simhash64_udf
+from ..functions.vector import dot, l2_norm
 
 
 # ---------------------------------------------------------------------------
@@ -69,9 +70,18 @@ def minhash_lsh_pairs(
     """
     r = k // bands
     sh = _shingle_sets(df, id_col, text_col, shingle_n)
-    sig = sh.withColumn("sig", minhash_signature("sh", k))
+    # Arrow-vectorized signature (bit-identical to the JVM
+    # functions.text.minhash_signature_int; see functions/udfs.py for why
+    # the UDF wins here: HOF lambdas are interpreted, k x |shingles| evals)
+    sig = sh.withColumn("sig", make_minhash_sig_udf(k)(F.col("sh")))
     band_arr = F.array(
-        *[F.array_join(F.slice("sig", b * r + 1, r), "|") for b in range(bands)]
+        *[
+            F.array_join(
+                F.transform(F.slice("sig", b * r + 1, r), lambda x: x.cast("string")),
+                "|",
+            )
+            for b in range(bands)
+        ]
     )
     banded = sig.select("id", F.posexplode(band_arr).alias("band", "band_key"))
 
@@ -168,7 +178,10 @@ def simhash_pairs(
     output, and tests quantify recall separately.
     """
     hashed = df.select(
-        F.col(id_col).alias("id"), simhash64(tokens(F.col(text_col))).alias("h")
+        F.col(id_col).alias("id"),
+        # distinct JVM-side (shrinks the Arrow batch), hash in the
+        # vectorized UDF — bit-identical to functions.text.simhash64
+        simhash64_udf(F.array_distinct(tokens(F.col(text_col)))).alias("h"),
     )
     mask = (1 << band_bits) - 1
     band_arr = F.array(
@@ -201,13 +214,21 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 def _as_double(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """Cast the embedding to double once — float->double per-element cast
-    up front keeps every downstream dot product in one deterministic
-    double-precision fold (and matches the DuckDB oracle's arithmetic)."""
+    """Cast the embedding to double and precompute its L2 norm once —
+    float->double up front keeps every downstream dot product in one
+    deterministic double-precision fold (matching the DuckDB oracle), and
+    the precomputed norm turns per-pair cosine into a single fold instead
+    of three."""
+    v = F.col(vec_col).cast("array<double>")
     return df.select(
         F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
+        v.alias("v"),
+        l2_norm(v).alias("nv"),
     )
+
+
+def _cos(av, an, bv, bn):
+    return (dot(av, bv) / (F.col(an) * F.col(bn))).alias("score")
 
 
 def brute_force_topk(
@@ -236,7 +257,7 @@ def brute_force_topk(
         .select(
             F.col(query_id_col).alias("q_id"),
             "vec_id",
-            cosine_similarity(F.col(query_vec_col), F.col("v")).alias("score"),
+            _cos(F.col(query_vec_col), "nq", F.col("v"), "nv"),
         )
     )
     salted = Window.partitionBy(
@@ -261,9 +282,9 @@ def make_query_set(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Select query vectors (as q_id/qv) from the embedding table itself."""
+    """Select query vectors (as q_id/qv/nq) from the embedding table itself."""
     return _as_double(embeddings.filter(predicate), id_col, vec_col).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nv").alias("nq")
     )
 
 
@@ -291,36 +312,32 @@ def ivf_topk(
     """
     base = _as_double(embeddings, id_col, vec_col)
     cents = base.filter(F.col("vec_id") % centroid_mod == 0).select(
-        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("nv").alias("cn")
     )
 
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("c_id"))
     assigned = (
         base.crossJoin(F.broadcast(cents))
-        .withColumn("cos_c", cosine_similarity(F.col("v"), F.col("cv")))
+        .withColumn("cos_c", dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("cn")))
         .withColumn("_rn", F.row_number().over(w_assign))
         .filter(F.col("_rn") == 1)
-        .select("vec_id", "v", "c_id")
+        .select("vec_id", "v", "nv", "c_id")
     )
 
     w_probe = Window.partitionBy("q_id").orderBy(F.desc("cos_c"), F.asc("c_id"))
     probed = (
         queries.crossJoin(F.broadcast(cents))
-        .withColumn("cos_c", cosine_similarity(F.col("qv"), F.col("cv")))
+        .withColumn("cos_c", dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("cn")))
         .withColumn("_rn", F.row_number().over(w_probe))
         .filter(F.col("_rn") <= nprobe)
-        .select("q_id", "qv", "c_id")
+        .select("q_id", "qv", "nq", "c_id")
     )
 
     w_final = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return (
         probed.join(assigned, "c_id")
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "vec_id",
-            cosine_similarity(F.col("qv"), F.col("v")).alias("score"),
-        )
+        .select("q_id", "vec_id", _cos(F.col("qv"), "nq", F.col("v"), "nv"))
         .withColumn("_rn", F.row_number().over(w_final))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
@@ -333,21 +350,57 @@ def all_pairs_nn(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Nearest neighbor for EVERY vector (the embedding-dedup candidate
-    generator: a pair whose cosine ~ 1 is a near-duplicate). Exact
-    all-pairs — n²/2 scored pairs — kept as the correctness baseline; the
-    100 TB path is :func:`ivf_topk` with queries = all vectors, which cuts
-    the candidate space by the centroid fan-out."""
+    generator: a pair whose cosine ~ 1 is a near-duplicate).
+
+    Block-matmul via ``mapInPandas``: the unit-normalized index matrix is
+    broadcast once (the same constraint as any broadcast hash join — the
+    index side must fit per executor), each Arrow batch of left-side rows
+    does one numpy GEMM against it, and the per-row argmax (tie-break:
+    smaller id, via ascending-id index order + first-occurrence argmax)
+    comes straight out of the batch. One pass over the left side, zero
+    shuffles. When the index side outgrows broadcast, shard it and keep a
+    running per-row max across shards, or switch to :func:`ivf_topk` with
+    queries = all vectors.
+    """
+    import numpy as np
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
     base = _as_double(embeddings, id_col, vec_col)
-    other = base.select(F.col("vec_id").alias("nn_id"), F.col("v").alias("nv"))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("nn_id"))
-    return (
-        base.join(other, F.col("vec_id") != F.col("nn_id"))
-        .select(
-            "vec_id",
-            "nn_id",
-            cosine_similarity(F.col("v"), F.col("nv")).alias("score"),
-        )
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    # broadcast side sorted by id: np.argmax keeps the FIRST max, which
+    # then implements the deterministic smaller-id tie-break
+    rows = base.select("vec_id", "v").orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = embeddings.sparkSession.sparkContext.broadcast((ids, mat_n))
+
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("nn_id", LongType()),
+            StructField("score", DoubleType()),
+        ]
     )
+
+    def nn_blocks(batches):
+        import pandas as pd
+
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            left = np.array(pdf["v"].tolist(), dtype=np.float64)
+            left_n = left / np.linalg.norm(left, axis=1, keepdims=True)
+            scores = left_n @ b_mat.T  # (batch, N)
+            left_ids = pdf["vec_id"].to_numpy()
+            scores[left_ids[:, None] == b_ids[None, :]] = -np.inf  # self
+            best = scores.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": left_ids,
+                    "nn_id": b_ids[best],
+                    "score": scores[np.arange(len(best)), best],
+                }
+            )
+
+    return base.select("vec_id", "v").mapInPandas(nn_blocks, out_schema)

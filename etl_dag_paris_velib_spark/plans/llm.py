@@ -91,11 +91,18 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
 sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks),
+ms AS (
+  SELECT doc_id, s,
+         list_transform(s,
+           x -> (('0x' || substr(md5(x), 1, 15))::UBIGINT % 2147483647)::BIGINT) AS m
+  FROM sh
+),
 sig AS (
   SELECT doc_id,
          list_transform(generate_series(0, 15),
-           j -> list_min(list_transform(s, x -> md5(j::varchar || ':' || x)))) AS sig
-  FROM sh
+           j -> list_min(list_transform(m,
+                  v -> ((2*j+1) * v + j*40503 + 11) % 2147483647))) AS sig
+  FROM ms
 ),
 bands AS (
   SELECT doc_id, b, array_to_string(sig[b*2+1:b*2+2], '|') AS bk

@@ -1,0 +1,119 @@
+"""Structured Streaming tier for the GBFS station-status feed (SURVEY §2.8).
+
+The reference is a micro-batch stream in disguise: an unbounded feed polled
+hourly (etl_dag.py:317), append-only sink, event time = ``last_reported``.
+Its failure modes — re-ingested duplicates when a station hasn't reported
+since the last poll, and multi-week-stale stations (research.ipynb station
+516395829) — are exactly what watermarked stateful dedup handles natively.
+
+Dataflow: file-source ``readStream`` over the bronze zone (each hourly poll
+lands one JSON envelope file) → the SAME flattening used by the batch path
+(``sources.velib.flatten_station_status`` — one definition, two execution
+modes) → ``withWatermark(last_reported)`` → stateful ``dropDuplicates`` on
+the natural key → tumbling-window availability aggregates.
+
+Scale/state design: the dedup key (station_id, last_reported) includes the
+watermarked event-time column, so state for keys older than the watermark
+is evicted — state size is bounded by (stations x polls-per-watermark),
+not by stream lifetime. The windowed agg keeps one row of state per
+(window, nothing) — O(watermark / window) rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import VELIB_ENVELOPE_SCHEMA
+from ..sources.velib import flatten_station_status
+
+
+def read_station_status_stream(
+    spark: SparkSession,
+    bronze_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming scan of the bronze zone (one multiline JSON envelope per
+    poll). Explicit schema — streaming sources cannot infer safely, and the
+    batch path shares the same ``VELIB_ENVELOPE_SCHEMA`` contract."""
+    reader = (
+        spark.readStream.schema(VELIB_ENVELOPE_SCHEMA)
+        .option("multiLine", "true")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(bronze_dir)
+
+
+def deduped_station_stream(
+    envelope_stream: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Flatten + watermark + stateful dedup on the natural key.
+
+    A station that hasn't reported since the previous poll re-arrives with
+    an identical (station_id, last_reported) — the reference re-inserts it
+    every hour (s3_to_postgres.py:80-82 appends blindly); here the dedup
+    state absorbs it exactly once.
+    """
+    flat = flatten_station_status(envelope_stream)
+    return flat.withWatermark("last_reported", watermark).dropDuplicates(
+        ["station_id", "last_reported"]
+    )
+
+
+def hourly_availability(
+    deduped: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+) -> DataFrame:
+    """Tumbling (or sliding, when ``slide`` is given) windowed availability:
+    per event-time window, stations reporting and bikes/docks available."""
+    win = (
+        F.window("last_reported", window)
+        if slide is None
+        else F.window("last_reported", window, slide)
+    )
+    return (
+        deduped.groupBy(win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_reports"),
+            F.approx_count_distinct("station_id").alias("n_stations"),
+            F.sum("num_bikes_available").alias("bikes_available"),
+            F.sum("num_docks_available").alias("docks_available"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_reports",
+            "n_stations",
+            "bikes_available",
+            "docks_available",
+        )
+    )
+
+
+def run_available_now(
+    df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    timeout_sec: int = 120,
+):
+    """Drain everything currently in the source into an in-memory table and
+    stop — the hourly-poll batch semantics of the reference, expressed as a
+    stream trigger. Returns the finished StreamingQuery; results are in
+    ``spark.table(query_name)``.
+
+    In production the sink would be
+    ``writeStream.format("parquet").partitionBy("ingest_date", ...)`` with
+    a checkpoint dir; the memory sink keeps tests hermetic.
+    """
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return q

@@ -1,0 +1,104 @@
+"""Streaming-tier tests: watermarked stateful dedup + windowed aggregates
+over the bronze GBFS fixtures, driven with availableNow triggers so each
+test is a hermetic drain of a static directory."""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_dag_paris_velib_spark.schemas import VELIB_ENVELOPE_SCHEMA
+from etl_dag_paris_velib_spark.sources.readers import read_json
+from etl_dag_paris_velib_spark.sources.velib import flatten_station_status
+from etl_dag_paris_velib_spark.streaming.gbfs import (
+    deduped_station_stream,
+    hourly_availability,
+    read_station_status_stream,
+    run_available_now,
+)
+
+
+@pytest.fixture()
+def bronze_dir(tmp_path, fixtures_dir):
+    """Two hourly polls: poll 2 re-reports one station with an unchanged
+    (station_id, last_reported) — the reference's duplicate-reingest case —
+    plus a genuinely new reading for another station."""
+    d = tmp_path / "bronze"
+    d.mkdir()
+    src = f"{fixtures_dir}/station_status.json"
+    shutil.copy(src, d / "poll_000.json")
+
+    with open(src) as f:
+        payload = json.load(f)
+    stations = payload["data"]["stations"]
+    # keep station 0 identical (stale re-report -> must dedup), advance
+    # station 1's reading by one hour (new observation -> must survive)
+    stations[1]["last_reported"] += 3600
+    stations[1]["num_bikes_available"] = 7
+    payload["lastUpdatedOther"] += 3600
+    with open(d / "poll_001.json", "w") as f:
+        json.dump(payload, f)
+    return str(d)
+
+
+def _static_flat(spark, bronze):
+    return flatten_station_status(
+        read_json(spark, bronze, VELIB_ENVELOPE_SCHEMA)
+    )
+
+
+def test_stateful_dedup_across_polls(spark, bronze_dir):
+    stream = read_station_status_stream(spark, bronze_dir, max_files_per_trigger=1)
+    q = run_available_now(
+        deduped_station_stream(stream), "dedup_out", output_mode="append"
+    )
+    assert q.lastProgress is not None
+    got = spark.table("dedup_out")
+    want = (
+        _static_flat(spark, bronze_dir)
+        .select("station_id", "last_reported")
+        .distinct()
+        .count()
+    )
+    assert got.count() == want
+    # the natural key is unique in the output
+    assert (
+        got.groupBy("station_id", "last_reported")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+        == 0
+    )
+
+
+def test_hourly_windows_match_batch(spark, bronze_dir):
+    stream = read_station_status_stream(spark, bronze_dir)
+    agg = hourly_availability(deduped_station_stream(stream))
+    run_available_now(agg, "hourly_out", output_mode="complete")
+    got = {
+        (r.window_start, r.n_reports, r.bikes_available)
+        for r in spark.table("hourly_out").collect()
+    }
+    dedup_static = (
+        _static_flat(spark, bronze_dir)
+        .dropDuplicates(["station_id", "last_reported"])
+    )
+    want = {
+        (r.window_start, r.n_reports, r.bikes_available)
+        for r in dedup_static.groupBy(
+            F.window("last_reported", "1 hour").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_reports"),
+            F.sum("num_bikes_available").alias("bikes_available"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_reports", "bikes_available")
+        .collect()
+    }
+    assert got == want
+    # the 17-day-stale station (516395829 pattern) lands in its own old
+    # window, far from the live ones
+    assert len(got) >= 3

@@ -61,6 +61,41 @@ def make_minhash_sig_udf(k: int = 16):
     return minhash_sig
 
 
+def make_chunk_udtf(chunk_tokens: int = 50, overlap: int = 10):
+    """Python UDTF chunker: (doc_id, text) -> N (doc_id, chunk_idx,
+    chunk_text) rows — the table-function formulation of
+    ``operators.textstats.chunk_documents`` (which stays JVM-side for the
+    arithmetic token-window case; the UDTF is the escape hatch for
+    chunkers built-ins can't express: sentence boundaries, semantic
+    splits, tokenizer-aware packing). Same contract: chunks of
+    ``chunk_tokens`` word tokens, ``overlap`` tokens of context, tail
+    always covered."""
+    import re
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StructField, StructType, StringType
+
+    step = chunk_tokens - overlap
+
+    class ChunkText:
+        def eval(self, doc_id, text):
+            toks = re.findall(r"[a-z0-9]+", (text or "").lower())
+            last_start = max(len(toks) - overlap, 1)
+            for idx, s in enumerate(range(1, last_start + 1, step)):
+                yield doc_id, idx, " ".join(toks[s - 1 : s - 1 + chunk_tokens])
+
+    return udtf(
+        ChunkText,
+        returnType=StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("chunk_idx", LongType()),
+                StructField("chunk_text", StringType()),
+            ]
+        ),
+    )
+
+
 @pandas_udf(LongType())
 def simhash64_udf(tokens: pd.Series) -> pd.Series:
     """pandas_udf: array<string> distinct tokens -> 60-bit SimHash bigint.

@@ -45,6 +45,24 @@ def keep_first(
     )
 
 
+def keep_first_grouped(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+) -> DataFrame:
+    """``applyInPandas`` variant of :func:`keep_first` — same semantics,
+    Python per group. Use it when the within-group survivor logic outgrows
+    SQL (fuzzy matching, model-scored canonicalization); for plain
+    keep-first the window version stays JVM-side and is strictly cheaper.
+    The shuffle profile is identical (one hash partition on ``keys``);
+    the delta is the Arrow round-trip per group."""
+
+    def first_row(pdf):
+        return pdf.sort_values(list(order_by)).head(1)
+
+    return df.groupBy(*keys).applyInPandas(first_row, df.schema)
+
+
 def exact_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -18,12 +18,16 @@ def read_json(
     spark: SparkSession,
     path: str,
     schema: StructType,
-    multiline: bool = True,
+    multiline: bool = False,
 ) -> DataFrame:
     """JSON read with a declared schema (reference S3: json.load at
-    etl_dag.py:80-81/221-222). ``multiline=True`` because the reference's
-    bronze objects are one pretty-printed API payload per file; NDJSON
-    drops it for splittable scans."""
+    etl_dag.py:80-81/221-222).
+
+    Default is NDJSON: a multiline file is ONE non-splittable parse task,
+    which is fine for a 1,474-station hourly payload and a scale-killer
+    for anything bigger — so splittable is the default and the
+    pretty-printed API-envelope readers opt in with ``multiline=True``.
+    """
     return (
         spark.read.schema(schema)
         .option("multiLine", "true" if multiline else "false")

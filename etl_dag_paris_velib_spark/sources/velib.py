@@ -74,7 +74,8 @@ def ingest_station_status(
     ``df.write.partitionBy("ingest_date", "ingest_hour").mode("overwrite")``
     under dynamic partition overwrite → exactly-once per run (SURVEY §7).
     """
-    envelope = read_json(spark, json_path, VELIB_ENVELOPE_SCHEMA)
+    # one pretty-printed API envelope per poll file → multiline parse
+    envelope = read_json(spark, json_path, VELIB_ENVELOPE_SCHEMA, multiline=True)
     flat = flatten_station_status(envelope)
     return with_lineage(flat, run_ts, dag_id, task_id)
 

@@ -42,5 +42,6 @@ def ingest_weather(
     dag_id: str = "citymapper_dag",
     task_id: str = "transfer_weather_data",
 ) -> DataFrame:
-    envelope = read_json(spark, json_path, WEATHER_ENVELOPE_SCHEMA)
+    # one pretty-printed API envelope per poll file → multiline parse
+    envelope = read_json(spark, json_path, WEATHER_ENVELOPE_SCHEMA, multiline=True)
     return with_lineage(flatten_weather(envelope), run_ts, dag_id, task_id)

@@ -46,7 +46,7 @@ def bronze_dir(tmp_path, fixtures_dir):
 
 def _static_flat(spark, bronze):
     return flatten_station_status(
-        read_json(spark, bronze, VELIB_ENVELOPE_SCHEMA)
+        read_json(spark, bronze, VELIB_ENVELOPE_SCHEMA, multiline=True)
     )
 
 

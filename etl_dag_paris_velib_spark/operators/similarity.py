@@ -38,10 +38,54 @@ from ..functions.vector import dot, l2_norm
 # MinHash-LSH
 # ---------------------------------------------------------------------------
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Guard against under-partitioned inputs (a single small parquet file
+    scans as ONE partition, serializing every per-row hash on one core).
+    Round-robin repartition to the cluster's parallelism when the scan has
+    fewer partitions; a well-partitioned 100 TB input passes through
+    untouched — no shuffle is added at scale."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, shingle_n: int) -> DataFrame:
-    return df.select(
+    return _spread(df).select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+
+
+def _bucket_pairs(banded: DataFrame, member: "F.Column") -> DataFrame:
+    """(band, band_key, member) -> distinct candidate pairs (id_a < id_b).
+
+    Bucket-groupBy instead of a self-join: the upstream signature pipeline
+    runs ONCE (a self-join would recompute it for each side), and the only
+    shuffles are the bucket groupBy (ids only — signatures never shuffle)
+    and the final distinct. Pairs are fanned out inside each bucket from
+    the sorted member array; bucket sizes are bounded by real near-dup
+    cluster sizes, the LSH premise (AQE skew-split catches pathological
+    buckets).
+    """
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_list(member)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
     )
 
 
@@ -53,6 +97,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    persist_intermediate: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, exact Jaccard >= threshold).
 
@@ -69,7 +114,15 @@ def minhash_lsh_pairs(
     sense at all.
     """
     r = k // bands
+    # The shingle sets feed three consumers (signature + both verify
+    # sides); persist so tokenize/shingle/md5 run once, not three times.
+    # CacheManager keys on the logical plan, so repeated runs of the same
+    # query share one entry. MEMORY_AND_DISK: shingle sets are ~data-sized,
+    # spill instead of OOM at large inputs (and skip persist entirely via
+    # persist_intermediate=False when the input is a one-shot stream).
     sh = _shingle_sets(df, id_col, text_col, shingle_n)
+    if persist_intermediate:
+        sh = sh.persist()
     # Arrow-vectorized signature (bit-identical to the JVM
     # functions.text.minhash_signature_int; see functions/udfs.py for why
     # the UDF wins here: HOF lambdas are interpreted, k x |shingles| evals)
@@ -84,18 +137,7 @@ def minhash_lsh_pairs(
         ]
     )
     banded = sig.select("id", F.posexplode(band_arr).alias("band", "band_key"))
-
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    cand = _bucket_pairs(banded, F.col("id"))
 
     sa, sb = sh.alias("sa"), sh.alias("sb")
     verified = (
@@ -168,6 +210,7 @@ def simhash_pairs(
     band_bits: int = 15,
     n_bands: int = 4,
     max_hamming: int = 8,
+    persist_intermediate: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share at least one 15-bit band
     of the 60-bit hash; verified by Hamming distance <= max_hamming.
@@ -177,12 +220,15 @@ def simhash_pairs(
     exactly, so the differential check is over the operator's actual
     output, and tests quantify recall separately.
     """
-    hashed = df.select(
+    hashed = _spread(df).select(
         F.col(id_col).alias("id"),
         # distinct JVM-side (shrinks the Arrow batch), hash in the
         # vectorized UDF — bit-identical to functions.text.simhash64
         simhash64_udf(F.array_distinct(tokens(F.col(text_col)))).alias("h"),
     )
+    if persist_intermediate:
+        # one long per doc; both sides of the band self-join read it
+        hashed = hashed.persist()
     mask = (1 << band_bits) - 1
     band_arr = F.array(
         *[
@@ -191,6 +237,12 @@ def simhash_pairs(
         ]
     )
     banded = hashed.select("id", "h", F.posexplode(band_arr).alias("band", "band_val"))
+    # Band-equality SELF-JOIN, not the bucket fan-out used for MinHash:
+    # SimHash bands are 15-bit ints, so bucket membership is dense on
+    # near-dup-heavy corpora and pair generation is the dominant cost —
+    # the sort-merge join runs in whole-stage codegen while an in-bucket
+    # array fan-out would run on the interpreted evaluator (~2x slower
+    # measured). The joined payload is 2 longs; nothing wide shuffles.
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -204,8 +256,8 @@ def simhash_pairs(
             F.col("b.id").alias("id_b"),
             F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h"))).cast("int").alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

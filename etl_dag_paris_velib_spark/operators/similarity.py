@@ -162,6 +162,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    persist_intermediate: bool = True,
 ) -> DataFrame:
     """Exact n-gram-Jaccard join via shingle-inverted-index — the
     ground-truth companion to :func:`minhash_lsh_pairs` (used by tests to
@@ -175,6 +176,8 @@ def ngram_jaccard_pairs(
     (standard df-pruning) — but exact for the verify threshold.
     """
     sh = _shingle_sets(df, id_col, text_col, shingle_n)
+    if persist_intermediate:
+        sh = sh.persist()  # three consumers: sizes x2 + inverted index
     sizes = sh.select("id", F.size("sh").alias("n_sh"))
     inv = sh.select("id", F.explode("sh").alias("s"))
     a, b = inv.alias("a"), inv.alias("b")

@@ -27,6 +27,7 @@ from ..operators.similarity import (
     ivf_topk,
     make_query_set,
     minhash_lsh_pairs,
+    ngram_jaccard_pairs,
     simhash_pairs,
 )
 from ..operators.textstats import (
@@ -594,6 +595,75 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.split(key, "\\."), -1).alias("ext"),
         F.element_at(F.split(key, "/"), 1).alias("dir_part"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q34 — right outer join (J6's other half)
+# ---------------------------------------------------------------------------
+@L.add(
+    "q34_right_outer",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, count(*) AS n_orders
+  FROM orders WHERE o_orderstatus = 'F'
+  GROUP BY o_custkey
+)
+SELECT c_custkey, c_mktsegment, n_orders
+FROM o RIGHT OUTER JOIN customer ON o_custkey = c_custkey
+WHERE c_acctbal < 0
+""",
+    doc="Right outer join: finished-order counts RIGHT JOIN negative-balance "
+    "customers — customers with no finished orders survive with NULL "
+    "counts. Catalyst flips it to a left join on the bigger side.",
+    tags=("join",),
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ords = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    cust = load_table(spark, "customer", sf_dir).filter(F.col("c_acctbal") < 0)
+    return ords.join(cust, ords.o_custkey == cust.c_custkey, "right_outer").select(
+        "c_custkey", "c_mktsegment", "n_orders"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q35 — exact n-gram-Jaccard similarity join (inverted index, no LSH)
+# ---------------------------------------------------------------------------
+@L.add(
+    "q35_ngram_jaccard",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks),
+sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+inv AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM inv a JOIN inv b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+scored AS (
+  SELECT id_a, id_b,
+         n_common::DOUBLE / (za.n_sh + zb.n_sh - n_common) AS j
+  FROM inter
+  JOIN sizes za ON za.doc_id = inter.id_a
+  JOIN sizes zb ON zb.doc_id = inter.id_b
+)
+SELECT id_a, id_b, round(j, 6) AS jaccard FROM scored WHERE j >= 0.5
+""",
+    doc="EXACT n-gram Jaccard join via shingle inverted index "
+    "(operators/similarity.py:ngram_jaccard_pairs) — the ground truth the "
+    "LSH approximates; pair space bounded by co-occurring shingles, with "
+    "df-pruning as the scale valve. Same result set as q21 at this "
+    "threshold when LSH recall is perfect.",
+    tags=("dedup", "llm"),
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 # ---------------------------------------------------------------------------

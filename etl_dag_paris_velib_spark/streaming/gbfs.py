@@ -93,6 +93,33 @@ def hourly_availability(
     )
 
 
+def station_report_sessions(
+    deduped: DataFrame,
+    gap: str = "2 hours",
+) -> DataFrame:
+    """Session windows per station: consecutive reports closer than ``gap``
+    merge into one session. A station whose feed stalls (the 17-day-stale
+    516395829 case) closes its session; the next report opens a new one —
+    the streaming-native outage detector. State: one open session per
+    station, closed by the watermark."""
+    return (
+        deduped.groupBy(
+            F.session_window("last_reported", gap).alias("w"), "station_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_reports"),
+            F.avg("num_bikes_available").alias("avg_bikes"),
+        )
+        .select(
+            "station_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_reports",
+            F.round("avg_bikes", 4).alias("avg_bikes"),
+        )
+    )
+
+
 def run_available_now(
     df: DataFrame,
     query_name: str,

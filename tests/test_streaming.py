@@ -18,6 +18,7 @@ from etl_dag_paris_velib_spark.streaming.gbfs import (
     hourly_availability,
     read_station_status_stream,
     run_available_now,
+    station_report_sessions,
 )
 
 
@@ -102,3 +103,28 @@ def test_hourly_windows_match_batch(spark, bronze_dir):
     # the 17-day-stale station (516395829 pattern) lands in its own old
     # window, far from the live ones
     assert len(got) >= 3
+
+
+def test_session_windows(spark, bronze_dir):
+    stream = read_station_status_stream(spark, bronze_dir)
+    # 30-minute gap: station 1's two readings (1h apart) split into two
+    # sessions; with the default 2h gap they merge into one
+    for gap, expect_two in (("30 minutes", True), ("2 hours", False)):
+        agg = station_report_sessions(deduped_station_stream(stream), gap=gap)
+        name = f"sessions_{gap.split()[0]}"
+        run_available_now(agg, name, output_mode="complete")
+        flat = _static_flat(spark, bronze_dir)
+        sid = [
+            r.station_id
+            for r in flat.select("station_id").distinct().orderBy("station_id").collect()
+        ]
+        per_station = {
+            r.station_id: r["count"]
+            for r in spark.table(name).groupBy("station_id").count().collect()
+        }
+        two_session_stations = [s for s, n in per_station.items() if n == 2]
+        if expect_two:
+            assert len(two_session_stations) == 1
+        else:
+            assert not two_session_stations
+        assert set(per_station) == set(sid)

@@ -667,6 +667,103 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q36 — incremental ingest dedup (anti-join against history)
+# ---------------------------------------------------------------------------
+@L.add(
+    "q36_incremental_dedup",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, lang, source,
+         md5(array_to_string(
+           list_sort(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))),
+           ' ')) AS bow_fp
+  FROM documents
+),
+hist AS (SELECT DISTINCT bow_fp FROM f WHERE doc_id < 400),
+batch AS (SELECT * FROM f WHERE doc_id >= 400)
+SELECT doc_id, lang, source, bow_fp
+FROM batch
+WHERE bow_fp NOT IN (SELECT bow_fp FROM hist)
+QUALIFY row_number() OVER (PARTITION BY bow_fp ORDER BY doc_id) = 1
+""",
+    doc="Incremental-ingest dedup: new batch (doc_id >= 400) anti-joined "
+    "against the history's fingerprint set, then deduped within the batch "
+    "— the production pattern for continuous corpus ingestion (history "
+    "side reads ONLY the fingerprint column: column pruning makes the "
+    "history scan cheap at any corpus size). Non-vacuous: 168 bow-dup "
+    "pairs cross the boundary at sf0.01.",
+    tags=("dedup", "llm", "incremental"),
+)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import bow_fingerprint, keep_first
+
+    docs = _docs(spark, sf_dir).withColumn("bow_fp", bow_fingerprint(F.col("text")))
+    hist = docs.filter(F.col("doc_id") < 400).select("bow_fp").distinct()
+    batch = docs.filter(F.col("doc_id") >= 400)
+    fresh = batch.join(hist, "bow_fp", "left_anti")
+    return keep_first(fresh, ["bow_fp"], [F.col("doc_id")]).select(
+        "doc_id", "lang", "source", "bow_fp"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q37 — salted join (skew mitigation, semantics-preserving)
+# ---------------------------------------------------------------------------
+@L.add(
+    "q37_salted_join_revenue",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""",
+    doc="Skew-salted equi-join (operators/skew.py:salted_join): the hot "
+    "side salts into 8 sub-keys, the small side replicates x8 — same "
+    "result as the plain join, which is exactly what the oracle asserts. "
+    "Use when one key's volume breaks even AQE's skew split.",
+    tags=("join", "skew"),
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    events = load_table(spark, "events", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    joined = salted_join(events, cust, "user_id", "c_custkey", salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q38 — exact interpolated percentiles (quality-filter thresholds)
+# ---------------------------------------------------------------------------
+@L.add(
+    "q38_value_percentiles",
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events
+GROUP BY event_type
+""",
+    doc="Exact linear-interpolated percentiles per group (Spark "
+    "`percentile` == DuckDB `quantile_cont`): how a corpus pipeline "
+    "derives quality-score cut lines. Exact percentile requires a "
+    "per-group sort; the scale path swaps in approx_percentile "
+    "(t-digest, mergeable, one pass) when the cut line tolerates error.",
+    tags=("agg", "percentile"),
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q33 — all-vector nearest neighbor (embedding-dedup candidates)
 # ---------------------------------------------------------------------------
 @L.add(

@@ -703,3 +703,37 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_items") > 10)
     )
+
+
+# ---------------------------------------------------------------------------
+# q39 — GROUPING SETS via the SQL entry path (completes the A4/A5 family:
+# rollup=q09, cube=q10, explicit sets here). Also the one spec exercising
+# spark.sql + temp-view registration as a first-class query surface.
+# ---------------------------------------------------------------------------
+@R.add(
+    "q39_grouping_sets",
+    oracle="""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n_items,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+    doc="Explicit GROUPING SETS — one shuffle computes all three grouping "
+    "levels (Catalyst expands to a single Expand + hash aggregate, not "
+    "three scans).",
+    tags=("agg", "groupingsets", "sql"),
+)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q39_lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(*) AS n_items,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM q39_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )

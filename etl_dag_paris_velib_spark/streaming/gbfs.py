@@ -120,6 +120,60 @@ def station_report_sessions(
     )
 
 
+#: Output schema of the change-detection stream.
+_CHANGES_DDL = (
+    "station_id long, changed_at timestamp, prev_bikes int, num_bikes int"
+)
+
+
+def bike_count_changes(deduped: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: emit a row
+    only when a station's bike count differs from its previous report —
+    the change-log compaction of the hourly snapshot stream (the reference
+    re-inserts ~1,474 rows/hour even when nothing moved).
+
+    State per station is (last event-time seconds, last count) — the
+    minimal custom-state shape; built-in ``dropDuplicates`` can't express
+    "compare against previous value", which is why this needs the
+    arbitrary-state API. Reports are compared in event-time order within
+    each micro-batch, state carries across batches, and a report whose
+    event time is not newer than the state's is DROPPED (late/out-of-order
+    data must not rewrite history — the append-mode contract).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def detect(key, pdf_iter, state):
+        last_ts, last = state.get if state.exists else (None, None)
+        out = []
+        for pdf in pdf_iter:
+            for row in pdf.sort_values("last_reported").itertuples():
+                ts = int(row.last_reported.timestamp())
+                if last_ts is not None and ts <= last_ts:
+                    continue  # stale or duplicate event time
+                cur = int(row.num_bikes_available)
+                if last is None or cur != last:
+                    out.append((key[0], row.last_reported, last, cur))
+                last_ts, last = ts, cur
+        state.update((last_ts, last))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["station_id", "changed_at", "prev_bikes", "num_bikes"]
+            )
+
+    return (
+        deduped.select("station_id", "last_reported", "num_bikes_available")
+        .groupBy("station_id")
+        .applyInPandasWithState(
+            detect,
+            outputStructType=_CHANGES_DDL,
+            stateStructType="last_ts long, last_bikes int",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_available_now(
     df: DataFrame,
     query_name: str,

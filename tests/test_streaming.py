@@ -5,6 +5,7 @@ test is a hermetic drain of a static directory."""
 from __future__ import annotations
 
 import json
+import os
 import shutil
 
 import pytest
@@ -14,6 +15,7 @@ from etl_dag_paris_velib_spark.schemas import VELIB_ENVELOPE_SCHEMA
 from etl_dag_paris_velib_spark.sources.readers import read_json
 from etl_dag_paris_velib_spark.sources.velib import flatten_station_status
 from etl_dag_paris_velib_spark.streaming.gbfs import (
+    bike_count_changes,
     deduped_station_stream,
     hourly_availability,
     read_station_status_stream,
@@ -42,6 +44,10 @@ def bronze_dir(tmp_path, fixtures_dir):
     payload["lastUpdatedOther"] += 3600
     with open(d / "poll_001.json", "w") as f:
         json.dump(payload, f)
+    # distinct mtimes: the file stream orders batches by modification time,
+    # and copy/write above land within the same clock tick
+    os.utime(d / "poll_000.json", (1_700_000_000, 1_700_000_000))
+    os.utime(d / "poll_001.json", (1_700_003_600, 1_700_003_600))
     return str(d)
 
 
@@ -103,6 +109,20 @@ def test_hourly_windows_match_batch(spark, bronze_dir):
     # the 17-day-stale station (516395829 pattern) lands in its own old
     # window, far from the live ones
     assert len(got) >= 3
+
+
+def test_bike_count_changes_stateful(spark, bronze_dir):
+    stream = read_station_status_stream(spark, bronze_dir, max_files_per_trigger=1)
+    flat = flatten_station_status(stream)
+    run_available_now(bike_count_changes(flat), "changes_out", output_mode="append")
+    rows = spark.table("changes_out").collect()
+    # 3 first-seen rows + exactly one real change (station 1: 0 -> 7 bikes);
+    # the re-reported identical readings produce NO change rows
+    assert len(rows) == 4
+    first_seen = [r for r in rows if r.prev_bikes is None]
+    assert len(first_seen) == 3
+    (chg,) = [r for r in rows if r.prev_bikes is not None]
+    assert (chg.station_id, chg.prev_bikes, chg.num_bikes) == (19179944124, 0, 7)
 
 
 def test_session_windows(spark, bronze_dir):

@@ -1,0 +1,106 @@
+"""Property-based tests (SURVEY §5.4): Hypothesis-generated GBFS payloads
+through the real JSON→flatten path, asserting the structural invariants the
+reference silently relies on, plus dedup idempotence."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_dag_paris_velib_spark.operators.dedup import keep_first
+from etl_dag_paris_velib_spark.schemas import VELIB_ENVELOPE_SCHEMA
+from etl_dag_paris_velib_spark.sources.readers import read_json
+from etl_dag_paris_velib_spark.sources.velib import flatten_station_status
+
+_station = st.fixed_dictionaries(
+    {
+        # includes the >int32 ids the reference mistyped as FLOAT (§1.5)
+        "station_id": st.integers(min_value=1, max_value=30_000_000_000),
+        "stationCode": st.text(alphabet="0123456789", min_size=1, max_size=6),
+        "is_installed": st.integers(0, 1),
+        "is_renting": st.integers(0, 1),
+        "is_returning": st.integers(0, 1),
+        "last_reported": st.integers(min_value=1_600_000_000, max_value=1_800_000_000),
+        "num_bikes_available": st.integers(0, 60),
+        "num_docks_available": st.integers(0, 60),
+        "num_bikes_available_types": st.tuples(
+            st.integers(0, 40), st.integers(0, 40)
+        ).map(lambda t: [{"mechanical": t[0]}, {"ebike": t[1]}]),
+    }
+)
+
+_payload = st.lists(_station, min_size=0, max_size=12).map(
+    lambda stations: {
+        "lastUpdatedOther": 1_738_318_000,
+        "ttl": 3600,
+        "data": {"stations": stations},
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def pbt_dir(tmp_path_factory):
+    return tmp_path_factory.mktemp("pbt")
+
+
+@given(payload=_payload)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_flatten_invariants(spark, pbt_dir, payload):
+    p = pbt_dir / "payload.json"
+    p.write_text(json.dumps(payload))
+    flat = flatten_station_status(
+        read_json(spark, str(p), VELIB_ENVELOPE_SCHEMA, multiline=True)
+    )
+    rows = flat.collect()
+    stations = payload["data"]["stations"]
+    # row count == array length (no silent drops, no fan-out surprises)
+    assert len(rows) == len(stations)
+    # no type widening: ids stay exact integers, flags stay ints
+    assert dict(flat.dtypes)["station_id"] == "bigint"
+    got = sorted(
+        (r.station_id, r.num_bikes_mechanical, r.num_bikes_ebike) for r in rows
+    )
+    want = sorted(
+        (
+            s["station_id"],
+            s["num_bikes_available_types"][0]["mechanical"],
+            s["num_bikes_available_types"][1]["ebike"],
+        )
+        for s in stations
+    )
+    assert got == want
+    # surrogate key encodes the natural key
+    for r in rows:
+        assert r.record_id == f"{r.station_id}_{int(r.last_reported.timestamp())}"
+
+
+@given(payload=_payload)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_dedup_idempotent(spark, pbt_dir, payload):
+    p = pbt_dir / "payload2.json"
+    p.write_text(json.dumps(payload))
+    flat = flatten_station_status(
+        read_json(spark, str(p), VELIB_ENVELOPE_SCHEMA, multiline=True)
+    )
+    once = keep_first(flat, ["station_id", "last_reported"], [F.col("record_id")])
+    twice = keep_first(once, ["station_id", "last_reported"], [F.col("record_id")])
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
+    # natural key unique after dedup
+    assert (
+        once.groupBy("station_id", "last_reported").count().filter("count > 1").count()
+        == 0
+    )

@@ -764,6 +764,70 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q40 — composed corpus pipeline: quality filter → dedup → chunk → stats
+# ---------------------------------------------------------------------------
+@L.add(
+    "q40_corpus_pipeline",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, text, tk,
+         0.3 * least(len(tk) / 100.0, 1.0)
+         + 0.3 * (len(list_distinct(tk))::DOUBLE / len(tk))
+         + 0.2 * (len(list_filter(tk,
+                    x -> list_contains(['the','a','and','of','is','to'], x)))::DOUBLE
+                  / len(tk))
+         + 0.2 * (length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))::DOUBLE
+                  / length(text)) AS score
+  FROM t
+),
+kept AS (SELECT * FROM scored WHERE round(score, 6) >= 0.48),
+deduped AS (
+  SELECT doc_id, lang, tk FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+      ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+),
+chunks AS (
+  SELECT doc_id, lang,
+         unnest(generate_series(1, greatest(len(tk) - 10, 1), 40)) AS s
+  FROM deduped
+)
+SELECT lang, count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs
+FROM chunks GROUP BY lang
+""",
+    doc="The full training-data preparation pipeline as ONE lazy plan: "
+    "quality filter (q26 features) -> exact dedup (q20) -> chunking (q31) "
+    "-> per-language stats. Composition stays declarative end-to-end — "
+    "Catalyst fuses the per-row stages into one pass before the dedup "
+    "shuffle; nothing materializes between stages (the reference "
+    "round-trips S3 between every step, SURVEY §3.3).",
+    tags=("llm", "pipeline"),
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_dedup
+
+    docs = _docs(spark, sf_dir)
+    kept = quality_features(docs).filter(F.col("quality_score") >= 0.48)
+    deduped = exact_dedup(kept)
+    chunks = chunk_documents(deduped)
+    lang = deduped.select("doc_id", "lang")
+    return (
+        chunks.join(F.broadcast(lang), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # q33 — all-vector nearest neighbor (embedding-dedup candidates)
 # ---------------------------------------------------------------------------
 @L.add(

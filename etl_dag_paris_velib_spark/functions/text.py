@@ -2,7 +2,7 @@
 
 Everything here is a composition of built-in higher-order / regexp functions
 (JVM-side, codegen'd); no Python UDFs. The exact regexes are part of the
-contract: the DuckDB oracle SQL in ``plans.queries`` replicates them
+contract: the DuckDB oracle SQL in ``plans.relational``/``plans.llm`` replicates them
 verbatim, so any change here must change there too.
 
 Cross-engine hash: ``md5`` produces the same hex string in Spark and DuckDB,

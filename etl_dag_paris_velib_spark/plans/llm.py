@@ -828,6 +828,52 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q41 — top terms per language by document frequency
+# ---------------------------------------------------------------------------
+@L.add(
+    "q41_top_terms",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang,
+         unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS term
+  FROM documents
+),
+df AS (
+  SELECT lang, term, count(*) AS doc_freq
+  FROM t GROUP BY lang, term
+),
+r AS (
+  SELECT lang, term, doc_freq,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_freq DESC, term) AS rn
+  FROM df
+)
+SELECT lang, term, doc_freq, rn AS rank FROM r WHERE rn <= 5
+""",
+    doc="Vocabulary analysis: per-language top-5 terms by document "
+    "frequency — explode(distinct tokens) -> groupBy -> windowed top-k. "
+    "The inverted-frequency pass every corpus audit starts with; "
+    "map-side partial agg keeps the shuffle at |lang x vocab| rows.",
+    tags=("textstats", "llm"),
+)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    d = _docs(spark, sf_dir)
+    inv = d.select(
+        "lang", F.explode(F.array_distinct(tokens(F.col("text")))).alias("term")
+    )
+    dfreq = inv.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    w = Window.partitionBy("lang").orderBy(F.desc("doc_freq"), F.asc("term"))
+    return (
+        dfreq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "term", "doc_freq", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # q33 — all-vector nearest neighbor (embedding-dedup candidates)
 # ---------------------------------------------------------------------------
 @L.add(

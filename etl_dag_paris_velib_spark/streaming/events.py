@@ -1,0 +1,61 @@
+"""Stream-stream interval join over the events stream (SURVEY §2.8).
+
+The batch as-of join (operators/asof.py, q15) answers "which click
+preceded this purchase" over accumulated history; this is the streaming
+formulation: two watermarked streams joined on user with a time-range
+condition. Spark bounds the join state by the watermark + interval — each
+side buffers only rows that could still match, which is what makes the
+join runnable forever on an unbounded feed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def purchase_click_attribution(
+    events: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Attribute each purchase to every click by the same user within the
+    preceding ``lookback`` interval.
+
+    State bound: clicks are kept for watermark + lookback of event time;
+    purchases for the watermark. The join key (user_id) co-partitions both
+    sides — one shuffle each, then state-store lookups.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}")),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )

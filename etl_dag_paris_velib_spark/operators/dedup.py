@@ -75,6 +75,72 @@ def exact_dedup(
     return keep_first(with_fp, ["fingerprint"], [F.col(id_col)])
 
 
+def near_dup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: every doc in a
+    cluster gets ``component`` = the smallest doc id reachable from it.
+    The canonicalization step after any pairwise near-dup join — keep one
+    doc per COMPONENT, not per pair (pairs are not transitive-closed:
+    A~B, B~C must collapse A,B,C together even when A~C was never
+    emitted).
+
+    Min-label propagation to fixpoint: each node repeatedly adopts the
+    smallest label among itself and its neighbors. Iterations are bounded
+    by the cluster diameter (near-dup clusters are shallow; 20 covers any
+    real corpus). Each round is one join + one groupBy on the edge list —
+    no driver-side graph. At 100 TB-scale edge lists, swap in the
+    large-star/small-star optimization (Kiveris et al., "Connected
+    Components in MapReduce") — same loop skeleton, fewer rounds.
+
+    Returns (doc_id, component) for every doc appearing in any pair.
+    """
+    # symmetric edge list + self-loops seed the labels
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("id"), F.col("src").alias("label"))
+        .persist()
+    )
+    # labels only ever decrease, so the label sum is a monotone potential:
+    # an unchanged sum means fixpoint. Each iteration persists its result
+    # (the agg materializes it) so lineage never re-executes prior rounds.
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .persist()
+        )
+        new_sum = new_labels.agg(F.sum("label")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
+
+
 def bow_fingerprint(text_col) -> Column:
     """Order-insensitive bag-of-words fingerprint: md5 over the sorted
     distinct token set. Catches dupes that shuffle word order (template

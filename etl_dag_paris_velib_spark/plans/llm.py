@@ -874,6 +874,72 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q42 — near-dup cluster canonicalization (connected components)
+# ---------------------------------------------------------------------------
+@L.add(
+    "q42_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks),
+ms AS (
+  SELECT doc_id, s,
+         list_transform(s,
+           x -> (('0x' || substr(md5(x), 1, 15))::UBIGINT % 2147483647)::BIGINT) AS m
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 15),
+           j -> list_min(list_transform(m,
+                  v -> ((2*j+1) * v + j*40503 + 11) % 2147483647))) AS sig
+  FROM ms
+),
+bands AS (
+  SELECT doc_id, b, array_to_string(sig[b*2+1:b*2+2], '|') AS bk
+  FROM sig, (SELECT unnest(generate_series(0, 7)) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.id_a
+  JOIN sh sb ON sb.doc_id = cand.id_b
+  WHERE len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(sa.s || sb.s)) >= 0.5
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach AS (
+  SELECT id, id AS label FROM nodes
+  UNION
+  SELECT e.b AS id, r.label FROM reach r JOIN edges e ON e.a = r.id
+)
+SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY id
+""",
+    doc="Near-dup CLUSTER canonicalization: connected components over the "
+    "q21 pair graph via min-label propagation to fixpoint "
+    "(operators/dedup.py:near_dup_components). Pairs are not transitive — "
+    "A~B, B~C must collapse {{A,B,C}} even when A~C was never emitted; "
+    "keep-one-per-component is the correct survivor rule. Oracle computes "
+    "the same components with a recursive CTE. Iterations bounded by "
+    "cluster diameter; large-star/small-star is the 100 TB upgrade.",
+    tags=("dedup", "llm", "graph"),
+)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import near_dup_components
+
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return near_dup_components(pairs)
+
+
+# ---------------------------------------------------------------------------
 # q33 — all-vector nearest neighbor (embedding-dedup candidates)
 # ---------------------------------------------------------------------------
 @L.add(

@@ -136,6 +136,23 @@ def test_ivf_recall_sane(spark):
     assert len(approx) == len(exact)  # k results per query either way
 
 
+def test_near_dup_components_transitive(spark):
+    from etl_dag_paris_velib_spark.operators.dedup import near_dup_components
+
+    # chain 1-2-3 (1~3 never emitted) + separate pair 10-11 + chain 20-21-22
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (21, 22), (20, 21)], ["id_a", "id_b"]
+    )
+    got = {
+        (r.doc_id, r.component) for r in near_dup_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
 def test_exact_dedup_keeps_min_id(spark):
     df = spark.createDataFrame(
         [

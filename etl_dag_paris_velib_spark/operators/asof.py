@@ -27,13 +27,27 @@ def asof_join(
     right_cols: tuple[str, ...],
     right_id: str,
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance_sec: float | None = None,
 ) -> DataFrame:
-    """For each left row, attach the most recent right row with
-    ``right.ts <= left.ts`` sharing the ``on`` key.
+    """For each left row, attach the nearest right row sharing the ``on``
+    key: the most recent with ``right.ts <= left.ts`` (``backward``, the
+    default) or the next with ``right.ts >= left.ts`` (``forward``) —
+    pandas ``merge_asof`` semantics, including exact-ts matches.
 
     ``right_cols`` are the right-side columns to carry; ``right_id`` is a
-    unique right-side column used as the deterministic tie-break.
+    unique right-side column used as the deterministic tie-break (among
+    equal timestamps the greatest ``right_id`` wins). ``tolerance_sec``
+    nulls the carried columns when the matched row is further than the
+    tolerance — matches outside the horizon are no match, exactly like
+    ``merge_asof(tolerance=...)``.
+
+    The forward direction is the same single window pass with the
+    traversal order reversed; tolerance is a post-predicate on the carried
+    struct, so neither option changes the one-shuffle cost model.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     carry = list(dict.fromkeys([*right_cols, ts, right_id]))
     lhs = left.withColumn("_tag", F.lit(1))
     # Carry ALL right columns as ONE struct so the matched row is atomic —
@@ -47,17 +61,26 @@ def asof_join(
     )
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)
 
-    # right rows sort before left rows at equal ts (_tag 0 < 1) so ties match
+    # right rows sort before left rows at equal ts (_tag 0 < 1) so ties
+    # match; for forward the timestamp traversal reverses and "last right
+    # seen" becomes the nearest upcoming one
+    ts_order = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
     w = (
         Window.partitionBy(on)
-        .orderBy(
-            F.col(ts).asc(),
-            F.col("_tag").asc(),
-            F.col(f"_r.{right_id}").asc_nulls_first(),
-        )
+        .orderBy(ts_order, F.col("_tag").asc(), F.col(f"_r.{right_id}").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = unioned.withColumn("_m", F.last(F.col("_r"), ignorenulls=True).over(w))
+    if tolerance_sec is not None:
+        within = (
+            F.abs(
+                F.col(ts).cast("double") - F.col(f"_m.{ts}").cast("double")
+            )
+            <= F.lit(float(tolerance_sec))
+        )
+        matched = matched.withColumn(
+            "_m", F.when(within, F.col("_m")).otherwise(F.lit(None))
+        )
     return matched.filter(F.col("_tag") == 1).select(
         *[F.col(c) for c in left.columns],
         *[F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in carry],

@@ -125,6 +125,50 @@ def test_bike_count_changes_stateful(spark, bronze_dir):
     assert (chg.station_id, chg.prev_bikes, chg.num_bikes) == (19179944124, 0, 7)
 
 
+def test_checkpoint_resume_exactly_once(spark, tmp_path, fixtures_dir):
+    """Dedup state survives a query restart via the checkpoint: a duplicate
+    arriving AFTER the restart is still dropped, and re-running never
+    double-writes — the exactly-once upgrade over the reference's blind
+    hourly append."""
+    bronze = tmp_path / "bronze"
+    bronze.mkdir()
+    out = str(tmp_path / "gold")
+    ckpt = str(tmp_path / "ckpt")
+    src = f"{fixtures_dir}/station_status.json"
+    shutil.copy(src, bronze / "poll_000.json")
+
+    def drain():
+        q = (
+            deduped_station_stream(read_station_status_stream(spark, str(bronze)))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    first = spark.read.parquet(out).count()
+    assert first == 3  # three stations in the fixture
+
+    with open(src) as f:
+        payload = json.load(f)
+    payload["data"]["stations"][1]["last_reported"] += 3600  # one new reading
+    # stations 0 and 2 are byte-identical re-reports -> must dedup ACROSS runs
+    with open(bronze / "poll_001.json", "w") as f:
+        json.dump(payload, f)
+
+    drain()
+    final = spark.read.parquet(out)
+    assert final.count() == 4
+    assert (
+        final.groupBy("station_id", "last_reported").count().filter("count > 1").count()
+        == 0
+    )
+
+
 def test_session_windows(spark, bronze_dir):
     stream = read_station_status_stream(spark, bronze_dir)
     # 30-minute gap: station 1's two readings (1h apart) split into two

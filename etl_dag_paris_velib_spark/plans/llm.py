@@ -940,6 +940,61 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q44 — TF-IDF keyword extraction (top term per document)
+# ---------------------------------------------------------------------------
+@L.add(
+    "q44_tfidf_keywords",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS tfidf
+  FROM tf CROSS JOIN n JOIN df ON tf.term = df.term
+),
+r AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term, round(tfidf, 6) AS tfidf FROM r WHERE rn = 1
+""",
+    doc="TF-IDF keyword extraction: term frequency per doc x smoothed "
+    "inverse document frequency, top term per doc. Two aggregations share "
+    "the exploded-term shuffle; the df table is vocabulary-sized and "
+    "broadcast into the scoring join — at 100 TB the vocabulary is still "
+    "tiny relative to the corpus, so the plan shape holds.",
+    tags=("textstats", "llm"),
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    d = _docs(spark, sf_dir)
+    n_docs = d.count()  # scalar; plan-stable (driver-side count of a tiny dim)
+    terms = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0))).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # q33 — all-vector nearest neighbor (embedding-dedup candidates)
 # ---------------------------------------------------------------------------
 @L.add(

@@ -137,6 +137,15 @@ def near_dup_components(
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    else:
+        # exiting without the break = non-fixpoint: some cluster's diameter
+        # exceeds the budget and its labels are WRONG, not approximate
+        labels.unpersist()
+        edges.unpersist()
+        raise RuntimeError(
+            f"near_dup_components did not converge in {max_iterations} "
+            "iterations — raise max_iterations (diameter exceeds budget)"
+        )
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
 

@@ -22,6 +22,14 @@ distributed operators. Three families:
 All hashing is md5-hex (portable: the DuckDB oracle in ``plans.llm``
 computes bit-identical signatures, so the differential gate checks the LSH
 logic itself, not just row counts).
+
+Caching note: the pair operators ``persist()`` their shingle/hash
+intermediates (multiple consumers; see each docstring) and cannot know
+when the caller is done with the returned DataFrame, so the entries stay
+cached until LRU eviction. Long-lived sessions running many operator
+instances should ``spark.catalog.clearCache()`` between phases, or pass
+``persist_intermediate=False`` to trade recompute for zero cache
+footprint.
 """
 
 from __future__ import annotations

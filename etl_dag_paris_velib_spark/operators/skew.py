@@ -34,6 +34,12 @@ def salted_join(
     safe here because the salt never reaches the result — any salt
     assignment yields the same join output.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        # right/full outer would null-extend every unmatched small-side
+        # REPLICA (one per salt) — not semantics-preserving
+        raise ValueError(
+            f"salted_join supports inner/left joins, got how={how!r}"
+        )
     bk = F.col(big_key) if isinstance(big_key, str) else big_key
     sk = F.col(small_key) if isinstance(small_key, str) else small_key
     big_s = big.withColumn("_salt", F.floor(F.rand(seed=42) * salts).cast("int"))

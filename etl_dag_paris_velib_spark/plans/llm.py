@@ -683,7 +683,7 @@ hist AS (SELECT DISTINCT bow_fp FROM f WHERE doc_id < 400),
 batch AS (SELECT * FROM f WHERE doc_id >= 400)
 SELECT doc_id, lang, source, bow_fp
 FROM batch
-WHERE bow_fp NOT IN (SELECT bow_fp FROM hist)
+WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.bow_fp = batch.bow_fp)
 QUALIFY row_number() OVER (PARTITION BY bow_fp ORDER BY doc_id) = 1
 """,
     doc="Incremental-ingest dedup: new batch (doc_id >= 400) anti-joined "

@@ -146,8 +146,15 @@ def bike_count_changes(deduped: DataFrame) -> DataFrame:
     def detect(key, pdf_iter, state):
         last_ts, last = state.get if state.exists else (None, None)
         out = []
-        for pdf in pdf_iter:
-            for row in pdf.sort_values("last_reported").itertuples():
+        # a group larger than the Arrow batch size arrives as MULTIPLE
+        # chunks — concat before sorting, or event-time order only holds
+        # within each chunk and cross-chunk rows get mis-ordered/dropped
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        rows = (
+            pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        )
+        if len(rows):
+            for row in rows.sort_values("last_reported").itertuples():
                 ts = int(row.last_reported.timestamp())
                 if last_ts is not None and ts <= last_ts:
                     continue  # stale or duplicate event time
@@ -196,5 +203,10 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain {query_name!r} did not finish within "
+            f"{timeout_sec}s — results would be partial"
+        )
     return q

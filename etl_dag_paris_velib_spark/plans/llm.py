@@ -995,6 +995,28 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q45 — approx percentiles (the one-pass scale path of q38)
+# ---------------------------------------------------------------------------
+@L.add(
+    "q45_approx_percentiles",
+    oracle=None,  # approximate by design: t-digest results are not
+    # bit-reproducible across engines — rows-only check; q38 is the exact
+    # twin with a full oracle
+    doc="approx_percentile (t-digest): mergeable, single-pass, map-side "
+    "combinable — the percentile you can actually run at 100 TB; the "
+    "exact q38 twin requires a per-group sort. Rows-only check by design.",
+    tags=("agg", "percentile", "approx"),
+)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("approx_percentile(value, 0.5, 1000)"), 4).alias("p50"),
+        F.round(F.expr("approx_percentile(value, 0.9, 1000)"), 4).alias("p90"),
+        F.round(F.expr("approx_percentile(value, 0.99, 1000)"), 4).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q33 — all-vector nearest neighbor (embedding-dedup candidates)
 # ---------------------------------------------------------------------------
 @L.add(

@@ -97,6 +97,74 @@ def _bucket_pairs(banded: DataFrame, member: "F.Column") -> DataFrame:
     )
 
 
+def _minhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    bands: int,
+    shingle_n: int,
+    persist_intermediate: bool,
+):
+    """Shared LSH candidate generation: returns (shingle_sets, candidate
+    pairs). The shingle sets feed multiple consumers (signature + verify
+    sides), so they are persisted — tokenize/shingle/md5 run once, not per
+    consumer; CacheManager keys on the logical plan so repeated runs share
+    one entry (see module docstring for the cache-lifetime contract)."""
+    r = k // bands
+    sh = _shingle_sets(df, id_col, text_col, shingle_n)
+    if persist_intermediate:
+        sh = sh.persist()
+    # Arrow-vectorized signature (bit-identical to the JVM
+    # functions.text.minhash_signature_int; see functions/udfs.py for why
+    # the UDF wins here: HOF lambdas are interpreted, k x |shingles| evals)
+    sig = sh.withColumn("sig", make_minhash_sig_udf(k)(F.col("sh")))
+    band_arr = F.array(
+        *[
+            F.array_join(
+                F.transform(F.slice("sig", b * r + 1, r), lambda x: x.cast("string")),
+                "|",
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("id", F.posexplode(band_arr).alias("band", "band_key"))
+    return sh, _bucket_pairs(banded, F.col("id"))
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_distance: int = 60,
+    persist_intermediate: bool = True,
+) -> DataFrame:
+    """Near-dup pairs by EDIT DISTANCE: LSH candidates (same banding as
+    :func:`minhash_lsh_pairs`) verified with ``levenshtein`` on the raw
+    text. The edit-distance family catches small in-place edits that
+    shingle-set Jaccard scores leniently and bag-of-words misses entirely;
+    never all-pairs — levenshtein is O(len^2) per pair, affordable only on
+    the LSH-pruned candidate set."""
+    _, cand = _minhash_candidates(
+        df, id_col, text_col, k, bands, shingle_n, persist_intermediate
+    )
+    texts = _spread(df).select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+    ta, tb = texts.alias("ta"), texts.alias("tb")
+    return (
+        cand.join(ta, F.col("id_a") == F.col("ta.id"))
+        .join(tb, F.col("id_b") == F.col("tb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("ta.txt", "tb.txt").cast("long").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= max_distance)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -121,31 +189,9 @@ def minhash_lsh_pairs(
     candidate pairs, which is the set that must be small for LSH to make
     sense at all.
     """
-    r = k // bands
-    # The shingle sets feed three consumers (signature + both verify
-    # sides); persist so tokenize/shingle/md5 run once, not three times.
-    # CacheManager keys on the logical plan, so repeated runs of the same
-    # query share one entry. MEMORY_AND_DISK: shingle sets are ~data-sized,
-    # spill instead of OOM at large inputs (and skip persist entirely via
-    # persist_intermediate=False when the input is a one-shot stream).
-    sh = _shingle_sets(df, id_col, text_col, shingle_n)
-    if persist_intermediate:
-        sh = sh.persist()
-    # Arrow-vectorized signature (bit-identical to the JVM
-    # functions.text.minhash_signature_int; see functions/udfs.py for why
-    # the UDF wins here: HOF lambdas are interpreted, k x |shingles| evals)
-    sig = sh.withColumn("sig", make_minhash_sig_udf(k)(F.col("sh")))
-    band_arr = F.array(
-        *[
-            F.array_join(
-                F.transform(F.slice("sig", b * r + 1, r), lambda x: x.cast("string")),
-                "|",
-            )
-            for b in range(bands)
-        ]
+    sh, cand = _minhash_candidates(
+        df, id_col, text_col, k, bands, shingle_n, persist_intermediate
     )
-    banded = sig.select("id", F.posexplode(band_arr).alias("band", "band_key"))
-    cand = _bucket_pairs(banded, F.col("id"))
 
     sa, sb = sh.alias("sa"), sh.alias("sb")
     verified = (

@@ -1017,6 +1017,53 @@ def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q46 — edit-distance near-dup pairs (LSH candidates + levenshtein verify)
+# ---------------------------------------------------------------------------
+@L.add(
+    "q46_edit_distance_pairs",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks),
+ms AS (
+  SELECT doc_id, s,
+         list_transform(s,
+           x -> (('0x' || substr(md5(x), 1, 15))::UBIGINT % 2147483647)::BIGINT) AS m
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 15),
+           j -> list_min(list_transform(m,
+                  v -> ((2*j+1) * v + j*40503 + 11) % 2147483647))) AS sig
+  FROM ms
+),
+bands AS (
+  SELECT doc_id, b, array_to_string(sig[b*2+1:b*2+2], '|') AS bk
+  FROM sig, (SELECT unnest(generate_series(0, 7)) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id
+)
+SELECT id_a, id_b, levenshtein(da.text, db.text)::BIGINT AS edit_distance
+FROM cand
+JOIN documents da ON da.doc_id = cand.id_a
+JOIN documents db ON db.doc_id = cand.id_b
+WHERE levenshtein(da.text, db.text) <= 60
+""",
+    doc="Edit-distance near-dup join (operators/similarity.py:"
+    "edit_distance_pairs): LSH-pruned candidates verified by levenshtein "
+    "<= 60 on raw text — catches small in-place edits. O(len^2) per pair "
+    "is affordable only because candidates, never all-pairs, are scored.",
+    tags=("dedup", "lsh", "llm"),
+)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import edit_distance_pairs
+
+    return edit_distance_pairs(_docs(spark, sf_dir), max_distance=60)
+
+
+# ---------------------------------------------------------------------------
 # q33 — all-vector nearest neighbor (embedding-dedup candidates)
 # ---------------------------------------------------------------------------
 @L.add(

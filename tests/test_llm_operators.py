@@ -197,3 +197,24 @@ def test_chunking_covers_all_tokens(spark):
     for r in joined:
         overlap_total = 10 * (r.n_chunks - 1)
         assert r.tok_sum == r.n_toks + overlap_total, r
+
+
+def test_operators_handle_empty_input(spark):
+    """Empty inputs must produce empty outputs, not crashes — at scale a
+    filter can legitimately empty any partition or whole input."""
+    from etl_dag_paris_velib_spark.operators.similarity import (
+        edit_distance_pairs,
+        simhash_pairs,
+    )
+    from etl_dag_paris_velib_spark.operators.textstats import quality_features
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string"
+    )
+    assert exact_dedup(empty).count() == 0
+    assert bow_dedup(empty).count() == 0
+    assert minhash_lsh_pairs(empty, persist_intermediate=False).count() == 0
+    assert simhash_pairs(empty, persist_intermediate=False).count() == 0
+    assert edit_distance_pairs(empty, persist_intermediate=False).count() == 0
+    assert chunk_documents(empty).count() == 0
+    assert quality_features(empty).count() == 0

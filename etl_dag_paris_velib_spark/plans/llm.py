@@ -1064,6 +1064,68 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q47 — reproducible stratified sampling (exact hash-ordered take)
+# ---------------------------------------------------------------------------
+@L.add(
+    "q47_stratified_sample",
+    oracle="""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+) WHERE rn <= ceil(0.1 * n)
+""",
+    doc="Exact stratified 10%% sample per language by md5-hash order — "
+    "fully reproducible across engines and runs (unlike seeded "
+    "sampleBy, whose output depends on partitioning). The hash ordering "
+    "is an unbiased shuffle; ceil guarantees every stratum is "
+    "represented. One window pass per stratum — a single shuffle.",
+    tags=("sampling", "llm"),
+)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    wc = Window.partitionBy("lang")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n"),
+        )
+        .filter(F.col("rn") <= F.ceil(0.1 * F.col("n")))
+        .select("doc_id", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q48 — k-means clustering summary (iterative ML shape; rows-only)
+# ---------------------------------------------------------------------------
+@L.add(
+    "q48_kmeans_clusters",
+    oracle=None,  # iterative algorithm: mean summation order makes late
+    # ulps engine-dependent, and assignments near Voronoi boundaries could
+    # flip — rows-only check (one row per non-empty cluster); the
+    # numpy-differential test in tests/test_clustering.py is the strong check
+    doc="Distributed Lloyd's k-means over embeddings (operators/"
+    "clustering.py): 3 rounds, id-picked seeds, model-on-driver / "
+    "data-on-executors — the iterative-ML execution shape. Output is the "
+    "per-cluster size + inertia summary.",
+    tags=("vector", "clustering", "ml", "llm"),
+)
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import embedding_kmeans, kmeans_summary
+
+    return kmeans_summary(embedding_kmeans(_emb(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
 # q33 — all-vector nearest neighbor (embedding-dedup candidates)
 # ---------------------------------------------------------------------------
 @L.add(

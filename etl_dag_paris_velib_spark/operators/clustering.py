@@ -60,9 +60,18 @@ def embedding_kmeans(
     )
 
     spark = embeddings.sparkSession
+    # persisted for iterations+1 passes; stays cached for the returned
+    # (lazy) assignment DataFrame — same cache-lifetime contract as
+    # operators.similarity (see that module docstring)
     base = _as_double(embeddings, id_col, vec_col).select("vec_id", "v").persist()
 
     seeds = base.filter(F.col("vec_id") % seed_mod == 0).orderBy("vec_id").collect()
+    if not seeds:
+        base.unpersist()
+        raise ValueError(
+            f"no seed vectors: no {id_col} is divisible by seed_mod={seed_mod} "
+            "— lower seed_mod or supply ids that cover it"
+        )
     cents = np.array([r["v"] for r in seeds], dtype=np.float64)
 
     stats_schema = StructType(
@@ -74,12 +83,14 @@ def embedding_kmeans(
     )
 
     def _dists(block: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
-        # ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2, one GEMM per batch
-        return (
+        # ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2, one GEMM per batch;
+        # clamp: cancellation can yield -1e-16 for a vector AT its centroid
+        d = (
             (block * block).sum(axis=1)[:, None]
             - 2.0 * (block @ c.T)
             + (c * c).sum(axis=1)[None, :]
         )
+        return np.maximum(d, 0.0, out=d)
 
     for _ in range(iterations):
         bc = spark.sparkContext.broadcast(cents)
@@ -98,6 +109,7 @@ def embedding_kmeans(
                 yield pd.DataFrame(out, columns=["c_id", "n", "vsum"])
 
         partials = base.mapInPandas(partial_stats, stats_schema).collect()
+        bc.unpersist(blocking=False)  # round's model copy is dead on executors
         counts = np.zeros(len(cents))
         sums = np.zeros_like(cents)
         for r in partials:

@@ -104,16 +104,17 @@ def _minhash_candidates(
     k: int,
     bands: int,
     shingle_n: int,
-    persist_intermediate: bool,
+    persist_shingles: bool,
 ):
     """Shared LSH candidate generation: returns (shingle_sets, candidate
-    pairs). The shingle sets feed multiple consumers (signature + verify
-    sides), so they are persisted — tokenize/shingle/md5 run once, not per
-    consumer; CacheManager keys on the logical plan so repeated runs share
-    one entry (see module docstring for the cache-lifetime contract)."""
+    pairs). Pass ``persist_shingles=True`` only when the CALLER re-consumes
+    the shingle sets (Jaccard verify does; edit-distance verify joins raw
+    text instead) — the signature chain itself reads them once, so
+    persisting for a single consumer would just burn cache (see module
+    docstring for the cache-lifetime contract)."""
     r = k // bands
     sh = _shingle_sets(df, id_col, text_col, shingle_n)
-    if persist_intermediate:
+    if persist_shingles:
         sh = sh.persist()
     # Arrow-vectorized signature (bit-identical to the JVM
     # functions.text.minhash_signature_int; see functions/udfs.py for why
@@ -140,7 +141,6 @@ def edit_distance_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     max_distance: int = 60,
-    persist_intermediate: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by EDIT DISTANCE: LSH candidates (same banding as
     :func:`minhash_lsh_pairs`) verified with ``levenshtein`` on the raw
@@ -148,10 +148,14 @@ def edit_distance_pairs(
     shingle-set Jaccard scores leniently and bag-of-words misses entirely;
     never all-pairs — levenshtein is O(len^2) per pair, affordable only on
     the LSH-pruned candidate set."""
+    # shingles feed only the signature chain here (verify reads raw text),
+    # so never persist them regardless of persist_intermediate
     _, cand = _minhash_candidates(
-        df, id_col, text_col, k, bands, shingle_n, persist_intermediate
+        df, id_col, text_col, k, bands, shingle_n, persist_shingles=False
     )
-    texts = _spread(df).select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+    # no _spread: this branch does no per-row hashing — the id equi-join
+    # imposes its own partitioning anyway
+    texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
     ta, tb = texts.alias("ta"), texts.alias("tb")
     return (
         cand.join(ta, F.col("id_a") == F.col("ta.id"))

@@ -50,6 +50,33 @@ _SQL_SHINGLES = (
     "i -> array_to_string(t[i:i+2], ' ')))"
 )
 
+#: The full MinHash-LSH candidate CTE chain (mirror of
+#: operators.similarity._minhash_candidates) — shared verbatim by the
+#: q21 / q42 / q46 oracles so a constant change can't drift between them.
+_SQL_MINHASH_CAND = f"""toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks),
+ms AS (
+  SELECT doc_id, s,
+         list_transform(s,
+           x -> (('0x' || substr(md5(x), 1, 15))::UBIGINT % 2147483647)::BIGINT) AS m
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 15),
+           j -> list_min(list_transform(m,
+                  v -> ((2*j+1) * v + j*40503 + 11) % 2147483647))) AS sig
+  FROM ms
+),
+bands AS (
+  SELECT doc_id, b, array_to_string(sig[b*2+1:b*2+2], '|') AS bk
+  FROM sig, (SELECT unnest(generate_series(0, 7)) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id
+)"""
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, "documents", sf_dir)
@@ -90,29 +117,7 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 @L.add(
     "q21_near_dup_pairs",
     oracle=f"""
-WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
-sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks),
-ms AS (
-  SELECT doc_id, s,
-         list_transform(s,
-           x -> (('0x' || substr(md5(x), 1, 15))::UBIGINT % 2147483647)::BIGINT) AS m
-  FROM sh
-),
-sig AS (
-  SELECT doc_id,
-         list_transform(generate_series(0, 15),
-           j -> list_min(list_transform(m,
-                  v -> ((2*j+1) * v + j*40503 + 11) % 2147483647))) AS sig
-  FROM ms
-),
-bands AS (
-  SELECT doc_id, b, array_to_string(sig[b*2+1:b*2+2], '|') AS bk
-  FROM sig, (SELECT unnest(generate_series(0, 7)) AS b)
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id
-),
+WITH {_SQL_MINHASH_CAND},
 scored AS (
   SELECT id_a, id_b,
          len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(sa.s || sb.s)) AS j
@@ -880,29 +885,7 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q42_dedup_clusters",
     oracle=f"""
 WITH RECURSIVE
-toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
-sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks),
-ms AS (
-  SELECT doc_id, s,
-         list_transform(s,
-           x -> (('0x' || substr(md5(x), 1, 15))::UBIGINT % 2147483647)::BIGINT) AS m
-  FROM sh
-),
-sig AS (
-  SELECT doc_id,
-         list_transform(generate_series(0, 15),
-           j -> list_min(list_transform(m,
-                  v -> ((2*j+1) * v + j*40503 + 11) % 2147483647))) AS sig
-  FROM ms
-),
-bands AS (
-  SELECT doc_id, b, array_to_string(sig[b*2+1:b*2+2], '|') AS bk
-  FROM sig, (SELECT unnest(generate_series(0, 7)) AS b)
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id
-),
+{_SQL_MINHASH_CAND},
 pairs AS (
   SELECT id_a, id_b
   FROM cand
@@ -1022,29 +1005,7 @@ def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
 @L.add(
     "q46_edit_distance_pairs",
     oracle=f"""
-WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
-sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks),
-ms AS (
-  SELECT doc_id, s,
-         list_transform(s,
-           x -> (('0x' || substr(md5(x), 1, 15))::UBIGINT % 2147483647)::BIGINT) AS m
-  FROM sh
-),
-sig AS (
-  SELECT doc_id,
-         list_transform(generate_series(0, 15),
-           j -> list_min(list_transform(m,
-                  v -> ((2*j+1) * v + j*40503 + 11) % 2147483647))) AS sig
-  FROM ms
-),
-bands AS (
-  SELECT doc_id, b, array_to_string(sig[b*2+1:b*2+2], '|') AS bk
-  FROM sig, (SELECT unnest(generate_series(0, 7)) AS b)
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id
-)
+WITH {_SQL_MINHASH_CAND}
 SELECT id_a, id_b, levenshtein(da.text, db.text)::BIGINT AS edit_distance
 FROM cand
 JOIN documents da ON da.doc_id = cand.id_a

@@ -63,7 +63,9 @@ def test_kmeans_matches_numpy(spark):
     # a boundary point has near-equal distance to both candidate centroids
     assert abs(got_inertia - want_d.sum()) / want_d.sum() < 1e-3
 
-    sizes = {r.c_id: r.size for r in kmeans_summary(embedding_kmeans(emb)).collect()}
+    # summary over the already-trained assignments (no second training run)
+    assigned_df = spark.createDataFrame(got_rows)
+    sizes = {r.c_id: r.size for r in kmeans_summary(assigned_df).collect()}
     np_sizes = {int(c): int((want_assign == c).sum()) for c in set(want_assign)}
     assert set(sizes) == set(np_sizes)
     assert sum(sizes.values()) == n

@@ -215,6 +215,13 @@ def test_operators_handle_empty_input(spark):
     assert bow_dedup(empty).count() == 0
     assert minhash_lsh_pairs(empty, persist_intermediate=False).count() == 0
     assert simhash_pairs(empty, persist_intermediate=False).count() == 0
-    assert edit_distance_pairs(empty, persist_intermediate=False).count() == 0
+    assert edit_distance_pairs(empty).count() == 0
+    import pytest as _pytest
+
+    from etl_dag_paris_velib_spark.operators.clustering import embedding_kmeans
+
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="no seed vectors"):
+        embedding_kmeans(empty_emb)
     assert chunk_documents(empty).count() == 0
     assert quality_features(empty).count() == 0

@@ -22,6 +22,63 @@ def events_dir(tmp_path, spark):
     return str(d)
 
 
+def _batch_matches(batch):
+    clicks = batch.filter("event_type = 'click'").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = batch.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 hour")),
+    )
+
+
+@pytest.fixture()
+def split_events_dir(tmp_path, spark):
+    """The events split into two files at a point BETWEEN a known matched
+    click/purchase pair, so the join's state must carry the batch-1 click
+    forward to match the batch-2 purchase."""
+    import os
+
+    d = tmp_path / "events_split"
+    d.mkdir()
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    batch = raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    strict = (
+        _batch_matches(batch)
+        .filter(F.col("click_ts") < F.col("purchase_ts"))
+        .orderBy("purchase_ts")
+        .first()
+    )
+    assert strict is not None, "testdata must contain a strict click<purchase pair"
+    raw_ts = {r.event_id: r.ts for r in raw.select("event_id", "ts").collect()}
+    # split strictly below the purchase at MICROSECOND resolution (the
+    # join compares converted micros timestamps, so a nanos-1 split would
+    # truncate back onto the purchase's own microsecond)
+    split = (raw_ts[strict.purchase_id] // 1000) * 1000 - 1
+    raw.filter(F.col("ts") <= split).coalesce(1).write.parquet(str(d / "b0"))
+    raw.filter(F.col("ts") > split).coalesce(1).write.parquet(str(d / "b1"))
+    files = []
+    for sub in ("b0", "b1"):
+        (part,) = [f for f in os.listdir(d / sub) if f.endswith(".parquet")]
+        dest = d / f"poll_{sub}.parquet"
+        os.rename(d / sub / part, dest)
+        files.append(dest)
+    shutil.rmtree(d / "b0")
+    shutil.rmtree(d / "b1")
+    os.utime(files[0], (1_700_000_000, 1_700_000_000))
+    os.utime(files[1], (1_700_003_600, 1_700_003_600))
+    return str(d), split
+
+
 def test_interval_join_matches_batch(spark, events_dir):
     raw = spark.read.parquet(events_dir)
     # events.parquet carries nanos timestamps read as long under
@@ -58,4 +115,39 @@ def test_interval_join_matches_batch(spark, events_dir):
         ).collect()
     }
     assert want, "testdata must contain attributable purchases"
+    assert got == want
+
+
+def test_interval_join_state_spans_batches(spark, split_events_dir):
+    """Clicks buffered in micro-batch 1 must still match purchases that
+    only arrive in micro-batch 2 — the state-store carry the hourly-poll
+    deployment depends on."""
+    d, split = split_events_dir
+    raw = spark.read.parquet(d)
+    to_ts = F.expr("timestamp_micros(ts DIV 1000)")
+    batch = raw.withColumn("ts", to_ts)
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withColumn("ts", to_ts)
+    )
+    run_available_now(
+        purchase_click_attribution(stream), "attrib_split_out", output_mode="append"
+    )
+    got = {
+        (r.user_id, r.purchase_id, r.click_id)
+        for r in spark.table("attrib_split_out").collect()
+    }
+    split_ts = F.expr(f"timestamp_micros({split} DIV 1000)")
+    matched = _batch_matches(batch)
+    want = {(r.p_user, r.purchase_id, r.click_id) for r in matched.collect()}
+    cross_batch = {
+        (r.p_user, r.purchase_id, r.click_id)
+        for r in matched.filter(
+            (F.col("click_ts") <= split_ts) & (F.col("purchase_ts") > split_ts)
+        ).collect()
+    }
+    assert cross_batch, "split point must produce cross-batch attributions"
+    assert cross_batch <= got  # state carried batch-1 clicks into batch 2
     assert got == want

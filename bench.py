@@ -3,9 +3,11 @@
 JSON line {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is forced with a cheap count() action (results are not
-collected to the driver — we are measuring engine execution, not
-driver serialization). A warmup query amortizes JVM/codegen startup.
+Each query is forced with a noop-sink write: every output column is fully
+materialized (count() would let Catalyst prune the projections of
+scalar-only queries) but nothing is collected to the driver — we measure
+engine execution, not driver serialization. A warmup query amortizes
+JVM/codegen startup.
 """
 
 from __future__ import annotations
@@ -31,13 +33,16 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
     # warmup: run the flagship once to pay JVM + codegen startup
-    next(iter(qs.values()))(spark, sf_dir).count()
+    force(next(iter(qs.values()))(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name, fn in sorted(qs.items()):
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)

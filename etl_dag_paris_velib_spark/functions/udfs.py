@@ -61,6 +61,38 @@ def make_minhash_sig_udf(k: int = 16):
     return minhash_sig
 
 
+def make_winnow_udf(window: int = 4, hash_chars: int = 16):
+    """pandas_udf: positional shingle array -> sorted distinct winnowing
+    fingerprints. Bit-identical to
+    :func:`functions.text.winnow_fingerprints` up to element order (which
+    consumers must not rely on — use size/min/set semantics).
+
+    Why a UDF: the JVM formulation nests ``transform(sequence, i ->
+    array_min(slice(hashes, i, w)))`` where ``hashes`` is itself a
+    transform — interpreted evaluation re-computes the whole md5 array per
+    window position, an O(positions x shingles) md5 blow-up (measured
+    ~40x slower at sf0.1). Here each shingle hashes once and the sliding
+    window is a plain Python min over a deque-sized slice.
+    """
+    from pyspark.sql.types import ArrayType, StringType
+
+    @pandas_udf(ArrayType(StringType()))
+    def winnow(shingles: pd.Series) -> pd.Series:
+        out = []
+        for arr in shingles:
+            if arr is None:
+                out.append(None)
+                continue
+            hs = [
+                hashlib.md5(s.encode("utf-8")).hexdigest()[:hash_chars] for s in arr
+            ]
+            upper = max(len(hs) - (window - 1), 1)
+            out.append(sorted({min(hs[i : i + window]) for i in range(upper)}))
+        return pd.Series(out)
+
+    return winnow
+
+
 def make_chunk_udtf(chunk_tokens: int = 50, overlap: int = 10):
     """Python UDTF chunker: (doc_id, text) -> N (doc_id, chunk_idx,
     chunk_text) rows — the table-function formulation of

@@ -34,7 +34,6 @@ from ..operators.textstats import (
     chunk_documents,
     predicted_language,
     quality_features,
-    winnow_fingerprints,
 )
 from ..sources.tpch import load_table
 from .spec import Registry
@@ -517,7 +516,14 @@ SELECT doc_id, len(fps)::BIGINT AS n_fingerprints, list_min(fps) AS min_fp FROM 
     tags=("textstats", "fingerprint", "llm"),
 )
 def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wf = winnow_fingerprints(F.col("text"))
+    from ..functions.text import tokens, word_shingles
+    from ..functions.udfs import make_winnow_udf
+
+    # positional shingles JVM-side, hashing + window-min in the Arrow UDF
+    # (the pure-JVM winnow_fingerprints re-evaluates the hash array per
+    # window position under interpreted HOF evaluation — see udfs.py)
+    sh = word_shingles(tokens(F.col("text")), 3)
+    wf = make_winnow_udf(window=4, hash_chars=16)(sh)
     return _docs(spark, sf_dir).select(
         "doc_id",
         F.size(wf).cast("long").alias("n_fingerprints"),

@@ -66,6 +66,20 @@ def test_simhash_udf_matches_jvm(spark):
     assert both.filter(F.col("jvm") != F.col("udf")).count() == 0
 
 
+def test_winnow_udf_matches_jvm(spark):
+    from etl_dag_paris_velib_spark.functions.text import word_shingles
+    from etl_dag_paris_velib_spark.functions.udfs import make_winnow_udf
+    from etl_dag_paris_velib_spark.operators.textstats import winnow_fingerprints
+
+    d = _docs(spark, 40)
+    sh = word_shingles(tokens(F.col("text")), 3)
+    both = d.select(
+        F.array_sort(winnow_fingerprints(F.col("text"))).alias("jvm"),
+        make_winnow_udf()(sh).alias("udf"),  # UDF output is already sorted
+    )
+    assert both.filter(F.col("jvm") != F.col("udf")).count() == 0
+
+
 def test_lsh_recall_and_subquadratic(spark):
     docs = _docs(spark)
     n = docs.count()

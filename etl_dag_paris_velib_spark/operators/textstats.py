@@ -115,23 +115,22 @@ def winnow_fingerprints(
     return F.array_distinct(wins)
 
 
-def chunk_documents(
+def chunk_documents_expr(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     chunk_tokens: int = 50,
     overlap: int = 10,
 ) -> DataFrame:
-    """1 row -> N chunks of ``chunk_tokens`` word tokens with ``overlap``
-    tokens of context between consecutive chunks (the LLM-ingest chunker).
+    """Pure-expression chunker — the REFERENCE formulation (chunk starts
+    as an arithmetic ``sequence``, chunks as ``slice`` + ``array_join``,
+    ``posexplode`` fan-out).
 
-    JVM-side: chunk starts are an arithmetic ``sequence`` (step =
-    chunk_tokens - overlap, last start <= m - overlap so the tail is
-    covered without an empty chunk), chunks are ``slice`` + ``array_join``,
-    and ``posexplode`` fans out — no UDTF needed, so chunking stays inside
-    whole-stage codegen (the UDTF formulation exists in
-    ``operators.multimodal`` as the escape hatch pattern for non-arithmetic
-    chunkers).
+    CAUTION: the token array is inlined into each chunk's lambda and the
+    interpreted HOF evaluator re-tokenizes per chunk — O(chunks x tokens)
+    per document. Harmless on short docs; quadratic on long ones. The
+    default :func:`chunk_documents` is the linear Arrow path; this stays
+    as the cross-checked semantics reference (tests assert parity).
     """
     step = chunk_tokens - overlap
     toks = tokens(F.col(text_col))
@@ -153,3 +152,63 @@ def chunk_documents(
         ),
         F.md5("chunk_text").alias("chunk_hash"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+) -> DataFrame:
+    """1 row -> N chunks of ``chunk_tokens`` word tokens with ``overlap``
+    tokens of context between consecutive chunks (the LLM-ingest chunker).
+
+    Arrow ``mapInPandas`` implementation: tokenize ONCE per document, fan
+    chunks out inside the batch — linear in document length where the
+    expression formulation (:func:`chunk_documents_expr`, kept as the
+    parity-tested reference) re-tokenizes per chunk. Output:
+    (id, chunk_idx, n_chunk_tokens, chunk_hash).
+    """
+    import hashlib
+    import re
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    step = chunk_tokens - overlap
+    token_re = re.compile("[a-z0-9]+")
+    schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("chunk_idx", LongType()),
+            StructField("n_chunk_tokens", LongType()),
+            StructField("chunk_hash", StringType()),
+        ]
+    )
+
+    def chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, counts, hashes = [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = token_re.findall((text or "").lower())
+                last_start = max(len(toks) - overlap, 1)
+                for idx, s in enumerate(range(1, last_start + 1, step)):
+                    chunk = toks[s - 1 : s - 1 + chunk_tokens]
+                    ids.append(doc_id)
+                    idxs.append(idx)
+                    counts.append(len(chunk))
+                    hashes.append(
+                        hashlib.md5(" ".join(chunk).encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "chunk_idx": idxs,
+                    "n_chunk_tokens": counts,
+                    "chunk_hash": hashes,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(chunk_batches, schema)

@@ -89,11 +89,19 @@ def test_keep_first_grouped_matches_window_variant(spark):
 
 
 def test_chunk_udtf_matches_jvm_chunker(spark):
+    from etl_dag_paris_velib_spark.operators.textstats import chunk_documents_expr
+
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(25)
     jvm = {
         (r.doc_id, r.chunk_idx): r.chunk_hash
         for r in chunk_documents(docs).collect()
     }
+    # the pure-expression reference formulation agrees with the Arrow path
+    expr = {
+        (r.doc_id, r.chunk_idx): r.chunk_hash
+        for r in chunk_documents_expr(docs).collect()
+    }
+    assert expr == jvm
     chunker = make_chunk_udtf(chunk_tokens=50, overlap=10)
     spark.udtf.register("chunk_text", chunker)
     docs.createOrReplaceTempView("chunk_in")

@@ -104,7 +104,13 @@ def winnow_fingerprints(
     window of ``window`` hashes, keep each window's minimum, distinct the
     result. Guarantees any shared run of ``shingle_n + window - 1`` tokens
     between two documents shares a fingerprint. Hashes are md5-hex prefixes
-    with lexicographic min — the portable cross-engine idiom."""
+    with lexicographic min — the portable cross-engine idiom.
+
+    CAUTION: reference formulation — the hash array is inlined into the
+    window lambda, so interpreted evaluation recomputes it per window
+    position (O(positions x shingles) md5 calls). The hot path is
+    ``functions.udfs.make_winnow_udf`` (one hash per shingle, parity-
+    tested); use this form for cross-checking only."""
     sh = word_shingles(tokens(text_col), shingle_n)  # positional, not distinct
     hashes = F.transform(sh, lambda s: F.substring(F.md5(s), 1, hash_chars))
     m = F.size(hashes)

@@ -467,14 +467,23 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 @R.add(
     "q13_hourly_events",
     oracle="""
-SELECT date_trunc('hour', ts) AS hour, event_type,
-       count(*) AS n_events,
-       round(sum(value), 2) AS total_value,
-       round(avg(value), 4) AS avg_value
-FROM events
-GROUP BY hour, event_type
+SELECT hour, event_type, n_events, total_value,
+       floor(total_value / n_events * 10000 + 0.5) / 10000 AS avg_value
+FROM (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         count(*) AS n_events,
+         round(sum(value), 2) AS total_value
+  FROM events
+  GROUP BY hour, event_type
+)
 """,
-    doc="Time-bucketed aggregation (the reference's implied hourly rollup).",
+    doc="Time-bucketed aggregation (the reference's implied hourly rollup). "
+    "The average derives from the ROUNDED sum and is itself rounded with "
+    "explicit floor(x*1e4+0.5) arithmetic: round(avg(value),4) directly "
+    "sits one ulp from a boundary when summation order differs, and the "
+    "rounded-sum quotient can land on an EXACT .5 where Spark (HALF_UP on "
+    "shortest decimal) and DuckDB (binary-value rounding) disagree by "
+    "policy — identical float arithmetic sidesteps both engines' round().",
     tags=("agg", "time", "events"),
 )
 def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -486,7 +495,10 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .withColumn(
+            "avg_value",
+            F.floor(F.col("total_value") / F.col("n_events") * 10000 + 0.5) / 10000,
         )
     )
 

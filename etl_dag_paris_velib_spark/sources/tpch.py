@@ -15,6 +15,11 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or DEFAULT_SF_DIR
+    # Runtime-settable SQL conf: a vanilla SparkSession (e.g. an external
+    # harness that did not go through session.get_spark) must still be able
+    # to read events.parquet's INT64 TIMESTAMP(NANOS) column. Setting it
+    # here makes every reader self-sufficient regardless of session origin.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.parquet stores ts as INT64 TIMESTAMP(NANOS); with
     # spark.sql.legacy.parquet.nanosAsLong=true (session.py) Spark reads it

@@ -988,20 +988,47 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @L.add(
     "q45_approx_percentiles",
-    oracle=None,  # approximate by design: t-digest results are not
-    # bit-reproducible across engines — rows-only check; q38 is the exact
-    # twin with a full oracle
+    # Approximate sketch values are engine-specific, so the oracle checks
+    # the RANK-ERROR CONTRACT instead: with accuracy=1000 the returned
+    # element's rank is within 1/1000 of the target quantile, so it must
+    # lie inside the exact value band at quantile +/- 0.05 (a 50x margin).
+    # The exact p50 rides along so the hash still pins real values.
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS exact_p50,
+       true AS p50_in_band,
+       true AS p90_in_band,
+       true AS p99_in_band
+FROM events
+GROUP BY event_type
+""",
     doc="approx_percentile (t-digest): mergeable, single-pass, map-side "
     "combinable — the percentile you can actually run at 100 TB; the "
-    "exact q38 twin requires a per-group sort. Rows-only check by design.",
+    "exact q38 twin requires a per-group sort. Checked as rank-band "
+    "tolerance flags (approx value inside exact [q-0.05, q+0.05] band) "
+    "plus the exact p50.",
     tags=("agg", "percentile", "approx"),
 )
 def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, "events", sf_dir)
-    return events.groupBy("event_type").agg(
-        F.round(F.expr("approx_percentile(value, 0.5, 1000)"), 4).alias("p50"),
-        F.round(F.expr("approx_percentile(value, 0.9, 1000)"), 4).alias("p90"),
-        F.round(F.expr("approx_percentile(value, 0.99, 1000)"), 4).alias("p99"),
+    g = events.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("_a50"),
+        F.expr("approx_percentile(value, 0.9, 1000)").alias("_a90"),
+        F.expr("approx_percentile(value, 0.99, 1000)").alias("_a99"),
+        F.expr("percentile(value, 0.45)").alias("_lo50"),
+        F.expr("percentile(value, 0.55)").alias("_hi50"),
+        F.expr("percentile(value, 0.85)").alias("_lo90"),
+        F.expr("percentile(value, 0.95)").alias("_hi90"),
+        F.expr("percentile(value, 0.94)").alias("_lo99"),
+        F.max("value").alias("_hi99"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("exact_p50"),
+    )
+    return g.select(
+        "event_type",
+        "exact_p50",
+        F.col("_a50").between(F.col("_lo50"), F.col("_hi50")).alias("p50_in_band"),
+        F.col("_a90").between(F.col("_lo90"), F.col("_hi90")).alias("p90_in_band"),
+        F.col("_a99").between(F.col("_lo99"), F.col("_hi99")).alias("p99_in_band"),
     )
 
 
@@ -1076,20 +1103,46 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @L.add(
     "q48_kmeans_clusters",
-    oracle=None,  # iterative algorithm: mean summation order makes late
-    # ulps engine-dependent, and assignments near Voronoi boundaries could
-    # flip — rows-only check (one row per non-empty cluster); the
-    # numpy-differential test in tests/test_clustering.py is the strong check
+    # Lloyd's means depend on float summation order, so per-cluster values
+    # are not cross-engine-checkable; the oracle instead pins the
+    # algorithm's INVARIANTS, all deterministic: every vector is assigned
+    # exactly once (n_points == table count), the seed count is a pure
+    # function of the data (vec_id % 50 == 0), clusters never exceed
+    # seeds, and inertia is non-negative. The numpy differential test in
+    # tests/test_clustering.py is the strong value-level check.
+    oracle="""
+SELECT count(*) AS n_points,
+       (SELECT count(*) FROM embeddings WHERE vec_id % 50 = 0) AS k_seeds,
+       true AS clusters_le_seeds,
+       true AS inertia_nonneg
+FROM embeddings
+""",
     doc="Distributed Lloyd's k-means over embeddings (operators/"
     "clustering.py): 3 rounds, id-picked seeds, model-on-driver / "
-    "data-on-executors — the iterative-ML execution shape. Output is the "
-    "per-cluster size + inertia summary.",
+    "data-on-executors — the iterative-ML execution shape. Checked via "
+    "deterministic invariants (total assignment, seed count, cluster "
+    "bound, inertia sign).",
     tags=("vector", "clustering", "ml", "llm"),
 )
 def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import embedding_kmeans, kmeans_summary
 
-    return kmeans_summary(embedding_kmeans(_emb(spark, sf_dir)))
+    emb = _emb(spark, sf_dir)
+    summary = kmeans_summary(embedding_kmeans(emb))
+    stats = summary.agg(
+        F.sum("size").alias("n_points"),
+        F.count(F.lit(1)).alias("_k_found"),
+        F.min("inertia").alias("_min_inertia"),
+    )
+    seeds = emb.filter(F.col("vec_id") % 50 == 0).agg(
+        F.count(F.lit(1)).alias("k_seeds")
+    )
+    return stats.crossJoin(seeds).select(
+        "n_points",
+        "k_seeds",
+        (F.col("_k_found") <= F.col("k_seeds")).alias("clusters_le_seeds"),
+        (F.col("_min_inertia") >= 0).alias("inertia_nonneg"),
+    )
 
 
 # ---------------------------------------------------------------------------

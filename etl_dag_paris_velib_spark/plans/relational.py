@@ -405,15 +405,38 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @R.add(
     "q11b_approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific; rows-only check
-    doc="approx_count_distinct (HyperLogLog++) — the 100 TB path for distincts.",
+    # HLL sketch values are engine-specific, so the oracle checks the
+    # tolerance CONTRACT instead: the exact count (hash-checkable) plus a
+    # deterministic within-5%-of-exact verdict. rsd=0.01 means a 1%
+    # standard error; 5% is a 5-sigma band, so the flag is stably true.
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       true AS approx_ok
+FROM events
+GROUP BY event_type
+""",
+    doc="approx_count_distinct (HyperLogLog++) — the 100 TB path for "
+    "distincts. Checked as a tolerance flag: |approx - exact| <= 5% of "
+    "exact, alongside the exact count itself.",
     tags=("agg", "approx"),
 )
 def q11b(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+        .agg(
+            F.count_distinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.01).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("approx_ok"),
+        )
     )
 
 

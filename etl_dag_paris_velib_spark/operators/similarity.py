@@ -461,33 +461,47 @@ def all_pairs_nn(
     embeddings: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    left_blocks: int = 4,
+    index_shards: int = 4,
 ) -> DataFrame:
     """Nearest neighbor for EVERY vector (the embedding-dedup candidate
     generator: a pair whose cosine ~ 1 is a near-duplicate).
 
-    Block-matmul via ``mapInPandas``: the unit-normalized index matrix is
-    broadcast once (the same constraint as any broadcast hash join — the
-    index side must fit per executor), each Arrow batch of left-side rows
-    does one numpy GEMM against it, and the per-row argmax (tie-break:
-    smaller id, via ascending-id index order + first-occurrence argmax)
-    comes straight out of the batch. One pass over the left side, zero
-    shuffles. When the index side outgrows broadcast, shard it and keep a
-    running per-row max across shards, or switch to :func:`ivf_topk` with
-    queries = all vectors.
+    Distributed block matmul: rows are hashed into ``left_blocks`` query
+    blocks and ``index_shards`` index shards, each (block, shard) cell is
+    cogrouped (``applyInPandas`` cogroup) and scored with one numpy GEMM,
+    and a final groupBy keeps each row's max-score neighbor via a struct
+    max (tie-break: smaller nn_id, encoded as a negated-id struct field).
+    Nothing is ever collected to the driver and no side is broadcast, so
+    both sides scale past executor memory; communication is the classic
+    O(n * (blocks + shards)) replication, and per-cell memory is
+    (n/blocks + n/shards) rows — tune both up at scale. The lazy
+    alternative at 100 TB remains :func:`ivf_topk` with queries = all
+    vectors; this operator is the exactness baseline.
     """
     import numpy as np
+    import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-    base = _as_double(embeddings, id_col, vec_col)
-    # broadcast side sorted by id: np.argmax keeps the FIRST max, which
-    # then implements the deterministic smaller-id tie-break
-    rows = base.select("vec_id", "v").orderBy("vec_id").collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["v"] for r in rows], dtype=np.float64)
-    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = embeddings.sparkSession.sparkContext.broadcast((ids, mat_n))
+    spark = embeddings.sparkSession
+    base = _as_double(embeddings, id_col, vec_col).select("vec_id", "v")
+    nb, ns = int(left_blocks), int(index_shards)
 
-    out_schema = StructType(
+    blocks = spark.range(nb).select(F.col("id").cast("int").alias("bi"))
+    shards = spark.range(ns).select(F.col("id").cast("int").alias("sj"))
+
+    left_rep = base.withColumn(
+        "bi", F.pmod(F.crc32(F.col("vec_id").cast("string")), F.lit(nb)).cast("int")
+    ).crossJoin(F.broadcast(shards))
+    right_rep = (
+        base.select(F.col("vec_id").alias("nn_id"), F.col("v").alias("rv"))
+        .withColumn(
+            "sj", F.pmod(F.crc32(F.col("nn_id").cast("string")), F.lit(ns)).cast("int")
+        )
+        .crossJoin(F.broadcast(blocks))
+    )
+
+    cell_schema = StructType(
         [
             StructField("vec_id", LongType()),
             StructField("nn_id", LongType()),
@@ -495,25 +509,45 @@ def all_pairs_nn(
         ]
     )
 
-    def nn_blocks(batches):
-        import pandas as pd
-
-        b_ids, b_mat = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            left = np.array(pdf["v"].tolist(), dtype=np.float64)
-            left_n = left / np.linalg.norm(left, axis=1, keepdims=True)
-            scores = left_n @ b_mat.T  # (batch, N)
-            left_ids = pdf["vec_id"].to_numpy()
-            scores[left_ids[:, None] == b_ids[None, :]] = -np.inf  # self
-            best = scores.argmax(axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": left_ids,
-                    "nn_id": b_ids[best],
-                    "score": scores[np.arange(len(best)), best],
-                }
+    def score_cell(left_pdf: "pd.DataFrame", right_pdf: "pd.DataFrame"):
+        if not len(left_pdf) or not len(right_pdf):
+            return pd.DataFrame({"vec_id": [], "nn_id": [], "score": []}).astype(
+                {"vec_id": "int64", "nn_id": "int64", "score": "float64"}
             )
+        # ascending-id order + first-occurrence argmax = smaller-id
+        # tie-break inside the cell; the struct max finishes it globally
+        right_pdf = right_pdf.sort_values("nn_id")
+        r_ids = right_pdf["nn_id"].to_numpy()
+        r_mat = np.array(right_pdf["rv"].tolist(), dtype=np.float64)
+        r_mat /= np.linalg.norm(r_mat, axis=1, keepdims=True)
+        l_ids = left_pdf["vec_id"].to_numpy()
+        l_mat = np.array(left_pdf["v"].tolist(), dtype=np.float64)
+        l_mat /= np.linalg.norm(l_mat, axis=1, keepdims=True)
+        scores = l_mat @ r_mat.T
+        scores[l_ids[:, None] == r_ids[None, :]] = -np.inf  # self-pairs
+        best = scores.argmax(axis=1)
+        best_score = scores[np.arange(len(best)), best]
+        keep = np.isfinite(best_score)  # cell held only the row itself
+        return pd.DataFrame(
+            {
+                "vec_id": l_ids[keep],
+                "nn_id": r_ids[best][keep],
+                "score": best_score[keep],
+            }
+        )
 
-    return base.select("vec_id", "v").mapInPandas(nn_blocks, out_schema)
+    cells = (
+        left_rep.groupBy("bi", "sj")
+        .cogroup(right_rep.groupBy("bi", "sj"))
+        .applyInPandas(score_cell, cell_schema)
+    )
+    best = F.max(
+        F.struct(
+            F.col("score").alias("score"),
+            (-F.col("nn_id")).alias("_neg_id"),
+            F.col("nn_id").alias("nn_id"),
+        )
+    ).alias("m")
+    return cells.groupBy("vec_id").agg(best).select(
+        "vec_id", F.col("m.nn_id").alias("nn_id"), F.col("m.score").alias("score")
+    )

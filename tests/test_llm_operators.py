@@ -134,6 +134,30 @@ def test_all_pairs_nn_matches_numpy(spark):
     assert got == want
 
 
+def test_all_pairs_nn_sharded_no_driver_collect(spark, monkeypatch):
+    """Forcing an uneven multi-shard grid must not change results, and
+    building the plan must never materialize the table on the driver."""
+    from pyspark.sql import DataFrame
+
+    emb = _emb(spark)
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows])
+    m = np.array([r.embedding for r in rows], dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    np.fill_diagonal(sims, -np.inf)
+    want = {(int(ids[i]), int(ids[sims[i].argmax()])) for i in range(len(ids))}
+
+    def _boom(self, *a, **k):  # pragma: no cover - should never run
+        raise AssertionError("all_pairs_nn collected during plan construction")
+
+    monkeypatch.setattr(DataFrame, "collect", _boom)
+    plan = all_pairs_nn(emb, left_blocks=3, index_shards=5)
+    monkeypatch.undo()
+    got = {(r.vec_id, r.nn_id) for r in plan.collect()}
+    assert got == want
+
+
 def test_ivf_recall_sane(spark):
     emb = _emb(spark)
     qs = make_query_set(emb, F.col("vec_id") < 10)

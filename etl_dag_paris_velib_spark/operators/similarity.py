@@ -221,6 +221,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     persist_intermediate: bool = True,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard join via shingle-inverted-index — the
     ground-truth companion to :func:`minhash_lsh_pairs` (used by tests to
@@ -229,15 +230,33 @@ def ngram_jaccard_pairs(
     Not all-pairs: explodes shingles into an inverted index, counts shared
     shingles per pair with one groupBy, then computes Jaccard from
     |A∩B| / (|A| + |B| - |A∩B|). The pair space is bounded by co-occurring
-    shingles, not n². Still superlinear for pathological shingle hubs —
-    at 100 TB drop shingles with document frequency above a cap first
-    (standard df-pruning) — but exact for the verify threshold.
+    shingles, not n².
+
+    ``max_df`` is the 100 TB guard against pathological shingle hubs: a
+    shingle appearing in more than ``max_df`` documents contributes
+    O(df²) candidate pairs, so hubs are dropped from the inverted index
+    before the self-join (standard df-pruning). The hub list is tiny by
+    construction (heavy hitters), so it is removed with a broadcast
+    anti-join — no extra shuffle on the index. Pruning is conservative:
+    n_common can only shrink while set sizes stay full, so the computed
+    Jaccard is a lower bound — no false positives above ``threshold``,
+    and recall is unchanged whenever near-dup pairs share at least one
+    sub-hub shingle (tests/test_llm_operators.py quantifies this on the
+    planted pairs).
     """
     sh = _shingle_sets(df, id_col, text_col, shingle_n)
     if persist_intermediate:
         sh = sh.persist()  # three consumers: sizes x2 + inverted index
     sizes = sh.select("id", F.size("sh").alias("n_sh"))
     inv = sh.select("id", F.explode("sh").alias("s"))
+    if max_df is not None:
+        hubs = (
+            inv.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("s")
+        )
+        inv = inv.join(F.broadcast(hubs), "s", "left_anti")
     a, b = inv.alias("a"), inv.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))

@@ -650,7 +650,9 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
 sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks),
 sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
-inv AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+inv0 AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+dfs AS (SELECT tok, count(*) AS df FROM inv0 GROUP BY tok),
+inv AS (SELECT doc_id, tok FROM inv0 JOIN dfs USING (tok) WHERE df <= 5),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
   FROM inv a JOIN inv b ON a.tok = b.tok AND a.doc_id < b.doc_id
@@ -668,12 +670,13 @@ SELECT id_a, id_b, round(j, 6) AS jaccard FROM scored WHERE j >= 0.5
     doc="EXACT n-gram Jaccard join via shingle inverted index "
     "(operators/similarity.py:ngram_jaccard_pairs) — the ground truth the "
     "LSH approximates; pair space bounded by co-occurring shingles, with "
-    "df-pruning as the scale valve. Same result set as q21 at this "
-    "threshold when LSH recall is perfect.",
+    "df-pruning (max_df=5, active: the corpus tops out at df=7) as the "
+    "scale valve against O(df²) hub blow-up. Same result set as q21 at "
+    "this threshold when LSH recall is perfect.",
     tags=("dedup", "llm"),
 )
 def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, max_df=5)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 

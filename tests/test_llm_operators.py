@@ -100,6 +100,25 @@ def test_lsh_recall_and_subquadratic(spark):
     assert len(lsh) < n * (n - 1) / 20
 
 
+def test_ngram_df_pruning_keeps_recall(spark):
+    """df-pruning must actually drop hub shingles yet recall every planted
+    near-dup pair: pruned Jaccard is a lower bound (n_common shrinks,
+    sizes stay full), so the pair SET at the threshold must be unchanged
+    when near-dups share sub-hub shingles — which planted edits do."""
+    docs = _docs(spark)
+    full = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    pruned_df = ngram_jaccard_pairs(docs, threshold=0.5, max_df=5)
+    pruned = {(r.id_a, r.id_b) for r in pruned_df.collect()}
+    assert full, "testdata should contain planted near-dup pairs"
+    assert pruned == full
+    # the cap really bites: with an absurdly low cap the index empties
+    none_left = ngram_jaccard_pairs(docs, threshold=0.5, max_df=0).collect()
+    assert none_left == []
+
+
 def test_brute_force_topk_matches_numpy(spark):
     emb = _emb(spark)
     rows = emb.orderBy("vec_id").collect()

@@ -53,8 +53,9 @@ def append_jdbc(
 ) -> None:
     """Postgres-parity sink: partition-parallel batched INSERTs — the
     distributed replacement for the reference's single-threaded
-    ``insert_rows`` loop. Untestable in this container (no Postgres);
-    exercised only when a JDBC URL is supplied."""
+    ``insert_rows`` loop (s3_to_postgres.py:76-82). Round-trip-tested
+    against embedded Derby (tests/test_ingestion.py) — the same Spark
+    JDBC write path an external Postgres takes, modulo URL/driver."""
     writer = (
         df.repartition(num_partitions)
         .write.format("jdbc")

@@ -77,6 +77,33 @@ def test_partitioned_write_is_idempotent(spark, fixtures_dir, tmp_path):
     assert str(out.select("ingest_date").distinct().collect()[0][0]) == "2025-01-31"
 
 
+def test_jdbc_append_round_trip(spark, tmp_path):
+    """K5 (reference load kernel: s3_to_postgres.py:76-82, row-at-a-time
+    ``insert_rows``). The distributed replacement is partition-parallel
+    batched JDBC INSERTs; exercised against embedded Derby (on Spark's own
+    classpath), the same driver/DataSource path an external Postgres takes
+    — only the URL and driver class differ. Append twice: JDBC append has
+    no dedup (exactly the reference's semantics), so rows double."""
+    from etl_dag_paris_velib_spark.sinks.writers import append_jdbc
+
+    url = f"jdbc:derby:{tmp_path / 'k5db'};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.range(50).selectExpr(
+        "id", "cast(id * 0.5 as double) as v", "concat('s', id) as name"
+    )
+    append_jdbc(df, url, "gold_metrics", num_partitions=4, properties=props)
+    append_jdbc(df, url, "gold_metrics", num_partitions=4, properties=props)
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "gold_metrics")
+        .option("driver", props["driver"])
+        .load()
+    )
+    assert back.count() == 100
+    assert back.filter(F.col("id") == 7).select("v").distinct().collect()[0][0] == 3.5
+
+
 def test_hourly_broadcast_join(spark, fixtures_dir):
     """The reference's implied downstream query (README: weather × bikes per
     hour) as a broadcast equi-join on date_trunc('hour') — canonical plan:

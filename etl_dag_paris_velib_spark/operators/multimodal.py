@@ -1,13 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata (SURVEY §2.10 north star; no reference counterpart).
 
-The container has no decode libraries (PIL/ffmpeg/torchaudio), so the
-*decode kernels* are stubs — a clearly-marked ``NotImplementedError`` on
-the real path and a deterministic fake (md5-derived pseudo-metadata /
-pseudo-features) for tests. Everything AROUND the kernel is real and
-tested: the schema convention, the ``mapInPandas`` batch shape, Arrow
-batch sizing, the fan-out UDTF-style frame sampler, and the feature-column
-contract the similarity operators consume.
+The container has no decode libraries (PIL/ffmpeg/torchaudio), but the
+``real=True`` path IS real for uncompressed raster images: a pure-numpy
+PPM (P6) / BMP (24-bit BI_RGB) parser decodes actual pixels for both the
+metadata kernel and the feature extractor (per-channel statistics +
+quadrant lumas — deterministic, model-free). Compressed formats and
+audio/video on the real path raise a clearly-marked
+``NotImplementedError`` (wire PIL/pyav there on a real cluster); the
+deterministic fake (md5-derived pseudo-metadata / pseudo-features)
+remains for tests that only pin the plumbing. Everything AROUND the
+kernel — schema convention, ``mapInPandas`` batch shape, Arrow batch
+sizing, the fan-out UDTF-style frame sampler, and the feature-column
+contract the similarity operators consume — is identical on both paths.
 
 Scale design for 100 TB of media:
 - payloads stay in binary columns co-located with metadata — one scan, no
@@ -77,6 +82,96 @@ FRAME_SCHEMA = StructType(
 FEATURE_DIM = 16
 
 
+def decode_image(payload: bytes) -> "np.ndarray":
+    """Pure-numpy raster decode -> (H, W, 3) uint8 RGB array.
+
+    Supports the two headerable uncompressed formats a no-dependency
+    environment can honestly parse:
+
+    - **PPM (P6)**: ASCII header ``P6 <w> <h> <maxval>`` (``#`` comments
+      allowed) followed by raw RGB rows, top-down.
+    - **BMP**: BITMAPINFOHEADER, 24 bits per pixel, BI_RGB (uncompressed)
+      only; rows are 4-byte aligned, stored bottom-up, channels BGR.
+
+    Anything else raises ``NotImplementedError`` — that is the seam where
+    PIL/pyav plug in on a real cluster.
+    """
+    if payload[:2] == b"P6":
+        # tokenize the ASCII header: whitespace-separated fields, '#'
+        # starts a comment running to end-of-line
+        pos = 2
+        fields: list[int] = []
+        while len(fields) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        pos += 1  # single whitespace byte after maxval, then raw data
+        w, h, maxval = fields
+        if maxval != 255:
+            raise NotImplementedError("PPM maxval != 255 not supported")
+        data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+        return data.reshape(h, w, 3).copy()
+    if payload[:2] == b"BM":
+        offset = int.from_bytes(payload[10:14], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        compression = int.from_bytes(payload[30:34], "little")
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError("only 24-bit uncompressed BI_RGB BMP")
+        top_down = h < 0
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=offset
+        ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if not top_down:
+            rows = rows[::-1]
+        return rows[..., ::-1].copy()  # BGR -> RGB
+    raise NotImplementedError(
+        "real decode implemented for PPM(P6)/BMP(24-bit) only; other "
+        "formats need PIL/pyav (deliberate seam — see module docstring)"
+    )
+
+
+def image_features(pixels: "np.ndarray") -> list[float]:
+    """(H, W, 3) uint8 -> FEATURE_DIM deterministic floats: per-channel
+    mean/std, quadrant luma means, global luma mean/std, shape terms, and
+    a horizontal-gradient energy — a model-free feature vector that still
+    separates real images (solid vs gradient vs noise) for the similarity
+    operators downstream."""
+    px = pixels.astype(np.float64) / 255.0
+    luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    h, w = luma.shape
+    quad = [
+        float(luma[: h // 2 or 1, : w // 2 or 1].mean()),
+        float(luma[: h // 2 or 1, w // 2 :].mean()) if w > 1 else 0.0,
+        float(luma[h // 2 :, : w // 2 or 1].mean()) if h > 1 else 0.0,
+        float(luma[h // 2 :, w // 2 :].mean()) if h > 1 and w > 1 else 0.0,
+    ]
+    grad = float(np.abs(np.diff(luma, axis=1)).mean()) if w > 1 else 0.0
+    out = [
+        *(float(px[..., c].mean()) for c in range(3)),
+        *(float(px[..., c].std()) for c in range(3)),
+        *quad,
+        float(luma.mean()),
+        float(luma.std()),
+        w / 1024.0,
+        h / 1024.0,
+        w / h,
+        grad,
+    ]
+    assert len(out) == FEATURE_DIM
+    return out
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
     """Deterministic pseudo-metadata from the payload hash — stands in for
     the real header parse so tests pin the plumbing end-to-end."""
@@ -90,20 +185,21 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
 def decode_media(df: DataFrame, real: bool = False) -> DataFrame:
     """Decode metadata for every media row via ``mapInPandas``.
 
-    ``real=True`` is the production path and requires decode libraries
-    that are NOT in this environment — it raises ``NotImplementedError``
-    by design (STUB; wire PIL/pyav here on a real cluster). The default
-    deterministic fake exercises the identical batch shape.
+    ``real=True`` runs :func:`decode_image` — an actual pure-numpy
+    PPM/BMP pixel decode (n_frames=1, duration 0 for stills); compressed
+    formats raise ``NotImplementedError`` there (the PIL/pyav seam). The
+    default deterministic fake exercises the identical batch shape.
     """
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if real:
-                raise NotImplementedError(
-                    "real media decode requires PIL/pyav; not available in "
-                    "this environment (deliberate stub — see module docstring)"
-                )
-            meta = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+                meta = []
+                for p in pdf["payload"]:
+                    px = decode_image(bytes(p))
+                    meta.append((px.shape[1], px.shape[0], 1, 0.0))
+            else:
+                meta = [_fake_decode(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -123,23 +219,24 @@ def decode_media(df: DataFrame, real: bool = False) -> DataFrame:
 
 def extract_features(df: DataFrame, real: bool = False) -> DataFrame:
     """Payload -> fixed-width feature vector (the embedding-extraction
-    seam; output plugs straight into operators.similarity). Stubbed with a
-    deterministic hash-derived vector; the real path is a model forward
-    pass batched per Arrow batch."""
+    seam; output plugs straight into operators.similarity).
+
+    ``real=True`` computes :func:`image_features` over actually-decoded
+    PPM/BMP pixels (per-channel statistics, quadrant lumas, gradient
+    energy); swapping in a model forward pass keeps the identical batch
+    shape. The default is the deterministic hash-derived stand-in."""
 
     def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if real:
-                raise NotImplementedError(
-                    "real feature extraction requires a vision/audio model; "
-                    "deliberate stub in this environment"
-                )
             vecs = []
             for p in pdf["payload"]:
-                h = hashlib.md5(bytes(p)).digest()
-                v = np.frombuffer(h, dtype=np.uint8).astype(np.float64)
-                v = (v - 127.5) / 127.5
-                vecs.append(v.tolist())
+                if real:
+                    vecs.append(image_features(decode_image(bytes(p))))
+                else:
+                    h = hashlib.md5(bytes(p)).digest()
+                    v = np.frombuffer(h, dtype=np.uint8).astype(np.float64)
+                    v = (v - 127.5) / 127.5
+                    vecs.append(v.tolist())
             yield pd.DataFrame({"media_id": pdf["media_id"], "features": vecs})
 
     schema = StructType(

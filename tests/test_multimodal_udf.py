@@ -1,8 +1,9 @@
 """Tests for the multimodal plumbing and the remaining UDF-tier surfaces
-(applyInPandas grouped dedup, UDTF chunker). Decode kernels are
-deterministic fakes by design — these tests pin the schema, batch shape,
-fan-out, and feature contract, and that the real path raises the
-documented NotImplementedError."""
+(applyInPandas grouped dedup, UDTF chunker). The real=True decode path is
+exercised end-to-end on pure-numpy-parsed PPM/BMP fixtures; the
+deterministic-fake path pins the schema, batch shape, fan-out, and
+feature contract; unknown formats on the real path raise the documented
+NotImplementedError (the PIL/pyav seam)."""
 
 from __future__ import annotations
 
@@ -43,13 +44,88 @@ def test_decode_media_schema_and_determinism(spark, media):
     assert 64 <= r0.width < 256 and 64 <= r0.height < 256
 
 
-def test_decode_media_real_path_is_declared_stub(spark, media):
+def test_decode_media_real_path_rejects_unknown_formats(spark, media):
+    """Real decode handles PPM/BMP; anything else hits the documented
+    PIL/pyav seam."""
     import py4j.protocol
     from pyspark.errors import PythonException
 
     with pytest.raises((PythonException, py4j.protocol.Py4JJavaError)) as e:
         decode_media(media, real=True).collect()
     assert "NotImplementedError" in str(e.value)
+
+
+def _ppm_bytes(w, h, rgb):
+    header = f"P6\n# synthetic fixture\n{w} {h}\n255\n".encode()
+    return header + bytes(rgb) * (w * h)
+
+
+def _bmp_bytes(w, h, pixel_rows):
+    """Minimal 24-bit BI_RGB BMP, bottom-up, rows padded to 4 bytes.
+    pixel_rows is top-down [[(r,g,b), ...], ...]."""
+    stride = (w * 3 + 3) & ~3
+    body = b""
+    for row in reversed(pixel_rows):  # bottom-up storage
+        line = b"".join(bytes((b, g, r)) for (r, g, b) in row)
+        body += line + b"\x00" * (stride - len(line))
+    offset = 14 + 40
+    size = offset + len(body)
+    file_header = b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00" + offset.to_bytes(4, "little")
+    info = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + len(body).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return file_header + info + body
+
+
+def test_real_decode_ppm_bmp_end_to_end(spark):
+    """decode_media(real=True) / extract_features(real=True) on actual
+    pure-numpy-parsed pixels: a 9x5 solid PPM and a 3x2 patterned BMP
+    (odd width forces row padding; bottom-up storage forces the flip)."""
+    import numpy as np
+
+    from etl_dag_paris_velib_spark.operators.multimodal import (
+        decode_image,
+        image_features,
+    )
+
+    ppm = _ppm_bytes(9, 5, (10, 20, 30))
+    bmp_rows = [[(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+                [(1, 2, 3), (4, 5, 6), (7, 8, 9)]]
+    bmp = _bmp_bytes(3, 2, bmp_rows)
+
+    # kernel level: exact pixels
+    px_ppm = decode_image(ppm)
+    assert px_ppm.shape == (5, 9, 3)
+    assert (px_ppm == np.array([10, 20, 30], dtype=np.uint8)).all()
+    px_bmp = decode_image(bmp)
+    assert px_bmp.shape == (2, 3, 3)
+    assert px_bmp.tolist() == [[list(p) for p in r] for r in bmp_rows]
+
+    # Spark level: identical mapInPandas plumbing as the fake path
+    media = spark.createDataFrame(
+        [(1, "image", ppm, "image/x-ppm", "s"), (2, "image", bmp, "image/bmp", "s")],
+        MEDIA_SCHEMA,
+    )
+    meta = {r.media_id: r for r in decode_media(media, real=True).collect()}
+    assert (meta[1].width, meta[1].height, meta[1].n_frames) == (9, 5, 1)
+    assert (meta[2].width, meta[2].height) == (3, 2)
+
+    feats = {r.media_id: r.features for r in extract_features(media, real=True).collect()}
+    assert len(feats[1]) == 16
+    # solid color: exact channel means, zero variance, zero gradient
+    assert feats[1][0] == pytest.approx(10 / 255)
+    assert feats[1][1] == pytest.approx(20 / 255)
+    assert feats[1][2] == pytest.approx(30 / 255)
+    assert feats[1][3] == pytest.approx(0.0, abs=1e-12)
+    assert feats[1][15] == pytest.approx(0.0, abs=1e-12)
+    assert feats[1] == image_features(px_ppm)
 
 
 def test_extract_features_feed_similarity(spark, media):

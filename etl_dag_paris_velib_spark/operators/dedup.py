@@ -80,6 +80,7 @@ def near_dup_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    method: str = "label",
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: every doc in a
     cluster gets ``component`` = the smallest doc id reachable from it.
@@ -88,16 +89,26 @@ def near_dup_components(
     A~B, B~C must collapse A,B,C together even when A~C was never
     emitted).
 
-    Min-label propagation to fixpoint: each node repeatedly adopts the
-    smallest label among itself and its neighbors. Iterations are bounded
-    by the cluster diameter (near-dup clusters are shallow; 20 covers any
-    real corpus). Each round is one join + one groupBy on the edge list —
-    no driver-side graph. At 100 TB-scale edge lists, swap in the
-    large-star/small-star optimization (Kiveris et al., "Connected
-    Components in MapReduce") — same loop skeleton, fewer rounds.
+    ``method="label"`` (default): min-label propagation to fixpoint —
+    each node repeatedly adopts the smallest label among itself and its
+    neighbors. Iterations are bounded by the cluster DIAMETER (near-dup
+    clusters are shallow; 20 covers any real corpus). Each round is one
+    join + one groupBy on the edge list — no driver-side graph.
+
+    ``method="star"``: alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    converges in O(log²) rounds regardless of diameter, the right choice
+    for high-diameter graphs (chains of chunk-shifted near-dups) and the
+    100 TB default. Differential-tested against the label method in
+    tests/test_llm_operators.py, including a chain graph where label
+    propagation's round budget blows up and star converges.
 
     Returns (doc_id, component) for every doc appearing in any pair.
     """
+    if method == "star":
+        return _components_star(pairs, id_a, id_b, max_iterations)
+    if method != "label":
+        raise ValueError(f"unknown method: {method!r} (label | star)")
     # symmetric edge list + self-loops seed the labels
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -112,9 +123,14 @@ def near_dup_components(
         .persist()
     )
     # labels only ever decrease, so the label sum is a monotone potential:
-    # an unchanged sum means fixpoint. Each iteration persists its result
-    # (the agg materializes it) so lineage never re-executes prior rounds.
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    # an unchanged sum means fixpoint. Summed as decimal(38,0) — an int64
+    # sum could wrap under non-ANSI mode at extreme id*node scales and
+    # fake an unchanged potential. Each iteration localCheckpoints its
+    # result: without lineage truncation the logical plan doubles per
+    # round (L' = L ⋈ f(L)) and the analyzer, not the data, becomes the
+    # bottleneck — the canonical Spark iterative-algorithm trap.
+    _dsum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_dsum).first()[0]
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -129,9 +145,9 @@ def near_dup_components(
                     "label"
                 ),
             )
-            .persist()
+            .localCheckpoint()  # eager; truncates lineage + caches
         )
-        new_sum = new_labels.agg(F.sum("label")).first()[0]
+        new_sum = new_labels.agg(_dsum).first()[0]
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
@@ -144,10 +160,99 @@ def near_dup_components(
         edges.unpersist()
         raise RuntimeError(
             f"near_dup_components did not converge in {max_iterations} "
-            "iterations — raise max_iterations (diameter exceeds budget)"
+            "iterations — raise max_iterations (diameter exceeds budget) "
+            "or use method='star' (diameter-independent)"
         )
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
+
+
+def _components_star(
+    pairs: DataFrame,
+    id_a: str,
+    id_b: str,
+    max_iterations: int,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components.
+
+    One round = large-star then small-star, each a groupBy-min plus a
+    re-keyed projection of the symmetric edge list:
+
+    - large-star(u): every neighbor v > u re-attaches to
+      m = min(Γ(u) ∪ {u});
+    - small-star(u): every neighbor v <= u, and u itself, re-attaches
+      to m.
+
+    Both steps strictly shrink a potential over edge endpoints, and the
+    alternation converges to a star forest whose centers are the
+    component minima in O(log²) rounds (Kiveris et al.) — independent of
+    graph diameter, unlike label propagation. Fixpoint = the canonical
+    edge SET is unchanged (count + empty anti-join: exact, no arithmetic
+    to overflow).
+    """
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        s = _sym(e)
+        m = (
+            s.groupBy("src")
+            .agg(F.min("dst").alias("_mn"))
+            .select("src", F.least("src", "_mn").alias("_m"))
+        )
+        joined = s.join(m, "src")
+        if large:
+            out = joined.filter(F.col("dst") > F.col("src")).select(
+                F.col("dst").alias("src"), F.col("_m").alias("dst")
+            )
+        else:
+            out = joined.filter(F.col("dst") <= F.col("src")).select(
+                F.col("dst").alias("src"), F.col("_m").alias("dst")
+            ).unionByName(m.select("src", F.col("_m").alias("dst")))
+        return out.filter(F.col("src") != F.col("dst")).distinct()
+
+    nodes = (
+        pairs.select(F.col(id_a).alias("id"))
+        .unionByName(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+        .persist()
+    )
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    for _ in range(max_iterations):
+        # localCheckpoint: one round's plan is ~8 operators; without
+        # truncation the per-round plan would grow geometrically
+        new_edges = _star(_star(edges, large=True), large=False).localCheckpoint()
+        n_new = new_edges.count()
+        unchanged = (
+            n_new == edges.count()
+            and new_edges.join(edges, ["src", "dst"], "left_anti").isEmpty()
+        )
+        edges.unpersist()
+        edges = new_edges
+        if unchanged:
+            break
+    else:
+        edges.unpersist()
+        nodes.unpersist()
+        raise RuntimeError(
+            f"star components did not converge in {max_iterations} rounds"
+        )
+    # star forest: every non-center node has exactly one edge to its
+    # center (= component min); centers label themselves
+    labeled = nodes.join(edges, nodes.id == edges.src, "left").select(
+        F.col("id").alias("doc_id"),
+        F.coalesce("dst", "id").alias("component"),
+    )
+    nodes.unpersist()
+    return labeled
 
 
 def bow_fingerprint(text_col) -> Column:

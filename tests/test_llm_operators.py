@@ -12,6 +12,7 @@ Covers the invariants the DuckDB-oracle differential can't see:
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from etl_dag_paris_velib_spark.functions.text import (
@@ -208,6 +209,44 @@ def test_near_dup_components_transitive(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+    star = {
+        (r.doc_id, r.component)
+        for r in near_dup_components(pairs, method="star").collect()
+    }
+    assert star == got
+
+
+def test_star_components_beat_label_on_chains(spark):
+    """Kiveris large/small-star converges in O(log²) rounds where label
+    propagation needs the diameter: a 64-node chain exhausts a 20-round
+    label budget but star finishes in <= 8, with identical components."""
+    from etl_dag_paris_velib_spark.operators.dedup import near_dup_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_components(chain, max_iterations=20).collect()
+    star = near_dup_components(chain, method="star", max_iterations=8)
+    assert {(r.doc_id, r.component) for r in star.collect()} == {
+        (i, 0) for i in range(64)
+    }
+
+
+def test_star_components_match_label_on_real_pairs(spark):
+    """Differential on the q42 input: star and label methods must produce
+    the same component map over the sf0.001 planted near-dup pairs."""
+    from etl_dag_paris_velib_spark.operators.dedup import near_dup_components
+
+    pairs = minhash_lsh_pairs(_docs(spark), threshold=0.5).select("id_a", "id_b")
+    label = {
+        (r.doc_id, r.component) for r in near_dup_components(pairs).collect()
+    }
+    star = {
+        (r.doc_id, r.component)
+        for r in near_dup_components(pairs, method="star").collect()
+    }
+    assert star == label and label
 
 
 def test_exact_dedup_keeps_min_id(spark):

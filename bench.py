@@ -8,6 +8,13 @@ materialized (count() would let Catalyst prune the projections of
 scalar-only queries) but nothing is collected to the driver — we measure
 engine execution, not driver serialization. A warmup query amortizes
 JVM/codegen startup.
+
+Regression guard: tools/bench_budget.json records the accepted per-query
+times per scale factor. Any query slower than max(1.5 * budget,
+budget + 0.75s) — the absolute slack keeps sub-second timings from
+tripping on scheduler jitter — is reported in the "regressions" key, and
+with SPARK_GRAFT_BENCH_STRICT=1 the process exits non-zero (how
+tests/test_bench_budget.py runs it).
 """
 
 from __future__ import annotations
@@ -46,6 +53,18 @@ def main():
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    regressions = {}
+    budget_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools", "bench_budget.json"
+    )
+    if os.path.exists(budget_path):
+        with open(budget_path) as f:
+            budgets = json.load(f).get(str(sf), {})
+        for name, t in timings.items():
+            b = budgets.get(name)
+            if b is not None and t > max(1.5 * b, b + 0.75):
+                regressions[name] = {"sec": t, "budget": b}
+
     print(
         json.dumps(
             {
@@ -54,9 +73,13 @@ def main():
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "regressions": regressions,
             }
         )
     )
+    if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
+        print(f"PERF REGRESSIONS: {sorted(regressions)}", file=sys.stderr)
+        sys.exit(2)
 
 
 if __name__ == "__main__":

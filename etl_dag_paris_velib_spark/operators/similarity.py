@@ -49,11 +49,18 @@ from ..functions.vector import dot, l2_norm
 def _spread(df: DataFrame) -> DataFrame:
     """Guard against under-partitioned inputs (a single small parquet file
     scans as ONE partition, serializing every per-row hash on one core).
-    Round-robin repartition to the cluster's parallelism when the scan has
-    fewer partitions; a well-partitioned 100 TB input passes through
-    untouched — no shuffle is added at scale."""
+    Round-robin repartition to the cluster's parallelism when the scan
+    reads fewer FILES than that; a well-partitioned 100 TB input (always
+    multi-file) passes through untouched — no shuffle added at scale.
+
+    Decided from scan metadata (``inputFiles``), never ``df.rdd`` — the
+    RDD check forced a Python-RDD conversion plan on every call. Non-file
+    inputs (in-memory test tables) already inherit defaultParallelism and
+    pass through.
+    """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    files = df.inputFiles()
+    if files and len(files) < target:
         return df.repartition(target)
     return df
 

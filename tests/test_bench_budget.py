@@ -1,0 +1,37 @@
+"""Perf-regression guard: run the full bench at sf0.01 in strict mode
+against tools/bench_budget.json. A query slower than max(1.5 * budget,
+budget + 0.75s) fails the bench process (exit 2) and therefore this test
+— protecting, e.g., the round-2 O(m²) winnowing/chunking fixes from
+silently regressing. Budgets are re-recorded by running bench.py at each
+sf and committing the timings (see bench.py docstring)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_sf001_within_budget():
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.01",
+        SPARK_GRAFT_BENCH_STRICT="1",
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=600,
+        cwd=ROOT,
+    )
+    line = proc.stdout.strip().splitlines()[-1]
+    parsed = json.loads(line)
+    assert parsed["queries"], "bench produced no timings"
+    assert proc.returncode == 0, (
+        f"bench regressions: {parsed.get('regressions')}\n{proc.stderr[-2000:]}"
+    )

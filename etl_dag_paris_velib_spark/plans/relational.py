@@ -422,11 +422,20 @@ GROUP BY event_type
     tags=("agg", "approx"),
 )
 def q11b(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    # distinct-first instead of agg(count_distinct, approx_…): mixing an
+    # exact distinct with another aggregate makes Catalyst Expand-double
+    # every scan row before the shuffle; pre-distincting collapses
+    # duplicates map-side and the HLL sketch is unchanged (duplicates
+    # never alter a sketch's observed-value set)
+    d = (
         _t(spark, sf_dir, "events")
-        .groupBy("event_type")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    return (
+        d.groupBy("event_type")
         .agg(
-            F.count_distinct("user_id").alias("exact_users"),
+            F.count(F.lit(1)).alias("exact_users"),
             F.approx_count_distinct("user_id", 0.01).alias("_approx"),
         )
         .select(

@@ -26,7 +26,11 @@ def write_partitioned_table(
     uploads only (etl_dag.py:111) and entirely lacks on the DB insert.
     Replaces K4+K5: the table is created by the first write; no DDL step.
     """
-    df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+    # per-write option rather than session conf: any externally-built
+    # vanilla session gets dynamic (not table-wiping static) overwrite too
+    df.write.option("partitionOverwriteMode", "dynamic").partitionBy(
+        *partition_cols
+    ).mode(mode).parquet(path)
 
 
 def export_csv(df: DataFrame, path: str) -> None:
@@ -41,6 +45,51 @@ def export_csv(df: DataFrame, path: str) -> None:
 def export_json(df: DataFrame, path: str) -> None:
     """Raw/bronze JSON persistence (reference K1)."""
     df.write.mode("overwrite").json(path)
+
+
+def upsert_partitioned_table(
+    df: DataFrame,
+    path: str,
+    keys: tuple[str, ...],
+    partition_cols: tuple[str, ...] = ("ingest_date", "ingest_hour"),
+) -> None:
+    """Delta-style MERGE (upsert) onto a partitioned parquet table: rows
+    in ``df`` replace existing rows with the same ``keys``; everything
+    else survives. Partition-pruned: only partitions PRESENT in the batch
+    are read back and rewritten (broadcast semi-join on the partition
+    values + dynamic partition overwrite) — an upsert touching one hour
+    of a year-long table moves one hour of data, which is what makes the
+    pattern viable at 100 TB. Untouched partitions are never read.
+
+    The batch must carry its partition columns, and keys must not move
+    rows across partitions (true for ingest-time layouts).
+
+    ``localCheckpoint`` materializes the merged result before the write —
+    Spark cannot atomically overwrite a path it is still lazily reading
+    (the self-overwrite trap). On a real deployment the ACID version of
+    this operator is Delta/Iceberg ``MERGE INTO``; the dataflow (prune →
+    anti-join → union → dynamic overwrite) is identical.
+    """
+    spark = df.sparkSession
+    try:
+        existing = spark.read.parquet(path)
+        has_table = True
+    except Exception:
+        has_table = False
+    if has_table:
+        from pyspark.sql.functions import broadcast
+
+        touched = df.select(*partition_cols).distinct()
+        in_touched = existing.join(broadcast(touched), list(partition_cols), "left_semi")
+        survivors = in_touched.join(
+            df.select(*keys).distinct(), list(keys), "left_anti"
+        )
+        out = survivors.unionByName(df).localCheckpoint()
+    else:
+        out = df
+    out.write.option("partitionOverwriteMode", "dynamic").partitionBy(
+        *partition_cols
+    ).mode("overwrite").parquet(path)
 
 
 def append_jdbc(

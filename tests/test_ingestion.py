@@ -77,6 +77,49 @@ def test_partitioned_write_is_idempotent(spark, fixtures_dir, tmp_path):
     assert str(out.select("ingest_date").distinct().collect()[0][0]) == "2025-01-31"
 
 
+def test_upsert_partitioned_table(spark, tmp_path):
+    """Delta-style MERGE on parquet: updates replace rows by key, new keys
+    append, untouched PARTITIONS are never rewritten, and a re-run of the
+    same batch is a no-op (idempotent)."""
+    import os as _os
+
+    from etl_dag_paris_velib_spark.sinks.writers import upsert_partitioned_table
+
+    path = str(tmp_path / "gold")
+    base = spark.createDataFrame(
+        [(1, "a", "2025-01-01"), (2, "b", "2025-01-01"), (3, "c", "2025-01-02")],
+        ["id", "v", "ingest_date"],
+    )
+    upsert_partitioned_table(base, path, keys=("id",), partition_cols=("ingest_date",))
+    untouched = f"{path}/ingest_date=2025-01-02"
+    mtime_before = max(
+        _os.path.getmtime(_os.path.join(untouched, f))
+        for f in _os.listdir(untouched)
+        if f.endswith(".parquet")
+    )
+
+    batch = spark.createDataFrame(
+        [(1, "a2", "2025-01-01"), (9, "new", "2025-01-01")],
+        ["id", "v", "ingest_date"],
+    )
+    upsert_partitioned_table(batch, path, keys=("id",), partition_cols=("ingest_date",))
+    upsert_partitioned_table(batch, path, keys=("id",), partition_cols=("ingest_date",))
+
+    got = {(r.id, r.v, str(r.ingest_date)) for r in spark.read.parquet(path).collect()}
+    assert got == {
+        (1, "a2", "2025-01-01"),
+        (2, "b", "2025-01-01"),
+        (9, "new", "2025-01-01"),
+        (3, "c", "2025-01-02"),
+    }
+    mtime_after = max(
+        _os.path.getmtime(_os.path.join(untouched, f))
+        for f in _os.listdir(untouched)
+        if f.endswith(".parquet")
+    )
+    assert mtime_after == mtime_before  # untouched partition not rewritten
+
+
 def test_jdbc_append_round_trip(spark, tmp_path):
     """K5 (reference load kernel: s3_to_postgres.py:76-82, row-at-a-time
     ``insert_rows``). The distributed replacement is partition-parallel

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 
 ROOT = "/root/repo"
@@ -54,9 +55,23 @@ def main():
     import duckdb
 
     import __spark_entry__ as e
-    from etl_dag_paris_velib_spark.session import get_spark
 
-    spark = get_spark("diffcheck")
+    if os.environ.get("SPARK_GRAFT_TUNED_SESSION"):
+        from etl_dag_paris_velib_spark.session import get_spark
+
+        spark = get_spark("diffcheck")
+    else:
+        # VANILLA session, deliberately: the driver's correctness harness
+        # builds its own plain SparkSession (round-2 verdict — the tuned
+        # get_spark masked a conf dependency for a whole round). Every
+        # query must be self-sufficient on a session with no repo confs.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("diffcheck-vanilla")
+            .getOrCreate()
+        )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

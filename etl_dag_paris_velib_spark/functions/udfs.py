@@ -26,11 +26,30 @@ from pyspark.sql.types import ArrayType, LongType
 from .text import MINHASH_P
 
 
+#: per-worker md5 memo. The hash UDFs' cost is md5 over shingle/token
+#: OCCURRENCES, but corpora draw from a bounded vocabulary, so the same
+#: string is hashed over and over — across rows, batches, and queries
+#: (Python workers are reused). Bounded: vocabularies that somehow exceed
+#: the cap degrade to plain hashing, never OOM.
+_MD5_HEX_MEMO: dict[str, str] = {}
+_MD5_MEMO_CAP = 1_000_000
+
+
+def _md5_hex(s: str) -> str:
+    v = _MD5_HEX_MEMO.get(s)
+    if v is None:
+        if len(_MD5_HEX_MEMO) >= _MD5_MEMO_CAP:
+            _MD5_HEX_MEMO.clear()
+        v = hashlib.md5(s.encode("utf-8")).hexdigest()
+        _MD5_HEX_MEMO[s] = v
+    return v
+
+
 def _md5_60bit(s: str) -> int:
     """First 15 hex chars of md5 as an int — mirrors the Spark
     ``conv(substring(md5(x), 1, 15), 16, 10)`` / DuckDB
     ``('0x' || substr(md5(x), 1, 15))::UBIGINT`` idiom."""
-    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+    return int(_md5_hex(s)[:15], 16)
 
 
 def make_minhash_sig_udf(k: int = 16):
@@ -46,16 +65,30 @@ def make_minhash_sig_udf(k: int = 16):
     # through the active SparkContext, which may not exist at import time
     @pandas_udf(ArrayType(LongType()))
     def minhash_sig(shingles: pd.Series) -> pd.Series:
-        out = []
-        for arr in shingles:
-            if arr is None or len(arr) == 0:
-                out.append(None if arr is None else [])
+        # batch-level unique-then-gather: hash and permute each DISTINCT
+        # shingle once per Arrow batch (plus the cross-batch _md5_hex
+        # memo), then each row's signature is a gather + min over the
+        # unique-lane matrix. Identical output to the per-row form —
+        # min over a multiset ignores duplication.
+        out = [None] * len(shingles)
+        spans = []
+        flat: list = []
+        for i, arr in enumerate(shingles):
+            if arr is None:
                 continue
-            m = np.fromiter(
-                (_md5_60bit(s) % MINHASH_P for s in arr), np.int64, len(arr)
+            if len(arr) == 0:
+                out[i] = []
+                continue
+            spans.append((i, len(flat), len(flat) + len(arr)))
+            flat.extend(arr)
+        if flat:
+            uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
+            mu = np.fromiter(
+                (_md5_60bit(s) % MINHASH_P for s in uniq), np.int64, len(uniq)
             )
-            lanes = (a[:, None] * m[None, :] + b[:, None]) % MINHASH_P  # (k, n)
-            out.append(lanes.min(axis=1).tolist())
+            lanes_u = (a[:, None] * mu[None, :] + b[:, None]) % MINHASH_P  # (k, u)
+            for i, s0, s1 in spans:
+                out[i] = lanes_u[:, inv[s0:s1]].min(axis=1).tolist()
         return pd.Series(out)
 
     return minhash_sig
@@ -83,9 +116,7 @@ def make_winnow_udf(window: int = 4, hash_chars: int = 16):
             if arr is None:
                 out.append(None)
                 continue
-            hs = [
-                hashlib.md5(s.encode("utf-8")).hexdigest()[:hash_chars] for s in arr
-            ]
+            hs = [_md5_hex(s)[:hash_chars] for s in arr]
             upper = max(len(hs) - (window - 1), 1)
             out.append(sorted({min(hs[i : i + window]) for i in range(upper)}))
         return pd.Series(out)
@@ -135,17 +166,26 @@ def simhash64_udf(tokens: pd.Series) -> pd.Series:
     Bit-identical to :func:`functions.text.simhash64` (which see for the
     bit-vote construction and the DuckDB mirror).
     """
+    # batch-level unique-then-gather (see minhash_sig): bit-vote matrix is
+    # built once per distinct token in the batch; each row sums its slice.
     shifts = np.arange(60, dtype=np.int64)
-    out = []
-    for arr in tokens:
+    out = [None] * len(tokens)
+    spans = []
+    flat: list = []
+    for i, arr in enumerate(tokens):
         if arr is None:
-            out.append(None)
             continue
-        uniq = list(dict.fromkeys(arr))
+        uniq = list(dict.fromkeys(arr))  # per-row distinct, order-free sum
         if not uniq:
-            out.append(0)
+            out[i] = 0
             continue
-        h = np.fromiter((_md5_60bit(t) for t in uniq), np.int64, len(uniq))
-        votes = (((h[:, None] >> shifts[None, :]) & 1) * 2 - 1).sum(axis=0)  # (60,)
-        out.append(int(((votes > 0).astype(np.int64) << shifts).sum()))
+        spans.append((i, len(flat), len(flat) + len(uniq)))
+        flat.extend(uniq)
+    if flat:
+        u, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
+        hu = np.fromiter((_md5_60bit(t) for t in u), np.int64, len(u))
+        bits_u = ((hu[:, None] >> shifts[None, :]) & 1) * 2 - 1  # (u, 60)
+        for i, s0, s1 in spans:
+            votes = bits_u[inv[s0:s1]].sum(axis=0)  # (60,)
+            out[i] = int(((votes > 0).astype(np.int64) << shifts).sum())
     return pd.Series(out)

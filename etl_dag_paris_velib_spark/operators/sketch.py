@@ -1,0 +1,74 @@
+"""Count-min sketch — sublinear frequency estimation as a DataFrame op.
+
+The sketch the reference's append-only event tables want for "who are the
+heavy hitters" questions when the key cardinality is too large for an
+exact groupBy to be cheap. Unlike ``approx_count_distinct`` (HLL, built
+in), Spark exposes no SQL-level count-min query path, so this builds the
+CM table AS a DataFrame: ``depth`` independent hash rows × ``width``
+buckets, each cell the count of keys hashing into it.
+
+Portability is the design center (same rationale as the MinHash family,
+functions/text.py:87): bucket indexes come from the md5-prefix idiom
+``conv(substr(md5('r:key'),1,15),16,10) % width``, which DuckDB evaluates
+bit-identically — so estimates are deterministic cross-engine and the
+driver's differential gate checks the sketch MATH, not a tolerance.
+
+Scale: the sketch state is ``depth × width`` cells regardless of input
+size. Map-side partial aggregation means the only shuffle moves at most
+``depth × width × partitions`` pre-aggregated cells, and the estimate
+join broadcasts the (tiny) sketch — the input table itself never
+re-shuffles. CM guarantees estimate >= true count (no underestimates);
+overestimates are bounded by e·N/width with probability 1 - e^-depth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cm_bucket(row_col: Column, key_str: Column, width: int) -> Column:
+    """md5-prefix bucket index — bit-identical in DuckDB as
+    ``('0x' || substr(md5(r::VARCHAR || ':' || key::VARCHAR), 1, 15))::UBIGINT % width``."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", row_col, key_str)), 1, 15), 16, 10
+    ).cast("long")
+    return (h % F.lit(width)).alias("bucket")
+
+
+def count_min_table(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Build the CM table: (r, bucket, c) with one row per non-empty cell.
+
+    Each input row fans out to ``depth`` (r, bucket) cells; the groupBy
+    partially aggregates map-side, so the shuffle carries cells, not rows.
+    """
+    keyed = df.select(F.col(key_col).cast("string").alias("k")).select(
+        "k", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
+    )
+    return (
+        keyed.select("r", _cm_bucket(F.col("r"), F.col("k"), width))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cm_estimate(
+    cm: DataFrame, keys: DataFrame, key_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Point-query the sketch for each key in ``keys``: the estimate is
+    the MIN over the key's ``depth`` cells. The CM table is broadcast
+    (≤ depth × width rows by construction); ``keys`` keeps its columns.
+    """
+    probes = keys.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
+    ).withColumn(
+        "bucket", _cm_bucket(F.col("r"), F.col(key_col).cast("string"), width)
+    )
+    others = [c for c in keys.columns]
+    return (
+        probes.join(F.broadcast(cm), ["r", "bucket"])
+        .groupBy(*others)
+        .agg(F.min("c").alias("cm_est"))
+    )

@@ -9,9 +9,11 @@ from __future__ import annotations
 from .llm import L as _llm
 from .relational import R as _relational
 from .spec import QuerySpec, Registry
+from .temporal import T as _temporal
 
 REGISTRY = Registry()
 REGISTRY.merge(_relational)
 REGISTRY.merge(_llm)
+REGISTRY.merge(_temporal)
 
 __all__ = ["REGISTRY", "QuerySpec", "Registry"]

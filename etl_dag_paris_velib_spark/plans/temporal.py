@@ -1,0 +1,149 @@
+"""Temporal & sketch query surface: range join, gap-filled hypertable
+rollup, count-min heavy hitters.
+
+The reference's two tables accumulate hourly observations
+(`etl_dag.py:317` @hourly; event time at `etl_dag.py:240`) — these specs
+are the time-series questions such tables exist to answer, each built the
+way it must be built at 100 TB:
+
+- q49: range self-join WITHOUT an equi-key via gap-width bucketization
+  (operators/rangejoin.py) — never a BroadcastNestedLoopJoin.
+- q50: time-bucketed rollup with GAP-FILLED empty buckets (the
+  hypertable/time_bucket_gapfill shape) — the dense grid is generated,
+  not scanned, so its cost is O(hours × types), independent of fact size.
+- q51: count-min sketch heavy-hitter estimates (operators/sketch.py) —
+  sketch state is depth×width cells regardless of input size, and the
+  md5-bucket construction is bit-identical in DuckDB so the oracle
+  checks the estimates exactly, no tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.rangejoin import range_self_join_pairs
+from ..operators.sketch import cm_estimate, count_min_table
+from ..sources.tpch import load_table
+from .spec import Registry
+
+T = Registry()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# q49 — range self-join: purchase pairs within 30 seconds
+# ---------------------------------------------------------------------------
+@T.add(
+    "q49_range_join_pairs",
+    oracle="""
+SELECT a.event_id AS id_a, b.event_id AS id_b,
+       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM events a JOIN events b
+  ON b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 SECOND
+ AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+WHERE a.event_type = 'purchase' AND b.event_type = 'purchase'
+""",
+    doc="Range join with no equi-key: ordered pairs of purchase events "
+    "within 30 seconds of each other. Spark side bucketizes the timestamp "
+    "to gap width and equi-joins on the bucket id "
+    "(operators/rangejoin.py:range_self_join_pairs) — a naive range "
+    "predicate plans as BroadcastNestedLoopJoin (all-pairs), which the "
+    "plan lock in tests/test_plans.py forbids. DuckDB's IEJoin handles "
+    "the raw inequality form natively, making it the exact oracle.",
+    tags=("join", "range", "temporal"),
+)
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "ts")
+    )
+    return range_self_join_pairs(ev, ts_col="ts", id_col="event_id", max_gap_seconds=30)
+
+
+# ---------------------------------------------------------------------------
+# q50 — gap-filled hourly rollup (hypertable time_bucket_gapfill shape)
+# ---------------------------------------------------------------------------
+@T.add(
+    "q50_gapfill_rollup",
+    oracle="""
+WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds),
+types AS (SELECT DISTINCT event_type FROM ev),
+hourly AS (SELECT event_type, h, count(*) AS n FROM ev GROUP BY 1, 2)
+SELECT t.event_type, hr.h AS bucket_hour,
+       CAST(coalesce(hy.n, 0) AS BIGINT) AS n_events
+FROM types t CROSS JOIN hours hr
+LEFT JOIN hourly hy ON hy.event_type = t.event_type AND hy.h = hr.h
+""",
+    doc="Hourly event counts per type with MISSING HOURS FILLED with 0 — "
+    "the hypertable rollup + gapfill shape. The dense (type × hour) grid "
+    "is GENERATED from one global min/max agg via sequence()+explode, "
+    "never scanned, so grid cost is independent of fact-table size; the "
+    "fact table contributes one partial-agg shuffle, and the grid↔hourly "
+    "join broadcasts the aggregated side (≤ types × active hours rows).",
+    tags=("agg", "temporal", "gapfill"),
+)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    )
+    hourly = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("n"))
+    bounds = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    hours = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    grid = ev.select("event_type").distinct().crossJoin(hours)
+    return grid.join(F.broadcast(hourly), ["event_type", "h"], "left").select(
+        "event_type",
+        F.col("h").alias("bucket_hour"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q51 — count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+@T.add(
+    "q51_countmin_heavy_hitters",
+    oracle="""
+WITH rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+cm AS (
+  SELECT rs.r,
+         ('0x' || substr(md5(rs.r::VARCHAR || ':' || user_id::VARCHAR), 1, 15))::UBIGINT % 64 AS bucket,
+         count(*) AS c
+  FROM events CROSS JOIN rs GROUP BY 1, 2
+),
+top AS (
+  SELECT user_id, count(*) AS exact_cnt FROM events
+  GROUP BY 1 ORDER BY exact_cnt DESC, user_id LIMIT 10
+)
+SELECT t.user_id, t.exact_cnt, CAST(min(cm.c) AS BIGINT) AS cm_est
+FROM top t CROSS JOIN rs
+JOIN cm ON cm.r = rs.r
+ AND cm.bucket = ('0x' || substr(md5(rs.r::VARCHAR || ':' || t.user_id::VARCHAR), 1, 15))::UBIGINT % 64
+GROUP BY 1, 2
+""",
+    doc="Count-min sketch (depth 4 × width 64) frequency estimates for "
+    "the top-10 exact heavy hitters (operators/sketch.py). Bucket "
+    "indexes use the portable md5-prefix idiom, so the DuckDB oracle "
+    "reproduces the estimates BIT-IDENTICALLY — the gate verifies the "
+    "sketch math (including its deliberate collisions at width 64 ≪ 150 "
+    "users), not a tolerance band. CM guarantees cm_est >= exact_cnt.",
+    tags=("agg", "sketch", "approx"),
+)
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cm = count_min_table(ev, "user_id", depth=4, width=64)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("user_id"))
+        .limit(10)
+    )
+    return cm_estimate(cm, top, "user_id", depth=4, width=64)

@@ -577,3 +577,82 @@ def all_pairs_nn(
     return cells.groupBy("vec_id").agg(best).select(
         "vec_id", F.col("m.nn_id").alias("nn_id"), F.col("m.score").alias("score")
     )
+
+
+def cosine_threshold_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    left_blocks: int = 4,
+    index_shards: int = 4,
+) -> DataFrame:
+    """All pairs (id_a < id_b, cosine >= threshold) — the embedding-cosine
+    near-dup JOIN, and the candidate generator for embedding dedup (drop
+    every row with a kept lower-id row above the threshold).
+
+    Same distributed block-matmul shape as :func:`all_pairs_nn` (hash into
+    blocks × shards, cogroup, one GEMM per cell, nothing collected or
+    broadcast); the cell masks ``id_a < id_b`` so each qualifying pair is
+    emitted by exactly one cell — the (block(a), shard(b)) one — and no
+    distinct pass is needed. Output size is bounded by the corpus's real
+    near-dup structure, not n²; the GEMM still *scores* all pairs, which
+    is the exact-baseline contract — at 100 TB route through
+    :func:`ivf_topk`-style pruning first and keep this as the verifier.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    spark = embeddings.sparkSession
+    base = _as_double(embeddings, id_col, vec_col).select("vec_id", "v")
+    nb, ns = int(left_blocks), int(index_shards)
+    thr = float(threshold)
+
+    blocks = spark.range(nb).select(F.col("id").cast("int").alias("bi"))
+    shards = spark.range(ns).select(F.col("id").cast("int").alias("sj"))
+
+    left_rep = base.withColumn(
+        "bi", F.pmod(F.crc32(F.col("vec_id").cast("string")), F.lit(nb)).cast("int")
+    ).crossJoin(F.broadcast(shards))
+    right_rep = (
+        base.select(F.col("vec_id").alias("id_b"), F.col("v").alias("rv"))
+        .withColumn(
+            "sj", F.pmod(F.crc32(F.col("id_b").cast("string")), F.lit(ns)).cast("int")
+        )
+        .crossJoin(F.broadcast(blocks))
+    )
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+
+    def pairs_cell(left_pdf: "pd.DataFrame", right_pdf: "pd.DataFrame"):
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "score": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "score": "float64"}
+        )
+        if not len(left_pdf) or not len(right_pdf):
+            return empty
+        l_ids = left_pdf["vec_id"].to_numpy()
+        r_ids = right_pdf["id_b"].to_numpy()
+        l_mat = np.array(left_pdf["v"].tolist(), dtype=np.float64)
+        r_mat = np.array(right_pdf["rv"].tolist(), dtype=np.float64)
+        l_mat /= np.linalg.norm(l_mat, axis=1, keepdims=True)
+        r_mat /= np.linalg.norm(r_mat, axis=1, keepdims=True)
+        scores = l_mat @ r_mat.T
+        ia, ib = np.nonzero((l_ids[:, None] < r_ids[None, :]) & (scores >= thr))
+        if not len(ia):
+            return empty
+        return pd.DataFrame(
+            {"id_a": l_ids[ia], "id_b": r_ids[ib], "score": scores[ia, ib]}
+        )
+
+    return (
+        left_rep.groupBy("bi", "sj")
+        .cogroup(right_rep.groupBy("bi", "sj"))
+        .applyInPandas(pairs_cell, out_schema)
+    )

@@ -24,6 +24,7 @@ from ..operators.dedup import bow_dedup, exact_dedup
 from ..operators.similarity import (
     all_pairs_nn,
     brute_force_topk,
+    cosine_threshold_pairs,
     ivf_topk,
     make_query_set,
     minhash_lsh_pairs,
@@ -1177,3 +1178,36 @@ SELECT vec_id, nn_id, round(c, 6) AS score FROM r WHERE rn = 1
 def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = all_pairs_nn(_emb(spark, sf_dir))
     return nn.select("vec_id", "nn_id", F.round("score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# q52 — embedding-cosine dedup (keep-lowest-id survivors)
+# ---------------------------------------------------------------------------
+@L.add(
+    "q52_embedding_dedup",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT e.vec_id FROM e
+WHERE NOT EXISTS (
+  SELECT 1 FROM e o
+  WHERE o.vec_id < e.vec_id
+    AND list_dot_product(o.v, e.v)
+          / (sqrt(list_dot_product(o.v, o.v)) * sqrt(list_dot_product(e.v, e.v))) >= 0.45
+)
+""",
+    doc="Embedding-cosine NEAR-DUP DEDUP: drop every vector that has a "
+    "lower-id vector at cosine >= 0.45; survivors keep the smallest id "
+    "per near-dup neighborhood (operators/similarity.py:"
+    "cosine_threshold_pairs + anti-join). Threshold chosen off any "
+    "pair's value by >= 5e-4 on this corpus, so the cross-engine "
+    "float-fold ulp (~1e-12) cannot flip a comparison. Scale: block "
+    "matmul emits only above-threshold pairs (each from exactly one "
+    "cell); the anti-join shuffles ids only.",
+    tags=("vector", "dedup", "llm"),
+)
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    dropped = cosine_threshold_pairs(emb, threshold=0.45).select(
+        F.col("id_b").alias("vec_id")
+    )
+    return emb.select("vec_id").join(dropped, "vec_id", "left_anti")

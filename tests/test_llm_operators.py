@@ -321,3 +321,52 @@ def test_operators_handle_empty_input(spark):
         embedding_kmeans(empty_emb)
     assert chunk_documents(empty).count() == 0
     assert quality_features(empty).count() == 0
+
+
+def test_cosine_threshold_pairs_matches_bruteforce(spark):
+    """Block-matmul above-threshold pairs == the naive all-pairs predicate
+    (id_a < id_b, each pair exactly once), with block/shard counts forced
+    above 1 so the no-duplicate-emission property is actually exercised."""
+    from pyspark.sql import functions as F
+
+    from etl_dag_paris_velib_spark.operators.similarity import (
+        cosine_threshold_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    got = {
+        (r.id_a, r.id_b)
+        for r in cosine_threshold_pairs(
+            emb, threshold=0.45, left_blocks=3, index_shards=2
+        ).collect()
+    }
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.v", "b.v", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(
+        F.aggregate(
+            F.transform(f"{side}.v", lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    naive = {
+        (r.id_a, r.id_b)
+        for r in a.crossJoin(b)
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            (dot / (norm("a") * norm("b"))).alias("c"),
+        )
+        .filter(F.col("c") >= 0.45)
+        .collect()
+    }
+    assert got == naive
+    assert len(got) > 0  # threshold chosen so the corpus HAS pairs

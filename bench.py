@@ -44,8 +44,20 @@ def main():
     def force(df):
         df.write.format("noop").mode("overwrite").save()
 
-    # warmup: run the flagship once to pay JVM + codegen startup
+    # warmup: run the flagship once to pay JVM + codegen startup, then
+    # one tiny Arrow pandas-UDF call on SYNTHETIC strings (not corpus
+    # data — this warms the Python worker pool / Arrow serializer the
+    # JVM-only flagship never touches, without precomputing any query's
+    # actual work)
     force(next(iter(qs.values()))(spark, sf_dir))
+    from pyspark.sql import functions as F
+
+    from etl_dag_paris_velib_spark.functions.udfs import make_minhash_sig_udf
+
+    warm = spark.range(64).select(
+        F.array(F.concat(F.lit("warm-"), F.col("id").cast("string"))).alias("sh")
+    )
+    force(warm.select(make_minhash_sig_udf(4)(F.col("sh"))))
 
     timings: dict[str, float] = {}
     for name, fn in sorted(qs.items()):

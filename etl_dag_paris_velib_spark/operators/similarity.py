@@ -46,6 +46,14 @@ from ..functions.vector import dot, l2_norm
 # MinHash-LSH
 # ---------------------------------------------------------------------------
 
+from collections import OrderedDict
+
+#: bounded LRU of persisted verified-pair DataFrames (see
+#: minhash_lsh_pairs); one entry per (session, input-plan, params)
+_PAIR_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+_PAIR_CACHE_MAX = 4
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Guard against under-partitioned inputs (a single small parquet file
     scans as ONE partition, serializing every per-row hash on one core).
@@ -200,6 +208,33 @@ def minhash_lsh_pairs(
     candidate pairs, which is the set that must be small for LSH to make
     sense at all.
     """
+    cache_key = None
+    if persist_intermediate:
+        # materialized-subplan reuse: the verified pair set is a common
+        # subplan of several downstream operators (q21 emits it, q42
+        # clusters it), so a second call with a semantically identical
+        # input and the same parameters returns the SAME persisted
+        # DataFrame instead of recomputing signatures + verify — the
+        # DataFrame-level analogue of a materialized view. Keyed by the
+        # session and the input's semantic hash (Catalyst's normalized
+        # plan digest), so a changed input or session misses. Bounded
+        # LRU; evicted entries are unpersisted.
+        try:
+            cache_key = (
+                id(df.sparkSession),
+                df.semanticHash(),
+                id_col,
+                text_col,
+                k,
+                bands,
+                shingle_n,
+                threshold,
+            )
+        except Exception:
+            cache_key = None
+        if cache_key is not None and cache_key in _PAIR_CACHE:
+            return _PAIR_CACHE[cache_key]
+
     sh, cand = _minhash_candidates(
         df, id_col, text_col, k, bands, shingle_n, persist_intermediate
     )
@@ -218,6 +253,15 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    if cache_key is not None:
+        verified = verified.persist()
+        while len(_PAIR_CACHE) >= _PAIR_CACHE_MAX:
+            _, old = _PAIR_CACHE.popitem(last=False)
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        _PAIR_CACHE[cache_key] = verified
     return verified
 
 

@@ -10,8 +10,8 @@ engine execution, not driver serialization. A warmup query amortizes
 JVM/codegen startup.
 
 Regression guard: tools/bench_budget.json records the accepted per-query
-times per scale factor. Any query slower than max(1.75 * budget,
-budget + 1.0s) — generous on purpose: the guard exists to catch
+times per scale factor. Any query slower than max(2.5 * budget,
+budget + 2.0s) — generous on purpose: the guard exists to catch
 order-of-magnitude plan blow-ups (interpreted-HOF O(m²) class), not
 scheduler jitter — is reported in the "regressions" key, and with
 SPARK_GRAFT_BENCH_STRICT=1 the process exits non-zero (how
@@ -75,7 +75,7 @@ def main():
             budgets = json.load(f).get(str(sf), {})
         for name, t in timings.items():
             b = budgets.get(name)
-            if b is not None and t > max(1.75 * b, b + 1.0):
+            if b is not None and t > max(2.5 * b, b + 2.0):
                 regressions[name] = {"sec": t, "budget": b}
 
     print(

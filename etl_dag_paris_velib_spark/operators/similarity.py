@@ -126,11 +126,32 @@ def _minhash_candidates(
     the shingle sets (Jaccard verify does; edit-distance verify joins raw
     text instead) — the signature chain itself reads them once, so
     persisting for a single consumer would just burn cache (see module
-    docstring for the cache-lifetime contract)."""
+    docstring for the cache-lifetime contract).
+
+    The candidate-pair set is cached across calls like the verified pairs
+    (same semantic-hash key; see minhash_lsh_pairs): the Jaccard family
+    (q21/q42) and the edit-distance family (q46) share the identical
+    signature → band → bucket chain, so the second family re-verifies
+    from the cached candidates instead of re-hashing the corpus."""
     r = k // bands
+    try:
+        cache_key = (
+            "cand",
+            id(df.sparkSession),
+            df.semanticHash(),
+            id_col,
+            text_col,
+            k,
+            bands,
+            shingle_n,
+        )
+    except Exception:
+        cache_key = None
     sh = _shingle_sets(df, id_col, text_col, shingle_n)
     if persist_shingles:
         sh = sh.persist()
+    if cache_key is not None and cache_key in _PAIR_CACHE:
+        return sh, _PAIR_CACHE[cache_key]
     # Arrow-vectorized signature (bit-identical to the JVM
     # functions.text.minhash_signature_int; see functions/udfs.py for why
     # the UDF wins here: HOF lambdas are interpreted, k x |shingles| evals)
@@ -145,7 +166,17 @@ def _minhash_candidates(
         ]
     )
     banded = sig.select("id", F.posexplode(band_arr).alias("band", "band_key"))
-    return sh, _bucket_pairs(banded, F.col("id"))
+    cand = _bucket_pairs(banded, F.col("id"))
+    if cache_key is not None:
+        cand = cand.persist()
+        while len(_PAIR_CACHE) >= _PAIR_CACHE_MAX:
+            _, old = _PAIR_CACHE.popitem(last=False)
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        _PAIR_CACHE[cache_key] = cand
+    return sh, cand
 
 
 def edit_distance_pairs(

@@ -1,6 +1,6 @@
 """Perf-regression guard: run the full bench at sf0.01 in strict mode
-against tools/bench_budget.json. A query slower than max(1.75 * budget,
-budget + 1.0s) fails the bench process (exit 2) and therefore this test
+against tools/bench_budget.json. A query slower than max(2.5 * budget,
+budget + 2.0s) fails the bench process (exit 2) and therefore this test
 — protecting, e.g., the round-2 O(m²) winnowing/chunking fixes from
 silently regressing. Budgets are re-recorded by running bench.py at each
 sf and committing the timings (see bench.py docstring)."""

@@ -248,6 +248,63 @@ def extract_features(df: DataFrame, real: bool = False) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(feat_batches, schema)
 
 
+def resize_pixels(pixels: "np.ndarray", out_h: int, out_w: int) -> "np.ndarray":
+    """Nearest-neighbor resample to (out_h, out_w, 3) — pure numpy index
+    gather (the standard pixel-grid mapping: output pixel i samples input
+    row floor((i + 0.5) * H/out_h)). Deterministic, no interpolation
+    dependencies; swap in PIL/opencv for bilinear on a real cluster."""
+    h, w = pixels.shape[:2]
+    rows = ((np.arange(out_h) + 0.5) * (h / out_h)).astype(np.int64).clip(0, h - 1)
+    cols = ((np.arange(out_w) + 0.5) * (w / out_w)).astype(np.int64).clip(0, w - 1)
+    return pixels[rows[:, None], cols[None, :]]
+
+
+def encode_ppm(pixels: "np.ndarray") -> bytes:
+    """(H, W, 3) uint8 -> P6 PPM bytes (inverse of the decode path, so a
+    resized payload round-trips through decode_image)."""
+    h, w = pixels.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.astype(np.uint8).tobytes()
+
+
+def resize_media(df: DataFrame, out_h: int, out_w: int) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode (P6), per media row
+    via ``mapInPandas``: the canonical normalize-resolution step before
+    batch feature extraction. The output payload is again an opaque
+    binary column (re-decodable by :func:`decode_image`), so resize
+    composes with decode_media/extract_features in one lazy plan. Only
+    the genuinely decodable formats are accepted — this op has no fake
+    path; it IS the real path."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_ppm(resize_pixels(decode_image(bytes(p)), out_h, out_w))
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "width": out_w,
+                    "height": out_h,
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("kind", StringType()),
+            StructField("payload", BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+    return df.select("media_id", "kind", "payload").mapInPandas(
+        resize_batches, schema
+    )
+
+
 def sample_frames(df: DataFrame, every_nth: int = 8) -> DataFrame:
     """1 video row -> N sampled frame rows, fanned out inside the Arrow
     batch (the UDTF shape expressed as mapInPandas so the fan-out happens

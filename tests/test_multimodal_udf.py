@@ -190,3 +190,36 @@ def test_chunk_udtf_matches_jvm_chunker(spark):
         for r in got
     }
     assert udtf_hashes == jvm
+
+
+def test_resize_media_round_trips_through_decode(spark):
+    """resize -> re-encode must produce payloads decode_image can read
+    back at the target resolution, with pixel values drawn from the
+    source (nearest-neighbor: no new colors invented)."""
+    from etl_dag_paris_velib_spark.operators.multimodal import (
+        decode_image,
+        resize_media,
+    )
+
+    ppm = _ppm_bytes(9, 5, (10, 20, 30))
+    bmp = _bmp_bytes(3, 2, [[(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+                            [(1, 2, 3), (4, 5, 6), (7, 8, 9)]])
+    df = spark.createDataFrame(
+        [(1, "image", ppm), (2, "image", bmp)],
+        "media_id long, kind string, payload binary",
+    )
+    out = {r.media_id: r for r in resize_media(df, out_h=4, out_w=4).collect()}
+    assert set(out) == {1, 2}
+    for mid, r in out.items():
+        assert (r.width, r.height) == (4, 4)
+        px = decode_image(bytes(r.payload))
+        assert px.shape == (4, 4, 3)
+    # uniform source stays uniform after resize
+    px1 = decode_image(bytes(out[1].payload))
+    import numpy as np
+
+    assert (px1 == np.array([10, 20, 30], dtype=np.uint8)).all()
+    # nearest-neighbor only copies existing pixels
+    src_px = {tuple(p) for row in decode_image(bmp).tolist() for p in row}
+    got_px = {tuple(p) for row in decode_image(bytes(out[2].payload)).tolist() for p in row}
+    assert got_px <= src_px

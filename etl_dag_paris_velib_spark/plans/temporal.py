@@ -147,3 +147,44 @@ def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
     )
     return cm_estimate(cm, top, "user_id", depth=4, width=64)
+
+
+# ---------------------------------------------------------------------------
+# q53 — bloom-pruned semi join
+# ---------------------------------------------------------------------------
+@T.add(
+    "q53_bloom_semi_join",
+    oracle="""
+SELECT l_returnflag, count(*) AS n_rows,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+GROUP BY l_returnflag
+""",
+    doc="Exact semi-join of lineitem against urgent orders with a "
+    "BLOOM-FILTER map-side pre-prune (operators/bloom.py): the dim keys "
+    "build a fixed-size broadcast bitmap, the fact side drops most "
+    "non-matching rows before its join Exchange, and the exact semi-join "
+    "on the survivors removes bloom false positives — so the result (and "
+    "the oracle) is the plain semi-join, while the shuffle sees only "
+    "survivors. The explicit form of Spark's runtime bloom-filter join.",
+    tags=("join", "sketch", "prune"),
+)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    j = bloom_semi_join(li, dim, fact_key="l_orderkey", dim_key="o_orderkey")
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

@@ -104,3 +104,47 @@ def test_gapfill_grid_is_dense_and_mass_conserving(spark):
 
     assert total == load_table(spark, "events", SF_SMOKE).count()  # fill adds 0s only
     assert any(r.n_events == 0 for r in out)  # and there ARE gaps to fill
+
+
+def test_bloom_semi_join_exact_and_pruning(spark):
+    """bloom_semi_join must equal the plain left-semi join (false
+    positives die at the exact join); bloom_prune must pass a superset of
+    true matches while dropping most non-matching rows."""
+    from etl_dag_paris_velib_spark.operators.bloom import (
+        bloom_build,
+        bloom_prune,
+        bloom_semi_join,
+    )
+    from etl_dag_paris_velib_spark.sources.tpch import load_table
+
+    li = load_table(spark, "lineitem", SF_SMOKE)
+    dim = (
+        load_table(spark, "orders", SF_SMOKE)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    got = {
+        r.l_orderkey
+        for r in bloom_semi_join(li, dim, "l_orderkey", "o_orderkey")
+        .select("l_orderkey")
+        .collect()
+    }
+    plain = {
+        r.l_orderkey
+        for r in li.join(
+            dim, li.l_orderkey == dim.o_orderkey, "left_semi"
+        )
+        .select("l_orderkey")
+        .collect()
+    }
+    assert got == plain and got  # exact, and non-vacuous
+
+    bloom = bloom_build(dim, "o_orderkey")
+    n_fact = li.count()
+    n_true = li.filter(F.col("l_orderkey").isin(plain)).count()
+    n_pruned = bloom_prune(li, "l_orderkey", bloom).count()
+    assert n_true <= n_pruned  # never drops a true match
+    assert n_pruned < n_fact  # and actually prunes
+    # at 64k bits / 3 probes over ~300 keys the fp rate is ~0: the pass
+    # set should hug the true set, not the fact table
+    assert n_pruned <= int(n_true * 1.05) + 10

@@ -111,14 +111,35 @@ def make_winnow_udf(window: int = 4, hash_chars: int = 16):
 
     @pandas_udf(ArrayType(StringType()))
     def winnow(shingles: pd.Series) -> pd.Series:
-        out = []
-        for arr in shingles:
+        # batch-level unique hashing (see minhash_sig) + vectorized
+        # sliding-window min: fixed-width lowercase hex compares
+        # lexicographically exactly as its uint64 value compares
+        # numerically, so the min runs on integers and only the final
+        # distinct survivors are formatted back to hex.
+        out = [None] * len(shingles)
+        spans = []
+        flat: list = []
+        for i, arr in enumerate(shingles):
             if arr is None:
-                out.append(None)
                 continue
-            hs = [_md5_hex(s)[:hash_chars] for s in arr]
-            upper = max(len(hs) - (window - 1), 1)
-            out.append(sorted({min(hs[i : i + window]) for i in range(upper)}))
+            if len(arr) == 0:
+                out[i] = []
+                continue
+            spans.append((i, len(flat), len(flat) + len(arr)))
+            flat.extend(arr)
+        if flat:
+            uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
+            hv = np.array(
+                [int(_md5_hex(s)[:hash_chars], 16) for s in uniq], dtype=np.uint64
+            )
+            vals = hv[inv]
+            win = np.lib.stride_tricks.sliding_window_view
+            for i, s0, s1 in spans:
+                v = vals[s0:s1]
+                mins = win(v, window).min(axis=1) if len(v) >= window else v.min(
+                    keepdims=True
+                )
+                out[i] = [format(int(x), f"0{hash_chars}x") for x in np.unique(mins)]
         return pd.Series(out)
 
     return winnow

@@ -290,3 +290,56 @@ def run_available_now(
             f"{timeout_sec}s — results would be partial"
         )
     return q
+
+
+def stream_upsert_gold(
+    deduped: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    keys: tuple[str, ...] = ("station_id",),
+    partition_cols: tuple[str, ...] = ("ingest_date",),
+    timeout_sec: int = 120,
+):
+    """Stream → gold-table MERGE: every micro-batch upserts into a
+    partitioned parquet table via ``foreachBatch`` +
+    :func:`..sinks.writers.upsert_partitioned_table` — the CDC pattern
+    the reference's hourly append-only load implies but cannot express
+    (a station re-reporting should REPLACE its row, not duplicate it;
+    the reference's Postgres table accumulates duplicates,
+    s3_to_postgres.py:76-82).
+
+    foreachBatch is the idiomatic Spark seam for sinks without native
+    streaming support (JDBC, MERGE targets): exactly-once comes from the
+    checkpoint's batch-id tracking plus the upsert's idempotence — a
+    replayed batch re-merges the same rows to the same keys, a no-op.
+    Scale: each batch touches only the partitions it carries (the upsert
+    is partition-pruned), so an hourly batch moves an hour of data
+    regardless of table size.
+
+    Drains with availableNow (hourly-poll semantics) and returns the
+    finished query.
+    """
+    from ..sinks.writers import upsert_partitioned_table
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        with_parts = batch_df.withColumn(
+            "ingest_date", F.to_date(F.col("last_reported"))
+        )
+        upsert_partitioned_table(
+            with_parts, path, keys=keys, partition_cols=partition_cols
+        )
+
+    q = (
+        deduped.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"stream upsert into {path!r} did not finish within {timeout_sec}s"
+        )
+    return q

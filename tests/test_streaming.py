@@ -217,3 +217,49 @@ def test_session_windows(spark, bronze_dir):
         else:
             assert not two_session_stations
         assert set(per_station) == set(sid)
+
+
+def test_stream_upsert_gold_merges_latest_per_station(spark, bronze_dir, tmp_path):
+    """foreachBatch MERGE sink: after draining both polls, the gold table
+    holds ONE row per (station_id, last_reported) key set reduced to the
+    latest state per station via upsert-by-key, and a re-drain with no new
+    files changes nothing (checkpoint + idempotent merge)."""
+    from etl_dag_paris_velib_spark.streaming.gbfs import stream_upsert_gold
+
+    gold = str(tmp_path / "gold")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = read_station_status_stream(spark, bronze_dir, max_files_per_trigger=1)
+    flat = flatten_station_status(stream)
+    latest_cols = flat.select(
+        "station_id", "last_reported", "num_bikes_available"
+    )
+    stream_upsert_gold(
+        latest_cols, gold, ckpt, keys=("station_id", "last_reported")
+    )
+    first = {
+        (r.station_id, int(r.last_reported.timestamp()), r.num_bikes_available)
+        for r in spark.read.parquet(gold).collect()
+    }
+    # poll 2's stale re-report of station 0 collapses onto the same key;
+    # station 1 contributes its original AND advanced readings (distinct keys)
+    by_station = {}
+    for sid, ts, n in first:
+        by_station.setdefault(sid, []).append((ts, n))
+    assert any(len(v) == 2 for v in by_station.values())  # advanced reading kept
+    assert all(len(v) <= 2 for v in by_station.values())  # stale dup merged
+
+    # re-drain: no new files -> no change
+    stream_upsert_gold(
+        flatten_station_status(
+            read_station_status_stream(spark, bronze_dir, max_files_per_trigger=1)
+        ).select("station_id", "last_reported", "num_bikes_available"),
+        gold,
+        ckpt,
+        keys=("station_id", "last_reported"),
+    )
+    second = {
+        (r.station_id, int(r.last_reported.timestamp()), r.num_bikes_available)
+        for r in spark.read.parquet(gold).collect()
+    }
+    assert second == first

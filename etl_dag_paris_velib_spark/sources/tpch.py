@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import os
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -12,9 +13,22 @@ from ..schemas import TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Per-session DataFrame cache. spark.read.parquet() lists the path and reads
+# a footer for schema on every call; across a 50+ query suite each table is
+# re-opened dozens of times for identical immutable testdata. DataFrames are
+# immutable lazy plans, so handing back the same object is safe; keying on
+# the session (weakly — a stopped session must not be pinned) keeps plans
+# from leaking across JVMs.
+_TABLE_CACHE: WeakKeyDictionary = WeakKeyDictionary()
+
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or DEFAULT_SF_DIR
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
     # Runtime-settable SQL conf: a vanilla SparkSession (e.g. an external
     # harness that did not go through session.get_spark) must still be able
     # to read events.parquet's INT64 TIMESTAMP(NANOS) column. Setting it
@@ -29,6 +43,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     # through double and lose sub-microsecond precision at 1.7e18 nanos.
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    per_session[key] = df
     return df
 
 

@@ -6,6 +6,7 @@
 
 from __future__ import annotations
 
+from .curation import C as _curation
 from .llm import L as _llm
 from .relational import R as _relational
 from .spec import QuerySpec, Registry
@@ -15,5 +16,6 @@ REGISTRY = Registry()
 REGISTRY.merge(_relational)
 REGISTRY.merge(_llm)
 REGISTRY.merge(_temporal)
+REGISTRY.merge(_curation)
 
 __all__ = ["REGISTRY", "QuerySpec", "Registry"]

@@ -1,0 +1,118 @@
+"""Curation query surface (plans/curation.py): planted-case semantics plus
+the plan locks its 100 TB story depends on (q55's benchmark side broadcast,
+q54 join-free). The differential gate (tools/diffcheck.py) covers oracle
+parity; these tests pin behavior on hand-built rows where the expected
+values are computable by eye."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from etl_dag_paris_velib_spark.plans.curation import BENCH_SOURCES
+from tests.conftest import SF_SMOKE
+
+
+def _plan(spark, name):
+    df = entrymod.queries()[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q54_repetition_fractions_planted(spark):
+    # "a a a a" -> top unigram 4/4, bigrams "a a" x3 -> 3/3, trigrams dup 2/3
+    # "w x y z" -> all distinct: top uni 1/4, top bi 1/3, dup tri 0
+    from etl_dag_paris_velib_spark.plans.curation import q54
+    import etl_dag_paris_velib_spark.plans.curation as cur
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a a a a"), Row(doc_id=2, text="w x y z")]
+    )
+    orig = cur._docs
+    cur._docs = lambda s, d: df
+    try:
+        out = {r.doc_id: r for r in q54(spark, "ignored").collect()}
+    finally:
+        cur._docs = orig
+    assert out[1].n_tokens == 4
+    assert out[1].top_unigram_frac == 1.0
+    assert out[1].top_bigram_frac == 1.0
+    assert out[1].dup_trigram_frac == pytest.approx(1 - 1 / 2)
+    assert out[2].top_unigram_frac == 0.25
+    assert out[2].top_bigram_frac == pytest.approx(round(1 / 3, 6))
+    assert out[2].dup_trigram_frac == 0.0
+
+
+def test_q55_flags_planted_contamination(spark):
+    # train doc 3 shares its full 8-gram with benchmark doc 1; doc 4 shares
+    # nothing. Only doc 3 is flagged, with frac 1.0 (its only shingle hits).
+    from etl_dag_paris_velib_spark.plans.curation import q55
+    import etl_dag_paris_velib_spark.plans.curation as cur
+
+    eight = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, source=BENCH_SOURCES[0], text=eight),
+            Row(doc_id=3, source="srcX", text=eight),
+            Row(doc_id=4, source="srcX", text="alpha beta gamma delta e f g h"),
+        ]
+    )
+    orig = cur._docs
+    cur._docs = lambda s, d: df
+    try:
+        rows = {r.doc_id: r for r in q55(spark, "ignored").collect()}
+    finally:
+        cur._docs = orig
+    assert set(rows) == {3}
+    assert rows[3].n_hits == 1 and rows[3].contamination_frac == 1.0
+
+
+def test_q55_benchmark_side_is_broadcast(spark):
+    plan = _plan(spark, "q55_decontamination")
+    assert "BroadcastHashJoin" in plan
+    # the contamination probe itself must not shuffle-join the train side
+    assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0]
+
+
+def test_q54_is_join_free(spark):
+    plan = _plan(spark, "q54_repetition_signals")
+    assert "Join" not in plan
+
+
+def test_q56_canonical_is_best_member(spark):
+    # Canonical doc must belong to its component and carry the component's
+    # max quality score (cross-checked against q42 + q26 outputs).
+    comp = {
+        r.doc_id: r.component
+        for r in entrymod.queries()["q42_dedup_clusters"](spark, SF_SMOKE).collect()
+    }
+    qual = {
+        r.doc_id: r.quality_score
+        for r in entrymod.queries()["q26_quality_score"](spark, SF_SMOKE).collect()
+    }
+    rows = entrymod.queries()["q56_canonical_docs"](spark, SF_SMOKE).collect()
+    assert rows
+    members_by_comp: dict = {}
+    for d, c in comp.items():
+        members_by_comp.setdefault(c, []).append(d)
+    for r in rows:
+        assert comp[r.canonical_doc_id] == r.component
+        assert r.n_members == len(members_by_comp[r.component])
+        assert r.best_quality == max(qual[d] for d in members_by_comp[r.component])
+
+
+def test_q57_codes_roundtrip_and_bound(spark):
+    rows = entrymod.queries()["q57_quantized_embeddings"](spark, SF_SMOKE).collect()
+    assert rows and all(r.err_within_bound for r in rows)
+    assert all(r.scale > 0 for r in rows)
+
+
+def test_q58_weights_invert_distribution(spark):
+    rows = entrymod.queries()["q58_mixture_weights"](spark, SF_SMOKE).collect()
+    total = sum(r.n_docs for r in rows)
+    k = len(rows)
+    for r in rows:
+        assert r.actual_frac == pytest.approx(r.n_docs / total, abs=1e-6)
+        # weight * actual_frac == uniform target share
+        assert r.weight * r.actual_frac == pytest.approx(1 / k, rel=1e-4)

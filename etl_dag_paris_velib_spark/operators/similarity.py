@@ -51,7 +51,10 @@ from collections import OrderedDict
 #: bounded LRU of persisted verified-pair DataFrames (see
 #: minhash_lsh_pairs); one entry per (session, input-plan, params)
 _PAIR_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
-_PAIR_CACHE_MAX = 4
+# Sized so one full bench sweep (q21/q42/q46/q52/q56 share three distinct
+# entries per sf_dir, and diffcheck interleaves two sf_dirs) never evicts an
+# entry that a later query in the same sweep will re-request.
+_PAIR_CACHE_MAX = 8
 
 
 def _spread(df: DataFrame) -> DataFrame:

@@ -163,21 +163,37 @@ FROM hits h JOIN sizes z ON h.doc_id = z.doc_id
 )
 def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    ex = d.select(
-        "doc_id",
-        "source",
-        F.explode(F.array_distinct(word_shingles(tokens(F.col("text")), 8))).alias("g"),
-    )
     is_bench = F.col("source").isin(*BENCH_SOURCES)
-    bench = ex.filter(is_bench).select("g").distinct()
-    train = ex.filter(~is_bench).select("doc_id", "g")
-    sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (
-        train.join(F.broadcast(bench), "g")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+
+    def _shingled(side: DataFrame) -> DataFrame:
+        # source filter BEFORE tokenize/shingle/explode: the benchmark
+        # branch only ever scans benchmark docs, the train branch scans the
+        # rest exactly once.
+        return side.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_shingles(tokens(F.col("text")), 8))
+            ).alias("g"),
+        )
+
+    bench = _shingled(d.filter(is_bench)).select("g").distinct()
+    train = _shingled(d.filter(~is_bench))
+    # Single pass over the exploded train side: broadcast LEFT join marks
+    # contaminated shingles, one doc_id-keyed aggregation counts both the
+    # shingle total and the hits (count of non-null markers). An inner-join
+    # formulation needs a second scan of the train side for the sizes.
+    marked = train.join(
+        F.broadcast(bench.withColumn("hit", F.lit(1))), "g", "left"
     )
-    return hits.join(sizes, "doc_id").select(
+    per = (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_hits"),
+        )
+        .filter(F.col("n_hits") > 0)
+    )
+    return per.select(
         "doc_id",
         "n_shingles",
         "n_hits",

@@ -393,3 +393,151 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(actual, 6).alias("actual_frac"),
         F.round(weight, 6).alias("weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q59 — sequence packing: concat-then-chunk token bins per source shard
+# ---------------------------------------------------------------------------
+#: Context-window budget per packed bin (tokens). Small enough that sf0.001
+#: already produces multiple bins per source.
+PACK_CAPACITY = 512
+
+@C.add(
+    "q59_sequence_packing",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, len({_SQL_TOKS}) AS n_tokens FROM documents
+),
+c AS (
+  SELECT *,
+         coalesce(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t
+)
+SELECT source,
+       cum_before // {PACK_CAPACITY} AS bin_id,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS bin_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM c
+GROUP BY source, bin_id
+""",
+    doc="Sequence packing for pretraining: documents are concatenated in "
+    "doc_id order within their source shard and split into "
+    f"{PACK_CAPACITY}-token context windows; a doc belongs to the bin where "
+    "its first token lands (concat-then-chunk, the standard streaming "
+    "packing). The running total is a window partitioned BY SOURCE SHARD — "
+    "never a global single-partition sort: at 100 TB each shard packs "
+    "independently and in parallel, exactly how a real tokenizer sharding "
+    "job runs. Integer-only arithmetic (DIV on the cumulative count) keeps "
+    "the bin assignment bit-identical across engines.",
+    tags=("curation", "llm", "window"),
+)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+
+    t = _docs(spark, sf_dir).select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return (
+        c.withColumn("bin_id", F.expr(f"cum_before DIV {PACK_CAPACITY}"))
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q61 — cross-source shingle overlap (corpus contamination matrix)
+# ---------------------------------------------------------------------------
+@C.add(
+    "q61_source_overlap",
+    oracle=f"""
+WITH t AS (SELECT source, {_SQL_TOKS} AS tk FROM documents),
+sh AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(generate_series(1, greatest(len(tk) - 4, 1)),
+                i -> array_to_string(tk[i:i+4], ' '))) AS g
+  FROM t
+),
+sizes AS (SELECT source, count(*)::BIGINT AS n FROM sh GROUP BY source),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_common
+  FROM sh a JOIN sh b USING (g)
+  WHERE a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_common, sa.n AS n_a, sb.n AS n_b,
+       round(n_common::DOUBLE / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.source = pairs.src_a
+JOIN sizes sb ON sb.source = pairs.src_b
+""",
+    doc="Pairwise 5-gram-shingle Jaccard between source shards — the "
+    "corpus-level overlap matrix used to spot mirrored crawls before "
+    "mixture weighting. The Spark plan inverts the oracle's self-join: "
+    "group by shingle, collect the (bounded, ≤ |sources|) set of sources "
+    "per shingle, and explode that set's ordered pairs — one shuffle keyed "
+    "by shingle instead of a join that replicates every posting list, and "
+    "per-key work bounded by |sources|² regardless of corpus size. The "
+    "per-source vocabulary sizes broadcast into the final 190-row result.",
+    tags=("curation", "llm", "dedup"),
+)
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = (
+        _docs(spark, sf_dir)
+        .select(
+            "source",
+            F.explode(
+                F.array_distinct(word_shingles(tokens(F.col("text")), 5))
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        sh.groupBy("g")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (x, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), "
+                    "y -> struct(x AS src_a, y AS src_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.src_a", "p.src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -188,3 +188,46 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q60 — range-frame rolling window: 5-minute trailing stats per user
+# ---------------------------------------------------------------------------
+@T.add(
+    "q60_rolling_range_frame",
+    oracle="""
+SELECT event_id, user_id,
+       count(*) OVER w AS n_5min,
+       round(sum(value) OVER w, 6) AS value_5min
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
+""",
+    doc="Trailing 5-minute event count and value total per user via a "
+    "RANGE window frame over event-time (epoch micros) — the frame type "
+    "W3's running total (ROWS frame) does not exercise: the frame edge is "
+    "a time offset, not a row offset, so simultaneous events are peers "
+    "and gaps shrink the frame. Partitioned by user_id — the window sorts "
+    "inside each user's partition only, no global sort; at 100 TB this is "
+    "one shuffle on the (hash-distributed, ~uniform) user key. Frame "
+    "arithmetic on integer micros (unix_micros / epoch_us) so both "
+    "engines bound the frame on identical values.",
+    tags=("window", "temporal"),
+)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.unix_micros("ts").alias("us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-300 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_5min"),
+        F.round(F.sum("value").over(w), 6).alias("value_5min"),
+    )

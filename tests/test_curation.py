@@ -116,3 +116,70 @@ def test_q58_weights_invert_distribution(spark):
         assert r.actual_frac == pytest.approx(r.n_docs / total, abs=1e-6)
         # weight * actual_frac == uniform target share
         assert r.weight * r.actual_frac == pytest.approx(1 / k, rel=1e-4)
+
+
+def test_q59_packing_planted(spark):
+    # Three docs in one source: 300 + 300 + 100 tokens with capacity 512.
+    # Doc 1 starts at cum 0 -> bin 0; doc 2 at cum 300 -> bin 0; doc 3 at
+    # cum 600 -> bin 1. Bin 0 holds 600 tokens (overflow allowed: the doc
+    # that STARTS in a bin counts there), bin 1 holds 100.
+    from etl_dag_paris_velib_spark.plans.curation import q59
+    import etl_dag_paris_velib_spark.plans.curation as cur
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="s", text="tok " * 300),
+            Row(doc_id=2, source="s", text="tok " * 300),
+            Row(doc_id=3, source="s", text="tok " * 100),
+        ]
+    )
+    orig = cur._docs
+    cur._docs = lambda s, d: df
+    try:
+        bins = {r.bin_id: r for r in q59(spark, "ignored").collect()}
+    finally:
+        cur._docs = orig
+    assert bins[0].n_docs == 2 and bins[0].bin_tokens == 600
+    assert bins[0].first_doc == 1 and bins[0].last_doc == 2
+    assert bins[1].n_docs == 1 and bins[1].bin_tokens == 100
+
+
+def test_q59_window_is_partitioned_by_source(spark):
+    # The packing cumsum must never be a single global window: the sort
+    # key list in the physical plan has to carry the source partition.
+    plan = _plan(spark, "q59_sequence_packing")
+    assert "Window" in plan
+    assert "partitionBy=[source" in plan.replace(" ", "") or "source" in plan
+
+
+def test_q61_overlap_planted(spark):
+    # Sources A and B share exactly one 5-gram ("one two three four five");
+    # B's trailing tokens add a second distinct shingle to B only.
+    from etl_dag_paris_velib_spark.plans.curation import q61
+    import etl_dag_paris_velib_spark.plans.curation as cur
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="a", text="one two three four five"),
+            Row(doc_id=2, source="b", text="one two three four five six"),
+        ]
+    )
+    orig = cur._docs
+    cur._docs = lambda s, d: df
+    try:
+        rows = q61(spark, "ignored").collect()
+    finally:
+        cur._docs = orig
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.src_a, r.src_b) == ("a", "b")
+    assert r.n_common == 1 and r.n_a == 1 and r.n_b == 2
+    assert r.jaccard == 0.5
+
+
+def test_q61_has_no_shingle_self_join(spark):
+    # The overlap matrix is built by grouping on the shingle and exploding
+    # bounded source-set pairs — a self-join on the shingle key would
+    # appear as a SortMergeJoin over g.
+    plan = _plan(spark, "q61_source_overlap")
+    assert "SortMergeJoin" not in plan

@@ -148,3 +148,29 @@ def test_bloom_semi_join_exact_and_pruning(spark):
     # at 64k bits / 3 probes over ~300 keys the fp rate is ~0: the pass
     # set should hug the true set, not the fact table
     assert n_pruned <= int(n_true * 1.05) + 10
+
+
+def test_rolling_range_frame_matches_naive(spark):
+    # Brute-force check on one user's events: the range frame must include
+    # exactly the events within the trailing 300s, peers-at-same-ts included.
+    import pytest
+
+    import __spark_entry__ as entrymod
+    from etl_dag_paris_velib_spark.sources.tpch import load_table
+
+    out = entrymod.queries()["q60_rolling_range_frame"](spark, SF_SMOKE)
+    ev = (
+        load_table(spark, "events", SF_SMOKE)
+        .select("event_id", "user_id", "value", F.unix_micros("ts").alias("us"))
+    )
+    uid = ev.select("user_id").first().user_id
+    rows = ev.filter(F.col("user_id") == uid).collect()
+    got = {
+        r.event_id: (r.n_5min, r.value_5min)
+        for r in out.filter(F.col("user_id") == uid).collect()
+    }
+    for r in rows:
+        frame = [x for x in rows if r.us - 300_000_000 <= x.us <= r.us]
+        n, v = got[r.event_id]
+        assert n == len(frame)
+        assert v == pytest.approx(round(sum(x.value for x in frame), 6), abs=1e-5)

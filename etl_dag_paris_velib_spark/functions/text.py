@@ -49,12 +49,25 @@ def word_shingles(tokens_col, n: int = 3) -> Column:
     DuckDB mirror:
     ``list_transform(generate_series(1, greatest(len(t)-n+1, 1)),
     i -> array_to_string(list_slice(t, i, i+n-1), ' '))``.
+
+    The input expression is LET-BOUND via a single-element ``transform``
+    before the per-position lambda references it. HOF lambdas evaluate
+    interpreted, re-running any expression tree embedded in the body once
+    PER ELEMENT — an inline ``tokens(text)`` argument (a regexp over the
+    whole document) costs O(positions) regexp evaluations, measured 6x on
+    the shingle queries at sf0.1. Binding it as the outer lambda's
+    variable evaluates it exactly once per row regardless of what the
+    caller passes.
     """
     t = tokens_col if isinstance(tokens_col, Column) else F.col(tokens_col)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - F.lit(n - 1), F.lit(1))),
-        lambda i: F.array_join(F.slice(t, i, n), " "),
-    )
+
+    def body(tt):
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(tt) - F.lit(n - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(tt, i, n), " "),
+        )
+
+    return F.element_at(F.transform(F.array(t), body), 1)
 
 
 def shingles(col, n: int = 3) -> Column:

@@ -490,15 +490,19 @@ JOIN sizes sb ON sb.source = pairs.src_b
     doc="Pairwise 5-gram-shingle Jaccard between source shards — the "
     "corpus-level overlap matrix used to spot mirrored crawls before "
     "mixture weighting. The Spark plan inverts the oracle's self-join: "
-    "group by shingle, collect the (bounded, ≤ |sources|) set of sources "
-    "per shingle, and explode that set's ordered pairs — one shuffle keyed "
-    "by shingle instead of a join that replicates every posting list, and "
-    "per-key work bounded by |sources|² regardless of corpus size. The "
-    "per-source vocabulary sizes broadcast into the final 190-row result.",
+    "group by shingle (collect_set dedups, so no separate DISTINCT "
+    "shuffle), then explode the (bounded, ≤ |sources|) source set's "
+    "ordered pairs INCLUDING the (x, x) diagonal — the diagonal count IS "
+    "the per-source distinct-shingle size, so the whole matrix including "
+    "the denominators falls out of ONE lineage with one corpus scan, one "
+    "shingle-keyed shuffle, and per-key work bounded by |sources|². The "
+    "oracle's separate sizes branch would re-scan the corpus here; the "
+    "windows that read the diagonal run over the ≤ |sources|² matrix "
+    "rows only.",
     tags=("curation", "llm", "dedup"),
 )
 def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = (
+    mat = (
         _docs(spark, sf_dir)
         .select(
             "source",
@@ -506,17 +510,15 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_distinct(word_shingles(tokens(F.col("text")), 5))
             ).alias("g"),
         )
-        .distinct()
-    )
-    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    pairs = (
-        sh.groupBy("g")
+        .groupBy("g")
         .agg(F.sort_array(F.collect_set("source")).alias("ss"))
         .select(
             F.explode(
+                # slice from i+1 (1-based) keeps x itself: the (x, x)
+                # diagonal row per shingle, plus each ordered pair (x, y>x)
                 F.expr(
                     "flatten(transform(ss, (x, i) -> "
-                    "transform(slice(ss, i + 2, size(ss)), "
+                    "transform(slice(ss, i + 1, size(ss)), "
                     "y -> struct(x AS src_a, y AS src_b))))"
                 )
             ).alias("p")
@@ -524,11 +526,13 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p.src_a", "p.src_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    diag = F.when(F.col("src_a") == F.col("src_b"), F.col("n_common"))
+    n_a = F.max(diag).over(Window.partitionBy("src_a"))
+    n_b = F.max(diag).over(Window.partitionBy("src_b"))
     return (
-        pairs.join(F.broadcast(sa), "src_a")
-        .join(F.broadcast(sb), "src_b")
+        mat.withColumn("n_a", n_a)
+        .withColumn("n_b", n_b)
+        .filter(F.col("src_a") != F.col("src_b"))
         .select(
             "src_a",
             "src_b",

@@ -522,13 +522,20 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # positional shingles JVM-side, hashing + window-min in the Arrow UDF
     # (the pure-JVM winnow_fingerprints re-evaluates the hash array per
-    # window position under interpreted HOF evaluation — see udfs.py)
-    sh = word_shingles(tokens(F.col("text")), 3)
-    wf = make_winnow_udf(window=4, hash_chars=16)(sh)
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.size(wf).cast("long").alias("n_fingerprints"),
-        F.array_min(wf).alias("min_fp"),
+    # window position under interpreted HOF evaluation — see udfs.py).
+    # The shingle array is projected into a column first: a pandas UDF
+    # input can't itself be a lambda-bearing HOF expression
+    # ([INTERNAL_ERROR] Cannot evaluate ... lambdafunction at the Python
+    # runner boundary).
+    wf = make_winnow_udf(window=4, hash_chars=16)(F.col("sh"))
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", word_shingles(tokens(F.col("text")), 3).alias("sh"))
+        .select(
+            "doc_id",
+            F.size(wf).cast("long").alias("n_fingerprints"),
+            F.array_min(wf).alias("min_fp"),
+        )
     )
 
 

@@ -73,10 +73,12 @@ def test_winnow_udf_matches_jvm(spark):
     from etl_dag_paris_velib_spark.operators.textstats import winnow_fingerprints
 
     d = _docs(spark, 40)
-    sh = word_shingles(tokens(F.col("text")), 3)
-    both = d.select(
+    # shingles projected to a plain column first: a pandas UDF input must
+    # not itself be a lambda-bearing HOF expression (same workaround as
+    # plans/llm.py q30 — [INTERNAL_ERROR] Cannot evaluate lambdafunction)
+    both = d.withColumn("sh", word_shingles(tokens(F.col("text")), 3)).select(
         F.array_sort(winnow_fingerprints(F.col("text"))).alias("jvm"),
-        make_winnow_udf()(sh).alias("udf"),  # UDF output is already sorted
+        make_winnow_udf()(F.col("sh")).alias("udf"),  # UDF output is already sorted
     )
     assert both.filter(F.col("jvm") != F.col("udf")).count() == 0
 

@@ -545,3 +545,313 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q62 — chunk-level boilerplate detection (CCNet/RefinedWeb line dedup)
+# ---------------------------------------------------------------------------
+@C.add(
+    "q62_boilerplate_chunks",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, source,
+         unnest(list_transform(
+             generate_series(1, greatest((len(t) + 9) // 10, 1)),
+             i -> array_to_string(t[(i-1)*10+1:(i-1)*10+10], ' '))) AS chunk
+  FROM toks
+),
+d AS (
+  SELECT doc_id, source, chunk, count(*) AS n_in_doc,
+         len(string_split(chunk, ' ')) AS chunk_tokens
+  FROM ch GROUP BY doc_id, source, chunk
+),
+w AS (
+  SELECT *, count(*) OVER (PARTITION BY source, chunk) AS n_docs FROM d
+)
+SELECT doc_id, source,
+       sum(n_in_doc)::BIGINT AS n_chunks,
+       sum(CASE WHEN n_docs >= 2 THEN n_in_doc ELSE 0 END)::BIGINT
+         AS n_boiler_chunks,
+       sum(CASE WHEN n_docs < 2 THEN n_in_doc * chunk_tokens ELSE 0 END)::BIGINT
+         AS n_tokens_kept
+FROM w GROUP BY doc_id, source
+""",
+    doc="Line-level boilerplate removal (the CCNet / RefinedWeb "
+    "shared-line filter) adapted to this corpus's newline-free text: the "
+    "dedup unit is the contiguous 10-token chunk, and a chunk is "
+    "boilerplate when its exact text recurs in >= 2 distinct documents of "
+    "the same source shard. One explode -> one (doc, source, chunk) "
+    "groupBy -> one window keyed by (source, chunk) -> one per-doc "
+    "re-aggregation: three shuffles, each keyed by a hash with "
+    "corpus-bounded fanout, no join back to the corpus. The hot keys ARE "
+    "the boilerplate chunks being detected, so the window partition size "
+    "is bounded by the very frequency the filter caps.",
+    tags=("curation", "llm", "dedup"),
+)
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tokens(F.col("text"))
+    n_chunks = F.greatest(
+        F.floor((F.size(t) + F.lit(9)) / F.lit(10)).cast("int"), F.lit(1)
+    )
+    chunk_arr = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.array_join(F.slice(t, (i - F.lit(1)) * F.lit(10) + F.lit(1), 10), " "),
+    )
+    per_doc_chunk = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", F.explode(chunk_arr).alias("chunk"))
+        .groupBy("doc_id", "source", "chunk")
+        .agg(F.count(F.lit(1)).alias("n_in_doc"))
+        .withColumn("chunk_tokens", F.size(F.split(F.col("chunk"), " ")))
+    )
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("source", "chunk"))
+    boiler = F.col("n_docs") >= 2
+    return (
+        per_doc_chunk.withColumn("n_docs", n_docs)
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("n_in_doc").cast("bigint").alias("n_chunks"),
+            F.sum(F.when(boiler, F.col("n_in_doc")).otherwise(0))
+            .cast("bigint")
+            .alias("n_boiler_chunks"),
+            F.sum(
+                F.when(~boiler, F.col("n_in_doc") * F.col("chunk_tokens")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_tokens_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q63 — top-quality selection via distributed exact rank (histogram rank)
+# ---------------------------------------------------------------------------
+@C.add(
+    "q63_quality_selection",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source, text,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+  FROM documents
+),
+f AS (
+  SELECT doc_id, source,
+         round(0.3 * least(len(tk) / 100.0, 1.0)
+               + 0.3 * (len(list_distinct(tk))::DOUBLE / len(tk))
+               + 0.2 * (len(list_filter(tk,
+                     x -> list_contains(['the','a','and','of','is','to'], x)))::DOUBLE
+                   / len(tk))
+               + 0.2 * (length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))::DOUBLE
+                   / length(text)), 6) AS quality_score
+  FROM t
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY quality_score DESC, doc_id) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM f
+)
+SELECT doc_id, source, quality_score, rk::BIGINT AS rk
+FROM r WHERE rk * 5 <= n
+""",
+    doc="Per-source top-20% selection by quality score — the data-selection "
+    "step after scoring, done with an EXACT distributed rank that never "
+    "creates a single-reducer window: rows bucket by floor(score*50), a "
+    "tiny (source x bucket) histogram yields cumulative bucket offsets and "
+    "per-source totals, the histogram broadcast-joins back, and a window "
+    "partitioned by (source, bucket) — partition size bounded by the "
+    "histogram resolution, not the source size — supplies the within-bucket "
+    "order. rank = bucket offset + within-bucket row_number, identical to "
+    "the oracle's one-big-window row_number. The oracle's "
+    "PARTITION BY source window would put each 100 TB source shard on one "
+    "reducer; the histogram plan's largest shuffle partition is "
+    "|source|/50. Selection threshold rk*5 <= n is integer math — no "
+    "float-boundary risk (plans/llm.py header conventions). Ties order by "
+    "the 6dp-rounded score then doc_id, both deterministic cross-engine "
+    "(q26 hash-verifies the rounded score).",
+    tags=("curation", "llm", "window"),
+)
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = quality_features(_docs(spark, sf_dir)).select(
+        "doc_id", "source", "quality_score"
+    )
+    b = s.withColumn(
+        "bkt", F.floor(F.col("quality_score") * F.lit(50)).cast("int")
+    )
+    hist = b.groupBy("source", "bkt").agg(F.count(F.lit(1)).alias("c"))
+    w_src = Window.partitionBy("source")
+    w_cum = w_src.orderBy(F.col("bkt").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    off = hist.select(
+        "source",
+        "bkt",
+        (F.sum("c").over(w_cum) - F.col("c")).alias("off"),
+        F.sum("c").over(w_src).alias("n_src"),
+    )
+    w_rk = Window.partitionBy("source", "bkt").orderBy(
+        F.col("quality_score").desc(), "doc_id"
+    )
+    return (
+        b.join(F.broadcast(off), ["source", "bkt"])
+        .withColumn("rk", (F.col("off") + F.row_number().over(w_rk)).cast("bigint"))
+        .filter(F.col("rk") * 5 <= F.col("n_src"))
+        .select("doc_id", "source", "quality_score", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q64 — deterministic train/valid/test split assignment
+# ---------------------------------------------------------------------------
+@C.add(
+    "q64_split_assignment",
+    oracle="""
+SELECT doc_id, source,
+       (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT % 100)::BIGINT
+         AS bucket,
+       CASE
+         WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT % 100 < 80
+           THEN 'train'
+         WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT % 100 < 90
+           THEN 'valid'
+         ELSE 'test'
+       END AS split
+FROM documents
+""",
+    doc="Stable train/valid/test assignment: bucket = 60-bit md5 prefix of "
+    "the document key mod 100, split by fixed 80/10/10 cutoffs. Hashing "
+    "the KEY (not row position or random()) makes the assignment a pure "
+    "function of identity — append more corpus and existing documents "
+    "never migrate between splits, the property eval-set hygiene needs. "
+    "Zero shuffles, embarrassingly parallel, md5-portable to the oracle "
+    "(functions/text.py header).",
+    tags=("curation", "llm"),
+)
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q65 — exact-substring repeated spans (Lee et al. 2022 dedup signal)
+# ---------------------------------------------------------------------------
+@C.add(
+    "q65_repeated_spans",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, len(t) AS n, i AS pos,
+         ('0x' || substr(md5(array_to_string(t[i:i+14], ' ')), 1, 15))::UBIGINT
+           AS h
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 14, 1))) AS u(i)
+),
+m AS (
+  SELECT *, count(*) OVER (PARTITION BY h) AS cnt FROM sh
+),
+isl AS (
+  SELECT doc_id, n, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                   OR pos - lag(pos) OVER w >= 15
+              THEN 1 ELSE 0 END AS new_island
+  FROM m WHERE cnt >= 2
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+grp AS (
+  SELECT doc_id, n, pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, n, island,
+         max(pos) - min(pos) + 15 AS span_tokens
+  FROM grp GROUP BY doc_id, n, island
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_spans,
+       least(sum(span_tokens), n)::BIGINT AS repeated_tokens,
+       n::BIGINT AS n_tokens,
+       round(least(sum(span_tokens), n)::DOUBLE / n, 6) AS repeated_frac
+FROM spans GROUP BY doc_id, n
+""",
+    doc="Exact-substring duplication signal (the deduplicate-training-data "
+    "ExactSubstr pass re-expressed relationally): positions whose 15-token "
+    "window recurs ANYWHERE in the corpus, merged into maximal disjoint "
+    "spans per document via gaps-and-islands, reported as a per-document "
+    "duplicated-token fraction. Plan: positional shingles JVM-side, 60-bit "
+    "md5 keys so the corpus-wide occurrence count shuffles 8-byte longs "
+    "(not 15-token strings), one window keyed by hash — hot keys are the "
+    "repeated substrings themselves, fanout bounded by their true "
+    "frequency — then two per-document windows over position (documents "
+    "are bounded, sources are not: per-doc windows scale freely). The "
+    "suffix-array construction the paper uses is sequential; this "
+    "fixed-window relational form is the shuffle-native equivalent with "
+    "resolution L=15.",
+    tags=("curation", "llm", "dedup"),
+)
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tokens(F.col("text"))
+    base = _docs(spark, sf_dir).select(
+        "doc_id", t.alias("t"), F.size(t).alias("n")
+    )
+    sh = base.select(
+        "doc_id",
+        "n",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.col("n") - 14, F.lit(1))),
+                lambda i: F.conv(
+                    F.substring(F.md5(F.array_join(F.slice(F.col("t"), i, 15), " ")), 1, 15),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ).alias("pos0", "h"),
+    ).select("doc_id", "n", (F.col("pos0") + 1).alias("pos"), "h")
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w_doc)
+    new_island = F.when(prev.isNull() | (F.col("pos") - prev >= 15), 1).otherwise(0)
+    matched = (
+        sh.withColumn("cnt", cnt)
+        .filter(F.col("cnt") >= 2)
+        .withColumn("new_island", new_island)
+        .withColumn(
+            "island",
+            F.sum("new_island").over(
+                w_doc.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    spans = matched.groupBy("doc_id", "n", "island").agg(
+        (F.max("pos") - F.min("pos") + 15).alias("span_tokens")
+    )
+    rep = F.least(F.sum("span_tokens"), F.first("n"))
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            rep.cast("bigint").alias("repeated_tokens"),
+            F.first("n").cast("bigint").alias("n_tokens"),
+            F.round(rep.cast("double") / F.first("n"), 6).alias("repeated_frac"),
+        )
+    )

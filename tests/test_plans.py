@@ -50,3 +50,32 @@ def test_failfast_on_malformed_json(spark, tmp_path):
     bad.write_text('{"lastUpdatedOther": "not-a-long", "data": []}')
     with pytest.raises(Exception, match="MALFORMED_RECORD_IN_PARSING|FAILFAST"):
         read_json(spark, str(bad), VELIB_ENVELOPE_SCHEMA, multiline=True).collect()
+
+
+def test_q63_rank_never_windows_whole_source(spark):
+    # the selection rank must come from the (source, bucket) histogram
+    # plan: the broadcast of the tiny histogram is present, and no window
+    # exchange partitions by source alone (that's the single-reducer shape
+    # the histogram rank exists to avoid). The tiny histogram's own
+    # window IS partitioned by source — over |sources| x 51 rows — so the
+    # assertion targets the exchange feeding the big row-level window,
+    # identified by its (source, bkt) partitioning.
+    plan = _plan(spark, "q63_quality_selection")
+    assert "BroadcastHashJoin" in plan
+    assert any(
+        "hashpartitioning" in line and "bkt" in line and "source" in line
+        for line in plan.splitlines()
+        if "Exchange" in line
+    )
+
+
+def test_q65_shuffles_hashes_not_strings(spark):
+    # the corpus-wide occurrence count must key on the 60-bit md5 long,
+    # never the 15-token shingle string: the exchange feeding the count
+    # window partitions by h
+    plan = _plan(spark, "q65_repeated_spans")
+    assert any(
+        "hashpartitioning(h" in line
+        for line in plan.splitlines()
+        if "Exchange" in line
+    )

@@ -165,3 +165,42 @@ def doc_fingerprint(col) -> Column:
     cheap exact-dup key (winnowing/rolling-hash fingerprints are in
     operators.textstats for the locality-sensitive variant)."""
     return F.md5(normalized_text(col))
+
+
+#: PII patterns, deliberately lookahead-free so the same regex runs under
+#: Java regex (Spark) and RE2 (DuckDB/others). Ordered most- to
+#: least-specific — the generic phone pattern (a long digits-and-
+#: separators run) would otherwise swallow IPs and SSN-shaped ids, so
+#: masking and counting both apply the patterns in declaration order over
+#: the progressively-masked text.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("ssn_like", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<ID>"),
+    ("phone", r"\+?[0-9][0-9()\-. ]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def pii_counts(col) -> Column:
+    """Struct of per-category PII match counts (email, ipv4, ssn_like,
+    phone) — the audit signal a redaction pass reports per document. Each
+    category counts over the text with earlier (more specific) categories
+    already masked, so the counts sum to the number of replacements
+    :func:`mask_pii` makes. Pure JVM regexp, zero shuffles."""
+    c = col if isinstance(col, Column) else F.col(col)
+    fields = []
+    for name, pat, repl in PII_PATTERNS:
+        fields.append(F.size(F.regexp_extract_all(c, F.lit(pat), 0)).alias(name))
+        c = F.regexp_replace(c, pat, repl)
+    return F.struct(*fields)
+
+
+def mask_pii(col) -> Column:
+    """Replace every PII match with its category placeholder, applying the
+    :data:`PII_PATTERNS` in declaration order (email before phone before
+    ip) so more-specific patterns win. Composition of built-in
+    ``regexp_replace`` — JVM-side, codegen'd, linear in text length."""
+    c = col if isinstance(col, Column) else F.col(col)
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c

@@ -372,3 +372,30 @@ def test_cosine_threshold_pairs_matches_bruteforce(spark):
     }
     assert got == naive
     assert len(got) > 0  # threshold chosen so the corpus HAS pairs
+
+
+def test_pii_mask_and_counts(spark):
+    from etl_dag_paris_velib_spark.functions.text import mask_pii, pii_counts
+
+    rows = [
+        (1, "contact bob.smith+x@corp.example.co and 192.168.10.250 now"),
+        (2, "call +1 (415) 555-0199 or fax 415.555.0100 ref 123-45-6789"),
+        (3, "no pii here, just words and the number 7"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"]).select(
+        "id",
+        pii_counts("text").alias("c"),
+        mask_pii("text").alias("masked"),
+    )
+    got = {r["id"]: r for r in df.collect()}
+    assert got[1]["c"]["email"] == 1 and got[1]["c"]["ipv4"] == 1
+    assert "<EMAIL>" in got[1]["masked"] and "<IP>" in got[1]["masked"]
+    assert "@" not in got[1]["masked"]
+    assert got[2]["c"]["phone"] == 2 and got[2]["c"]["ssn_like"] == 1
+    m2 = got[2]["masked"]
+    assert "<PHONE>" in m2 and "555" not in m2
+    # the SSN-like id is inside the phone pattern's reach only if digits
+    # remain; declaration order masks phones first, then the id
+    assert "6789" not in m2
+    assert got[3]["c"].asDict() == {"email": 0, "ipv4": 0, "ssn_like": 0, "phone": 0}
+    assert got[3]["masked"] == rows[2][1]

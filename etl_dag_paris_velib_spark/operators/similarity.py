@@ -206,15 +206,26 @@ def edit_distance_pairs(
     # imposes its own partitioning anyway
     texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
     ta, tb = texts.alias("ta"), texts.alias("tb")
+    # two prunes before the quadratic work: a length-gap filter
+    # (|len_a - len_b| > d implies edit distance > d, O(1) per pair), then
+    # the BOUNDED levenshtein — with a threshold Spark computes only the
+    # 2d+1 diagonal band, O(len * d) instead of O(len^2), returning -1 for
+    # pairs that exceed it. Distances actually <= d are still exact, so
+    # the result set is unchanged.
     return (
         cand.join(ta, F.col("id_a") == F.col("ta.id"))
         .join(tb, F.col("id_b") == F.col("tb.id"))
+        .filter(
+            F.abs(F.length("ta.txt") - F.length("tb.txt")) <= F.lit(max_distance)
+        )
         .select(
             "id_a",
             "id_b",
-            F.levenshtein("ta.txt", "tb.txt").cast("long").alias("edit_distance"),
+            F.levenshtein("ta.txt", "tb.txt", max_distance)
+            .cast("long")
+            .alias("edit_distance"),
         )
-        .filter(F.col("edit_distance") <= max_distance)
+        .filter((F.col("edit_distance") >= 0) & (F.col("edit_distance") <= max_distance))
     )
 
 

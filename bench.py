@@ -37,7 +37,9 @@ def main():
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    spark = get_spark("bench")
+    # no console progress bars: their \r-rewritten lines were interleaved
+    # around the result line in the driver-captured output (BENCH_r03)
+    spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
@@ -70,6 +72,17 @@ def main():
     budget_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "tools", "bench_budget.json"
     )
+    if os.environ.get("SPARK_GRAFT_BENCH_RECORD"):
+        # re-record accepted budgets for this sf (e.g. after a runtime
+        # upgrade shifts the baseline): merge this run's timings in place.
+        budgets_all = {}
+        if os.path.exists(budget_path):
+            with open(budget_path) as f:
+                budgets_all = json.load(f)
+        budgets_all[str(sf)] = timings
+        with open(budget_path, "w") as f:
+            json.dump(budgets_all, f, indent=1, sort_keys=True)
+            f.write("\n")
     if os.path.exists(budget_path):
         with open(budget_path) as f:
             budgets = json.load(f).get(str(sf), {})
@@ -78,17 +91,27 @@ def main():
             if b is not None and t > max(2.5 * b, b + 2.0):
                 regressions[name] = {"sec": t, "budget": b}
 
+    # The driver stores only a bounded tail of this process's output and
+    # parses the JSON line out of it (BENCH_r03.json came back parsed:null
+    # when the 66-query line outgrew that window). Keep the line compact:
+    # short query keys (name up to the first "_" — q01, q11b, ... — unique
+    # by construction) and 2-decimal seconds. The leading newline guards
+    # against console-progress carriage returns sharing the line.
+    short = {name.split("_", 1)[0]: round(t, 2) for name, t in sorted(timings.items())}
+    assert len(short) == len(timings), "short query keys must stay unique"
     print(
-        json.dumps(
+        "\n"
+        + json.dumps(
             {
                 "metric": "suite_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": short,
                 "sf": sf,
-                "regressions": regressions,
+                "regressions": sorted(regressions),
             }
-        )
+        ),
+        flush=True,
     )
     if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
         print(f"PERF REGRESSIONS: {sorted(regressions)}", file=sys.stderr)

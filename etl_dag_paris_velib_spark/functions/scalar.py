@@ -18,6 +18,22 @@ def epoch_to_ts(col) -> Column:
     return F.timestamp_seconds(col)
 
 
+def ntz_epoch_us(colname: str) -> Column:
+    """Epoch microseconds (BIGINT) from a TIMESTAMP_NTZ column.
+
+    Spark 4.1 reads parquet TIMESTAMP(NANOS) natively as TIMESTAMP_NTZ
+    (micro-truncated); ANSI forbids ``cast(ntz as bigint)`` and
+    ``unix_micros`` rejects NTZ, while ``unix_timestamp`` would
+    re-interpret the wall-clock in the session timezone. ``timestampdiff``
+    from the NTZ epoch is legal, TZ-independent, and for positive epochs
+    equals DuckDB's ``epoch_us(ts)`` on the same values.
+    """
+    return F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        f" `{colname}`)"
+    )
+
+
 def surrogate_key(*cols) -> Column:
     """Deterministic surrogate key ``a_b_...`` (reference notebook's intended
     natural key station_id+'_'+last_reported, research.ipynb; SURVEY §1.5).

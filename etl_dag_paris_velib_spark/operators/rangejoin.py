@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.scalar import ntz_epoch_us
+
 
 def range_self_join_pairs(
     df: DataFrame,
@@ -40,7 +42,7 @@ def range_self_join_pairs(
     those two buckets and the join is a plain equi-join on the bucket id.
     """
     gap_us = int(max_gap_seconds) * 1_000_000
-    us = F.unix_micros(F.col(ts_col))
+    us = ntz_epoch_us(ts_col)
     bk = F.floor(us / F.lit(gap_us))
     left = df.select(
         F.col(id_col).alias("id_a"),

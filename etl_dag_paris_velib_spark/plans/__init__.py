@@ -18,4 +18,30 @@ REGISTRY.merge(_llm)
 REGISTRY.merge(_temporal)
 REGISTRY.merge(_curation)
 
+# The external correctness harness walks queries() in insertion order with a
+# ~50-query budget (CORRECTNESS_r03: exactly the first 50 entries — all of
+# relational+llm — got rows; temporal+curation got none). Rotate: demote 16
+# standard-SQL queries that are driver-green in CORRECTNESS_r03.json (and
+# stay oracle-checked every pytest run via tests/test_demoted_parity.py) so
+# the temporal/curation surface gets fresh driver-checked rows this round.
+DEMOTED = (
+    "q02_forecast_revenue",
+    "q06_latest_order_per_customer",
+    "q07_running_total",
+    "q08_event_gaps",
+    "q09_status_priority_rollup",
+    "q10_events_cube",
+    "q12_set_ops",
+    "q13_hourly_events",
+    "q14_event_pivot",
+    "q16_topk_per_group",
+    "q18_scalar_functions",
+    "q19_brand_revenue",
+    "q24_full_outer",
+    "q32_filename_parse",
+    "q34_right_outer",
+    "q39_grouping_sets",
+)
+REGISTRY.demote(DEMOTED)
+
 __all__ = ["REGISTRY", "QuerySpec", "Registry"]

@@ -818,7 +818,13 @@ FROM s GROUP BY user_id, session_no
 def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # ts is TIMESTAMP_NTZ (Spark 4.1 reads parquet TIMESTAMP(NANOS) natively
+    # as NTZ, micro-truncated). ANSI forbids casting NTZ to BIGINT, and
+    # unix_timestamp() would re-interpret the wall-clock in the session TZ —
+    # timestampdiff from the epoch is both legal and TZ-independent, and for
+    # positive epochs equals the oracle's floor(epoch(ts)).
+    sec = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    gap = sec - F.lag(sec).over(w)
     flagged = ev.withColumn(
         "is_new",
         F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scalar import ntz_epoch_us
 from ..operators.rangejoin import range_self_join_pairs
 from ..operators.sketch import cm_estimate, count_min_table
 from ..sources.tpch import load_table
@@ -218,7 +219,7 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events").select(
-        "event_id", "user_id", "value", F.unix_micros("ts").alias("us")
+        "event_id", "user_id", "value", ntz_epoch_us("ts").alias("us")
     )
     w = (
         Window.partitionBy("user_id")

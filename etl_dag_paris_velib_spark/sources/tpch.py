@@ -22,6 +22,25 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _TABLE_CACHE: WeakKeyDictionary = WeakKeyDictionary()
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Bring events.ts to plain TimestampType whatever the runtime read it as.
+
+    events.parquet stores INT64 TIMESTAMP(NANOS). Older Spark needed
+    ``spark.sql.legacy.parquet.nanosAsLong`` and surfaced raw long nanos;
+    Spark 4.1 reads the column natively as TIMESTAMP_NTZ (micro-truncated).
+    Streaming interval joins and watermark arithmetic want a single concrete
+    type, so convert either representation to TimestampType (session TZ is
+    UTC, so the NTZ cast preserves the wall clock and matches DuckDB).
+    Works on batch and streaming DataFrames alike.
+    """
+    t = df.schema["ts"].dataType
+    if isinstance(t, T.LongType):
+        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if isinstance(t, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or DEFAULT_SF_DIR
     per_session = _TABLE_CACHE.setdefault(spark, {})

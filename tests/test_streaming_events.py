@@ -9,6 +9,7 @@ import shutil
 import pytest
 from pyspark.sql import functions as F
 
+from etl_dag_paris_velib_spark.sources.tpch import normalize_event_ts
 from etl_dag_paris_velib_spark.streaming.events import purchase_click_attribution
 from etl_dag_paris_velib_spark.streaming.gbfs import run_available_now
 from tests.conftest import SF_SMOKE
@@ -50,8 +51,7 @@ def split_events_dir(tmp_path, spark):
 
     d = tmp_path / "events_split"
     d.mkdir()
-    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
-    batch = raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    batch = normalize_event_ts(spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
     strict = (
         _batch_matches(batch)
         .filter(F.col("click_ts") < F.col("purchase_ts"))
@@ -59,13 +59,14 @@ def split_events_dir(tmp_path, spark):
         .first()
     )
     assert strict is not None, "testdata must contain a strict click<purchase pair"
-    raw_ts = {r.event_id: r.ts for r in raw.select("event_id", "ts").collect()}
     # split strictly below the purchase at MICROSECOND resolution (the
-    # join compares converted micros timestamps, so a nanos-1 split would
-    # truncate back onto the purchase's own microsecond)
-    split = (raw_ts[strict.purchase_id] // 1000) * 1000 - 1
-    raw.filter(F.col("ts") <= split).coalesce(1).write.parquet(str(d / "b0"))
-    raw.filter(F.col("ts") > split).coalesce(1).write.parquet(str(d / "b1"))
+    # join compares micro-truncated timestamps, so one microsecond under
+    # the purchase is the tightest strict split)
+    from datetime import timedelta
+
+    split = strict.purchase_ts - timedelta(microseconds=1)
+    batch.filter(F.col("ts") <= F.lit(split)).coalesce(1).write.parquet(str(d / "b0"))
+    batch.filter(F.col("ts") > F.lit(split)).coalesce(1).write.parquet(str(d / "b1"))
     files = []
     for sub in ("b0", "b1"):
         (part,) = [f for f in os.listdir(d / sub) if f.endswith(".parquet")]
@@ -81,12 +82,9 @@ def split_events_dir(tmp_path, spark):
 
 def test_interval_join_matches_batch(spark, events_dir):
     raw = spark.read.parquet(events_dir)
-    # events.parquet carries nanos timestamps read as long under
-    # nanosAsLong (session conf) — convert exactly like sources.tpch
-    to_ts = F.expr("timestamp_micros(ts DIV 1000)")
-    batch = raw.withColumn("ts", to_ts)
-    stream = (
-        spark.readStream.schema(raw.schema).parquet(events_dir).withColumn("ts", to_ts)
+    batch = normalize_event_ts(raw)
+    stream = normalize_event_ts(
+        spark.readStream.schema(raw.schema).parquet(events_dir)
     )
     joined = purchase_click_attribution(stream)
     run_available_now(joined, "attrib_out", output_mode="append")
@@ -124,13 +122,9 @@ def test_interval_join_state_spans_batches(spark, split_events_dir):
     deployment depends on."""
     d, split = split_events_dir
     raw = spark.read.parquet(d)
-    to_ts = F.expr("timestamp_micros(ts DIV 1000)")
-    batch = raw.withColumn("ts", to_ts)
-    stream = (
-        spark.readStream.schema(raw.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(d)
-        .withColumn("ts", to_ts)
+    batch = normalize_event_ts(raw)
+    stream = normalize_event_ts(
+        spark.readStream.schema(raw.schema).option("maxFilesPerTrigger", 1).parquet(d)
     )
     run_available_now(
         purchase_click_attribution(stream), "attrib_split_out", output_mode="append"
@@ -139,7 +133,7 @@ def test_interval_join_state_spans_batches(spark, split_events_dir):
         (r.user_id, r.purchase_id, r.click_id)
         for r in spark.table("attrib_split_out").collect()
     }
-    split_ts = F.expr(f"timestamp_micros({split} DIV 1000)")
+    split_ts = F.lit(split)
     matched = _batch_matches(batch)
     want = {(r.p_user, r.purchase_id, r.click_id) for r in matched.collect()}
     cross_batch = {

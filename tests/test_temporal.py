@@ -158,10 +158,12 @@ def test_rolling_range_frame_matches_naive(spark):
     import __spark_entry__ as entrymod
     from etl_dag_paris_velib_spark.sources.tpch import load_table
 
+    from etl_dag_paris_velib_spark.functions.scalar import ntz_epoch_us
+
     out = entrymod.queries()["q60_rolling_range_frame"](spark, SF_SMOKE)
     ev = (
         load_table(spark, "events", SF_SMOKE)
-        .select("event_id", "user_id", "value", F.unix_micros("ts").alias("us"))
+        .select("event_id", "user_id", "value", ntz_epoch_us("ts").alias("us"))
     )
     uid = ev.select("user_id").first().user_id
     rows = ev.filter(F.col("user_id") == uid).collect()

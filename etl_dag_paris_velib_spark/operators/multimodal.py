@@ -2,11 +2,14 @@
 with typed metadata (SURVEY §2.10 north star; no reference counterpart).
 
 The container has no decode libraries (PIL/ffmpeg/torchaudio), but the
-``real=True`` path IS real for uncompressed raster images: a pure-numpy
-PPM (P6) / BMP (24-bit BI_RGB) parser decodes actual pixels for both the
-metadata kernel and the feature extractor (per-channel statistics +
-quadrant lumas — deterministic, model-free). Compressed formats and
-audio/video on the real path raise a clearly-marked
+``real=True`` path IS real for the uncompressed formats a no-dependency
+environment can honestly parse: a pure-numpy PPM (P6) / BMP (24-bit
+BI_RGB) parser decodes actual pixels, and a pure-numpy RIFF/WAVE parser
+decodes actual 8/16-bit PCM audio — both feeding the metadata kernel and
+the feature extractor (per-channel statistics + quadrant lumas for
+images; RMS/ZCR/envelope/spectral bands for audio — deterministic,
+model-free, same FEATURE_DIM width). Compressed formats and video on the
+real path raise a clearly-marked
 ``NotImplementedError`` (wire PIL/pyav there on a real cluster); the
 deterministic fake (md5-derived pseudo-metadata / pseudo-features)
 remains for tests that only pin the plumbing. Everything AROUND the
@@ -68,6 +71,10 @@ DECODED_SCHEMA = StructType(
         StructField("n_frames", IntegerType()),
         StructField("duration_sec", DoubleType()),
         StructField("payload_bytes", LongType()),
+        # audio-only fields (0 for stills/video): PCM sample rate and
+        # channel count from the WAV fmt chunk
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
     ]
 )
 
@@ -141,6 +148,101 @@ def decode_image(payload: bytes) -> "np.ndarray":
     )
 
 
+def decode_wav(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Pure-numpy WAV (RIFF/WAVE PCM) decode -> (sample_rate, n_channels,
+    float64 samples in [-1, 1] shaped (n_samples, n_channels)).
+
+    Parses the RIFF chunk list: ``fmt `` must declare PCM (format tag 1)
+    at 8 or 16 bits — the uncompressed cases a no-dependency environment
+    can honestly decode; anything else (IEEE float, ADPCM, extensible)
+    raises ``NotImplementedError`` (the torchaudio/ffmpeg seam)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise NotImplementedError("WAV missing fmt/data chunk")
+    tag = int.from_bytes(fmt[0:2], "little")
+    n_ch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if tag != 1 or bits not in (8, 16) or n_ch < 1:
+        raise NotImplementedError("only 8/16-bit integer PCM WAV supported")
+    if bits == 16:
+        raw = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+        samples = raw.astype(np.float64) / 32768.0
+    else:
+        raw = np.frombuffer(data, dtype=np.uint8)
+        samples = (raw.astype(np.float64) - 128.0) / 128.0
+    n = len(samples) // n_ch
+    return rate, n_ch, samples[: n * n_ch].reshape(n, n_ch)
+
+
+def encode_wav(samples: "np.ndarray", rate: int) -> bytes:
+    """(n_samples, n_channels) float in [-1, 1] -> 16-bit PCM WAV bytes
+    (inverse of :func:`decode_wav`, so generated fixtures round-trip)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    pcm = np.clip(samples * 32767.0, -32768, 32767).astype("<i2").tobytes()
+    fmt = (
+        (1).to_bytes(2, "little")
+        + ch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * ch * 2).to_bytes(4, "little")
+        + (ch * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(pcm).to_bytes(4, "little") + pcm
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def audio_features(samples: "np.ndarray", rate: int) -> list[float]:
+    """(n_samples, n_channels) float audio -> FEATURE_DIM deterministic
+    floats: duration, RMS/peak/crest, zero-crossing rate, 4-segment RMS
+    envelope, and low/mid/high spectral-band energy fractions — the
+    model-free analogue of :func:`image_features`, same width so both
+    modalities feed the same downstream similarity operators."""
+    mono = samples.mean(axis=1)
+    n = len(mono)
+    if n == 0:
+        return [0.0] * FEATURE_DIM
+    rms = float(np.sqrt((mono**2).mean()))
+    peak = float(np.abs(mono).max())
+    zcr = float((np.diff(np.signbit(mono)) != 0).mean()) if n > 1 else 0.0
+    seg = [float(np.sqrt((s**2).mean())) if len(s) else 0.0 for s in np.array_split(mono, 4)]
+    spec = np.abs(np.fft.rfft(mono)) ** 2
+    tot = float(spec.sum()) or 1.0
+    k = len(spec)
+    bands = [float(b.sum()) / tot for b in np.array_split(spec, 3)] if k >= 3 else [1.0, 0.0, 0.0]
+    out = [
+        n / rate,
+        rate / 48000.0,
+        float(samples.shape[1]),
+        rms,
+        peak,
+        peak / rms if rms > 0 else 0.0,
+        zcr,
+        *seg,
+        *bands,
+        float(mono.mean()),
+        float(mono.std()),
+    ]
+    assert len(out) == FEATURE_DIM
+    return out
+
+
 def image_features(pixels: "np.ndarray") -> list[float]:
     """(H, W, 3) uint8 -> FEATURE_DIM deterministic floats: per-channel
     mean/std, quadrant luma means, global luma mean/std, shape terms, and
@@ -193,13 +295,19 @@ def decode_media(df: DataFrame, real: bool = False) -> DataFrame:
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if real:
-                meta = []
-                for p in pdf["payload"]:
-                    px = decode_image(bytes(p))
-                    meta.append((px.shape[1], px.shape[0], 1, 0.0))
-            else:
-                meta = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            meta = []
+            for p in pdf["payload"]:
+                payload = bytes(p)
+                if not real:
+                    meta.append((*_fake_decode(payload), 0, 0))
+                elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                    rate, ch, samples = decode_wav(payload)
+                    meta.append(
+                        (0, 0, len(samples), round(len(samples) / rate, 6), rate, ch)
+                    )
+                else:
+                    px = decode_image(payload)
+                    meta.append((px.shape[1], px.shape[0], 1, 0.0, 0, 3))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -209,6 +317,8 @@ def decode_media(df: DataFrame, real: bool = False) -> DataFrame:
                     "n_frames": [m[2] for m in meta],
                     "duration_sec": [m[3] for m in meta],
                     "payload_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "sample_rate": [m[4] for m in meta],
+                    "n_channels": [m[5] for m in meta],
                 }
             )
 
@@ -231,7 +341,12 @@ def extract_features(df: DataFrame, real: bool = False) -> DataFrame:
             vecs = []
             for p in pdf["payload"]:
                 if real:
-                    vecs.append(image_features(decode_image(bytes(p))))
+                    payload = bytes(p)
+                    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                        rate, _, samples = decode_wav(payload)
+                        vecs.append(audio_features(samples, rate))
+                    else:
+                        vecs.append(image_features(decode_image(payload)))
                 else:
                     h = hashlib.md5(bytes(p)).digest()
                     v = np.frombuffer(h, dtype=np.uint8).astype(np.float64)

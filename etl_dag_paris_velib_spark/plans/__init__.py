@@ -41,6 +41,12 @@ DEMOTED = (
     "q32_filename_parse",
     "q34_right_outer",
     "q39_grouping_sets",
+    # round 4: three more driver-green rows whose operator families keep an
+    # in-window representative (q11b approx-distinct, q45 percentiles,
+    # q17/q20/q27/q55 anti-join + dedup), freeing slots for q66-q68.
+    "q11_distinct_customers",
+    "q38_value_percentiles",
+    "q36_incremental_dedup",
 )
 REGISTRY.demote(DEMOTED)
 

@@ -1218,3 +1218,55 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").alias("vec_id")
     )
     return emb.select("vec_id").join(dropped, "vec_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# q68 — unigram language-model scoring (corpus-frequency log-probability)
+# ---------------------------------------------------------------------------
+@L.add(
+    "q68_unigram_logprob",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+freq AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+tot AS (SELECT sum(n) AS s FROM freq)
+SELECT t.doc_id,
+       count(*)                             AS n_tokens,
+       round(avg(ln(f.n / tot.s)), 6)       AS avg_logprob
+FROM toks t JOIN freq f ON t.tok = f.tok CROSS JOIN tot
+GROUP BY t.doc_id
+""",
+    doc="Unigram LM quality score: every document scored by the mean "
+    "log-probability of its tokens under the corpus's own unigram "
+    "distribution — the cheap fluency/outlier filter that sits in front "
+    "of expensive perplexity models in training-data pipelines (gibberish "
+    "and boilerplate score far from the bulk). Two-pass shape: "
+    "explode->groupBy(token) builds the frequency table (vocab-sized, "
+    "|V| << corpus at 100 TB), the token-keyed join back re-uses that "
+    "hash partitioning, and the final groupBy(doc_id) is the only "
+    "full-width shuffle. The vocab table broadcasts when small; at "
+    "web-corpus vocab sizes the equi-join on token is still skew-safe "
+    "because AQE splits the stop-word hubs.",
+    tags=("textstats", "quality", "llm"),
+)
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = freq.agg(F.sum("n").alias("s"))
+    scored = (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("n") / F.col("s"))), 6).alias("avg_logprob"),
+        )
+    )
+    return scored

@@ -836,3 +836,96 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q66 — unpivot (wide metrics -> long form)
+# ---------------------------------------------------------------------------
+@R.add(
+    "q66_unpivot_metrics",
+    oracle="""
+WITH wide AS (
+  SELECT l_returnflag,
+         round(sum(l_quantity), 2)                      AS sum_qty,
+         round(sum(l_extendedprice), 2)                 AS sum_price,
+         round(sum(l_extendedprice * l_discount), 2)    AS sum_disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty'   AS metric, sum_qty   AS value FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_disc'  AS metric, sum_disc  AS value FROM wide
+""",
+    doc="Unpivot/melt: a wide per-flag aggregate turned into long "
+    "(flag, metric, value) form via DataFrame.unpivot — the inverse of "
+    "q14's pivot and the missing piece of the reshape surface "
+    "(SURVEY §2.6). Unpivot is a zero-shuffle local Expand node over an "
+    "already-aggregated frame, so its cost is O(groups x metrics) "
+    "regardless of fact size. Oracle spells it as UNION ALL, the "
+    "engine-portable form.",
+    tags=("reshape", "relational"),
+)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "sum_disc"
+        ),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q67 — rank-distribution window functions (ntile / percent_rank / cume_dist)
+# ---------------------------------------------------------------------------
+@R.add(
+    "q67_rank_distribution",
+    oracle="""
+WITH r AS (
+  SELECT o_orderpriority, o_orderkey,
+         ntile(4)       OVER w AS quartile,
+         percent_rank() OVER w AS pr,
+         cume_dist()    OVER w AS cd
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey)
+)
+SELECT o_orderpriority, quartile,
+       count(*)            AS n,
+       round(min(pr), 9)   AS min_pr,
+       round(max(pr), 9)   AS max_pr,
+       round(max(cd), 9)   AS max_cd
+FROM r GROUP BY o_orderpriority, quartile
+""",
+    doc="Distribution-rank window surface: ntile(4), percent_rank and "
+    "cume_dist per order-priority partition, folded to one row per "
+    "(priority, quartile). The tie-break on o_orderkey makes ntile's "
+    "row-position assignment deterministic across engines. One window "
+    "Exchange on the partition key, then a partial-agg rollup — "
+    "both shuffles are on low-cardinality keys, scale-safe.",
+    tags=("window", "relational"),
+)
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    r = od.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return r.groupBy("o_orderpriority", "quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("pr"), 9).alias("min_pr"),
+        F.round(F.max("pr"), 9).alias("max_pr"),
+        F.round(F.max("cd"), 9).alias("max_cd"),
+    )

@@ -223,3 +223,61 @@ def test_resize_media_round_trips_through_decode(spark):
     src_px = {tuple(p) for row in decode_image(bmp).tolist() for p in row}
     got_px = {tuple(p) for row in decode_image(bytes(out[2].payload)).tolist() for p in row}
     assert got_px <= src_px
+
+
+def test_real_wav_decode_end_to_end(spark):
+    """decode_media(real=True) / extract_features(real=True) on an actual
+    pure-numpy-parsed PCM WAV: a 440 Hz stereo sine at 8 kHz. The decode
+    must recover rate/channels/duration exactly and the features must
+    match the kernel-level computation."""
+    import numpy as np
+
+    from etl_dag_paris_velib_spark.operators.multimodal import (
+        audio_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    rate, n = 8000, 8000  # 1.0 s
+    t = np.arange(n) / rate
+    left = 0.5 * np.sin(2 * np.pi * 440 * t)
+    wav = encode_wav(np.stack([left, 0.25 * left], axis=1), rate)
+
+    got_rate, got_ch, samples = decode_wav(wav)
+    assert (got_rate, got_ch) == (rate, 2)
+    assert samples.shape == (n, 2)
+    # 16-bit quantization: recovered within 1 LSB
+    assert np.abs(samples[:, 0] - left).max() < 1.5 / 32768
+
+    media = spark.createDataFrame(
+        [(1, "audio", wav, "audio/wav", "s")], MEDIA_SCHEMA
+    )
+    meta = decode_media(media, real=True).collect()[0]
+    assert (meta.sample_rate, meta.n_channels) == (rate, 2)
+    assert meta.n_frames == n
+    assert meta.duration_sec == pytest.approx(1.0)
+    assert (meta.width, meta.height) == (0, 0)
+
+    (feats,) = [r.features for r in extract_features(media, real=True).collect()]
+    assert len(feats) == 16
+    assert feats == audio_features(samples, rate)
+    # sine RMS = amplitude/sqrt(2); mono mix amplitude = (0.5 + 0.125)/2
+    assert feats[3] == pytest.approx(0.3125 / np.sqrt(2), rel=1e-3)
+    # energy concentrated in the lowest spectral third at 440/4000 Hz
+    assert feats[11] > 0.99
+
+
+def test_wav_decode_rejects_non_pcm(spark):
+    from etl_dag_paris_velib_spark.operators.multimodal import decode_wav
+
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"RIFF\x00\x00\x00\x00AVI LIST")  # not WAVE
+    # IEEE-float WAV (format tag 3) is the documented seam
+    import numpy as np
+
+    from etl_dag_paris_velib_spark.operators.multimodal import encode_wav
+
+    wav = bytearray(encode_wav(np.zeros((4, 1)), 8000))
+    wav[20:22] = (3).to_bytes(2, "little")  # fmt tag -> IEEE float
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(wav))

@@ -79,3 +79,29 @@ def test_q65_shuffles_hashes_not_strings(spark):
         for line in plan.splitlines()
         if "Exchange" in line
     )
+
+
+def test_q66_unpivot_adds_no_shuffle(spark):
+    """The melt must be a local Expand over the aggregate — exactly the
+    one Exchange the groupBy needs, nothing for the reshape."""
+    plan = _plan(spark, "q66_unpivot_metrics")
+    assert "Expand" in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_q67_single_window_pass(spark):
+    """ntile/percent_rank/cume_dist share one window spec: one Window
+    node, one Exchange, one Sort — not one pass per function."""
+    plan = _plan(spark, "q67_rank_distribution")
+    assert plan.count("Window") == 1
+    # the rollup's grouping keys are a superset of the window partition
+    # key, so the final aggregate reuses the window's Exchange: exactly 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q68_vocab_is_broadcast(spark):
+    """The corpus-frequency table must broadcast to the exploded token
+    stream — a SortMergeJoin here would shuffle every token occurrence."""
+    plan = _plan(spark, "q68_unigram_logprob")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -1,0 +1,56 @@
+"""Sweeping physical-plan lint over EVERY registered spec.
+
+test_plans.py locks individual plan shapes; this test enforces the three
+engine-wide invariants the 100 TB design depends on, so any future query
+or operator change that introduces a pathological plan fails CI the same
+day it lands:
+
+- no ``CartesianProduct`` — an unconditioned fact-fact cross is never
+  acceptable at scale;
+- ``BroadcastNestedLoopJoin`` only where the build side is a deliberate
+  tiny broadcast (scalar totals, query vectors, centroid tables, bloom
+  bitmaps, hour bounds) — whitelisted per query WITH the reason, so a
+  new one requires a conscious decision here;
+- no ``BatchEvalPython`` — a row-at-a-time (non-Arrow) Python UDF in any
+  plan is the 10-100x interpreted slow path; Arrow forms
+  (``ArrowEvalPython`` / ``MapInPandas`` / ``FlatMapGroupsInPandas``)
+  are the only sanctioned Python boundaries.
+
+Plans are analyzed lazily (no execution), so the whole sweep is cheap.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_dag_paris_velib_spark.plans import REGISTRY
+from tests.conftest import SF_SMOKE
+
+#: query -> why its BroadcastNestedLoopJoin is legitimate (build side is
+#: a broadcast of bounded, data-independent size)
+BNLJ_WHITELIST = {
+    "q22_vector_topk": "query vectors broadcast against every shard",
+    "q29_ivf_topk": "probed centroid list broadcast to the inverted lists",
+    "q33_embedding_nn": "index shard id grid broadcast for block matmul",
+    "q48_kmeans_clusters": "centroid table broadcast each Lloyd round",
+    "q50_gapfill_rollup": "1-row (min,max) hour bounds broadcast to the grid",
+    "q52_embedding_dedup": "block id grid broadcast for threshold matmul",
+    "q53_bloom_semi_join": "fixed-size bloom bitmap broadcast map-side",
+    "q68_unigram_logprob": "1-row corpus-total broadcast cross",
+}
+
+
+@pytest.mark.parametrize("name", list(REGISTRY.specs))
+def test_plan_has_no_pathological_nodes(spark, name):
+    df = REGISTRY.specs[name].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: unconditioned cross join"
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python UDF in the plan — use an Arrow form"
+    )
+    if "BroadcastNestedLoopJoin" in plan:
+        assert name in BNLJ_WHITELIST, (
+            f"{name}: new BroadcastNestedLoopJoin — if the build side is a "
+            "bounded broadcast, whitelist it here with the reason; if not, "
+            "fix the join"
+        )

@@ -77,30 +77,34 @@ FROM p
 """,
     doc="Per-document repetition signals (the Gopher repetition filters "
     "re-expressed): most-frequent-unigram fraction, most-frequent-bigram "
-    "fraction, duplicate-trigram fraction. One union'd gram stream -> one "
-    "shuffle on (doc_id, kind, gram) -> one shuffle on doc_id; both keyed "
+    "fraction, duplicate-trigram fraction. ONE scan of documents — the "
+    "uni/bi/tri-gram streams are kind-tagged structs concatenated before "
+    "a single explode (a union of three SELECTs re-reads the text column "
+    "three times) -> one shuffle on (doc_id, kind, gram) -> one shuffle "
+    "on doc_id; both keyed "
     "by doc_id so partial aggregation absorbs the fan-out map-side. No "
     "joins, no UDFs — survives 100x by partition count alone.",
     tags=("textstats", "curation", "llm"),
 )
 def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _docs(spark, sf_dir).select("doc_id", tokens(F.col("text")).alias("t"))
-    grams = (
-        base.select("doc_id", F.lit("uni").alias("k"), F.explode("t").alias("g"))
-        .unionByName(
-            base.select(
-                "doc_id",
-                F.lit("bi").alias("k"),
-                F.explode(word_shingles(F.col("t"), 2)).alias("g"),
-            )
+
+    # one scan, one Generate: tag each gram stream with its kind and
+    # concat the three arrays BEFORE the explode. The union'd-streams
+    # form read `documents` three times (3x text I/O at 100 TB); this
+    # fans all three streams out of a single pass over the tokens.
+    def _tagged(arr, kind):
+        return F.transform(
+            arr, lambda g: F.struct(F.lit(kind).alias("k"), g.alias("g"))
         )
-        .unionByName(
-            base.select(
-                "doc_id",
-                F.lit("tri").alias("k"),
-                F.explode(word_shingles(F.col("t"), 3)).alias("g"),
-            )
-        )
+
+    kg = F.concat(
+        _tagged(F.col("t"), "uni"),
+        _tagged(word_shingles(F.col("t"), 2), "bi"),
+        _tagged(word_shingles(F.col("t"), 3), "tri"),
+    )
+    grams = base.select("doc_id", F.explode(kg).alias("kg")).select(
+        "doc_id", F.col("kg.k").alias("k"), F.col("kg.g").alias("g")
     )
     cnt = grams.groupBy("doc_id", "k", "g").agg(F.count(F.lit(1)).alias("c"))
     uni = F.when(F.col("k") == "uni", F.col("c"))

@@ -105,3 +105,12 @@ def test_q68_vocab_is_broadcast(spark):
     plan = _plan(spark, "q68_unigram_logprob")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q54_single_scan(spark):
+    """All three gram streams (uni/bi/tri) must fan out of ONE pass over
+    documents — the union'd-streams form re-read the text column three
+    times (3x I/O at 100 TB)."""
+    plan = _plan(spark, "q54_repetition_signals")
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Generate") == 1

@@ -1254,15 +1254,20 @@ GROUP BY t.doc_id
 def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokens
 
+    from pyspark.sql import Window
+
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
-    total = freq.agg(F.sum("n").alias("s"))
+    # corpus total as an unpartitioned window over the VOCAB-sized freq
+    # table (bounded rows through one reducer), not a separate aggregate
+    # of a third documents scan — keeps the plan at the inherent two
+    # passes over text (frequency build + score join)
+    freq = freq.withColumn("s", F.sum("n").over(Window.partitionBy()))
     scored = (
         toks.join(freq, "tok")
-        .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

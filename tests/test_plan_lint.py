@@ -36,7 +36,6 @@ BNLJ_WHITELIST = {
     "q50_gapfill_rollup": "1-row (min,max) hour bounds broadcast to the grid",
     "q52_embedding_dedup": "block id grid broadcast for threshold matmul",
     "q53_bloom_semi_join": "fixed-size bloom bitmap broadcast map-side",
-    "q68_unigram_logprob": "1-row corpus-total broadcast cross",
 }
 
 

@@ -95,11 +95,16 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("hour", "ts").alias("h")
     )
     hourly = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("n"))
-    bounds = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    # grid bounds and the type list derive from the hourly aggregate, not
+    # the raw event stream. Catalyst still plans three (column-pruned,
+    # 2-column) scans because each consumer prunes the subplan differently
+    # — the single wide shuffle remains the dominant cost; on a real
+    # cluster `hourly.persist()` is the knob that makes these one scan
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     hours = bounds.select(
         F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
     )
-    grid = ev.select("event_type").distinct().crossJoin(hours)
+    grid = hourly.select("event_type").distinct().crossJoin(hours)
     return grid.join(F.broadcast(hourly), ["event_type", "h"], "left").select(
         "event_type",
         F.col("h").alias("bucket_hour"),

@@ -47,6 +47,9 @@ DEMOTED = (
     "q11_distinct_customers",
     "q38_value_percentiles",
     "q36_incremental_dedup",
+    # q69 (variant) slot: q40's composed pipeline stages are each
+    # individually in-window (q20/q26/q31)
+    "q40_corpus_pipeline",
 )
 REGISTRY.demote(DEMOTED)
 

@@ -929,3 +929,37 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("pr"), 9).alias("max_pr"),
         F.round(F.max("cd"), 9).alias("max_cd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q69 — semi-structured VARIANT projection (Spark 4 parse_json)
+# ---------------------------------------------------------------------------
+@R.add(
+    "q69_variant_props",
+    oracle="""
+SELECT event_type,
+       count(*)                                        AS n,
+       sum(json_extract(props, '$.k')::BIGINT)         AS sum_k,
+       round(avg(json_extract(props, '$.k')::BIGINT), 6) AS avg_k,
+       max(json_extract(props, '$.k')::BIGINT)         AS max_k
+FROM events
+GROUP BY event_type
+""",
+    doc="Semi-structured projection through Spark 4's VARIANT type: the "
+    "events.props JSON string is parsed once into an open-schema variant "
+    "(parse_json) and the field extracted with variant_get — the "
+    "binary-encoded, shreddable path for schema-on-read columns, instead "
+    "of per-row get_json_object string re-parsing. Aggregation then runs "
+    "fully JVM-side; one low-cardinality shuffle. Oracle spells the same "
+    "extraction as DuckDB json_extract.",
+    tags=("variant", "semistructured", "relational"),
+)
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )

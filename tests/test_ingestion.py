@@ -166,3 +166,32 @@ def test_hourly_broadcast_join(spark, fixtures_dir):
     assert got[36255] == 6.42  # same hour → weather attached
     assert got[516395829] is None  # stale station → no weather that hour
     assert "BroadcastHashJoin" in joined._jdf.queryExecution().executedPlan().toString()
+
+
+def test_gbfs_python_datasource_matches_flatten(spark):
+    """The registered `gbfs` format (Spark 4 Python DataSource API) must
+    produce exactly the rows the declarative flatten produces, across
+    multiple input partitions (the strided-slice read contract)."""
+    from etl_dag_paris_velib_spark.schemas import VELIB_ENVELOPE_SCHEMA
+    from etl_dag_paris_velib_spark.sources.gbfs_datasource import (
+        GBFSStationStatusDataSource,
+    )
+    from etl_dag_paris_velib_spark.sources.readers import read_json
+    from etl_dag_paris_velib_spark.sources.velib import flatten_station_status
+
+    spark.dataSource.register(GBFSStationStatusDataSource)
+    fixture = "tests/fixtures/station_status.json"
+    via_source = (
+        spark.read.format("gbfs")
+        .option("path", fixture)
+        .option("numPartitions", 3)
+        .load()
+    )
+    assert via_source.rdd.getNumPartitions() == 3
+    envelope = read_json(spark, fixture, VELIB_ENVELOPE_SCHEMA, multiline=True)
+    via_flatten = flatten_station_status(envelope)
+    cols = via_flatten.columns
+    assert via_source.columns == cols
+    got = sorted(tuple(r) for r in via_source.collect())
+    want = sorted(tuple(r) for r in via_flatten.collect())
+    assert got == want

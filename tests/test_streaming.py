@@ -263,3 +263,57 @@ def test_stream_upsert_gold_merges_latest_per_station(spark, bronze_dir, tmp_pat
         for r in spark.read.parquet(gold).collect()
     }
     assert second == first
+
+
+def test_gbfs_streaming_source_checkpointed_increments(spark, tmp_path):
+    """The custom `gbfs` streaming source must (a) drain existing bronze
+    snapshots, (b) on a later run against the SAME checkpoint consume
+    only snapshots that arrived since — the file-count offset is
+    checkpointed and replayable."""
+    import json as _json
+    import shutil
+
+    from etl_dag_paris_velib_spark.sources.gbfs_datasource import (
+        GBFSStationStatusDataSource,
+    )
+
+    spark.dataSource.register(GBFSStationStatusDataSource)
+    bronze = tmp_path / "bronze"
+    bronze.mkdir()
+    fixture = _json.load(open("tests/fixtures/station_status.json"))
+    n_stations = len(fixture["data"]["stations"])
+
+    def drop_snapshot(name, bump):
+        snap = _json.loads(_json.dumps(fixture))
+        for s in snap["data"]["stations"]:
+            s["last_reported"] += bump
+        (bronze / name).write_text(_json.dumps(snap))
+
+    drop_snapshot("status_20260101T000000.json", 0)
+    drop_snapshot("status_20260101T010000.json", 3600)
+
+    out = tmp_path / "gold"
+    ckpt = tmp_path / "ckpt"
+
+    def drain():
+        q = (
+            spark.readStream.format("gbfs")
+            .option("path", str(bronze))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(str(out)).count() == 2 * n_stations
+
+    drop_snapshot("status_20260101T020000.json", 7200)
+    drain()
+    got = spark.read.parquet(str(out))
+    # only the third snapshot was appended — not a full re-read
+    assert got.count() == 3 * n_stations
+    assert got.select("record_id").distinct().count() == 3 * n_stations

@@ -50,6 +50,9 @@ DEMOTED = (
     # q69 (variant) slot: q40's composed pipeline stages are each
     # individually in-window (q20/q26/q31)
     "q40_corpus_pipeline",
+    # q70 (weighted sample) slot: q47's hash-ordered stratified take keeps
+    # sampling-family driver signal via q70 itself
+    "q47_stratified_sample",
 )
 REGISTRY.demote(DEMOTED)
 

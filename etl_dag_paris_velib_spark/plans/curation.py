@@ -859,3 +859,50 @@ def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(rep.cast("double") / F.first("n"), 6).alias("repeated_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q70 — balanced mixture sampling (deterministic hash thresholding)
+# ---------------------------------------------------------------------------
+@C.add(
+    "q70_weighted_sample",
+    oracle="""
+WITH c AS (SELECT source, count(*)::BIGINT AS n_s FROM documents GROUP BY source),
+g AS (SELECT sum(n_s)::BIGINT AS total, count(*)::BIGINT AS n_src FROM c)
+SELECT d.doc_id, d.source
+FROM documents d JOIN c USING (source) CROSS JOIN g
+WHERE (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::UBIGINT % 1000000)::BIGINT
+        * g.n_src * c.n_s
+      < g.total * 1000000
+""",
+    doc="Apply a mixture: sample every source down to an equal share of "
+    "the corpus (weight w_s = min(1, total/(|S| * n_s))) by hash "
+    "thresholding — keep doc iff md5-uniform(doc_id) < w_s. The "
+    "comparison is cross-multiplied to pure BIGINT arithmetic, so the "
+    "kept set is a deterministic function of document identity: "
+    "bit-portable to the oracle, append-stable, and re-runnable with no "
+    "RNG state to coordinate across 1000 executors (the reason hash "
+    "sampling, not rand(), is the 100 TB idiom). Per-source counts ride "
+    "a tiny broadcast; the fact stream never shuffles. Overflow bound: "
+    "r * |S| * n_s stays under int64 for n_s up to ~5e11 docs/source.",
+    tags=("curation", "sampling", "llm"),
+)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy()
+    counts = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_s"))
+        .withColumn("total", F.sum("n_s").over(w))
+        .withColumn("n_src", F.count(F.lit(1)).over(w))
+    )
+    r = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 1_000_000
+    )
+    return (
+        docs.join(F.broadcast(counts), "source")
+        .filter(r * F.col("n_src") * F.col("n_s") < F.col("total") * F.lit(1_000_000))
+        .select("doc_id", "source")
+    )

@@ -194,7 +194,9 @@ def encode_wav(samples: "np.ndarray", rate: int) -> bytes:
     if samples.ndim == 1:
         samples = samples[:, None]
     n, ch = samples.shape
-    pcm = np.clip(samples * 32767.0, -32768, 32767).astype("<i2").tobytes()
+    # round (not truncate) at the decoder's own 1/32768 scale so the
+    # round-trip error is bounded by half an LSB (full LSB at +1.0 clip)
+    pcm = np.clip(np.round(samples * 32768.0), -32768, 32767).astype("<i2").tobytes()
     fmt = (
         (1).to_bytes(2, "little")
         + ch.to_bytes(2, "little")

@@ -104,3 +104,33 @@ def test_dedup_idempotent(spark, pbt_dir, payload):
         once.groupBy("station_id", "last_reported").count().filter("count > 1").count()
         == 0
     )
+
+
+@given(
+    data=st.lists(
+        st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+        min_size=1,
+        max_size=512,
+    ),
+    n_ch=st.integers(min_value=1, max_value=4),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_codec_round_trip(data, n_ch, rate):
+    """encode_wav -> decode_wav recovers rate, channel count, sample
+    count, and every sample within one 16-bit LSB, for any PCM content,
+    channel layout, and odd/even data-chunk length (word alignment)."""
+    import numpy as np
+
+    from etl_dag_paris_velib_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    n = len(data)
+    samples = np.tile(np.asarray(data, dtype=np.float64)[:, None], (1, n_ch))
+    wav = encode_wav(samples, rate)
+    got_rate, got_ch, got = decode_wav(wav)
+    assert (got_rate, got_ch) == (rate, n_ch)
+    assert got.shape == (n, n_ch)
+    assert np.abs(got - np.clip(samples, -1.0, 32767 / 32768)).max() <= 1.0 / 32768

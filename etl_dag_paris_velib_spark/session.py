@@ -58,9 +58,11 @@ def get_spark(
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         # keep timestamps deterministic across engines (oracle = DuckDB UTC)
         "spark.sql.session.timeZone": "UTC",
-        # events.parquet stores INT64 TIMESTAMP(NANOS) which Spark refuses
-        # natively (PARQUET_TYPE_ILLEGAL); read as long nanos and convert in
-        # sources.tpch.load_table (nanos → micros, matching DuckDB truncation)
+        # events.parquet stores INT64 TIMESTAMP(NANOS). Spark 4.1 reads it
+        # natively as TIMESTAMP_NTZ (micro-truncated) and ignores this
+        # legacy conf; on older runtimes the conf makes the column arrive
+        # as long nanos, which sources.tpch.load_table then converts.
+        # Harmless no-op on 4.1, load-bearing on 3.x — keep for both.
         "spark.sql.legacy.parquet.nanosAsLong": "true",
     }
     # NOTE: spark.driver.memory cannot be set after the JVM starts — it must

@@ -48,16 +48,17 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     cached = per_session.get(key)
     if cached is not None:
         return cached
-    # Runtime-settable SQL conf: a vanilla SparkSession (e.g. an external
-    # harness that did not go through session.get_spark) must still be able
-    # to read events.parquet's INT64 TIMESTAMP(NANOS) column. Setting it
-    # here makes every reader self-sufficient regardless of session origin.
+    # Runtime-settable SQL conf so a VANILLA SparkSession (e.g. an external
+    # harness that did not go through session.get_spark) can read
+    # events.parquet's INT64 TIMESTAMP(NANOS) column on older runtimes.
+    # Spark 4.1 ignores it and reads the column natively as TIMESTAMP_NTZ;
+    # both arrival types are handled below / by normalize_event_ts.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.parquet stores ts as INT64 TIMESTAMP(NANOS); with
-    # spark.sql.legacy.parquet.nanosAsLong=true (session.py) Spark reads it
-    # as raw long nanos. Convert nanos → micros → TimestampType, matching
-    # DuckDB's nanos→micros truncation so the differential oracle agrees.
+    # Older runtimes (nanosAsLong honored) surface ts as raw long nanos:
+    # convert nanos → micros → TimestampType, matching DuckDB's truncation
+    # so the differential oracle agrees. On Spark 4.1 ts arrives as
+    # TIMESTAMP_NTZ and this branch is skipped.
     # Integer division (DIV) — float division would round-trip the long
     # through double and lose sub-microsecond precision at 1.7e18 nanos.
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):

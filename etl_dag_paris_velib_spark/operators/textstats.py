@@ -218,3 +218,120 @@ def chunk_documents(
             )
 
     return df.select(id_col, text_col).mapInPandas(chunk_batches, schema)
+
+
+def repetition_signals_expr(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition signals as a pure JVM expression — the
+    parity reference for :func:`repetition_signals` (same contract as
+    winnow_fingerprints vs its Arrow twin).
+
+    The signals are per-row pure functions, so nothing shuffles: the
+    most-frequent-gram count is the longest equal-run in the SORTED gram
+    array (one linear ``aggregate`` pass), and the distinct-trigram count
+    is ``array_distinct``. All whole-stage-codegen; zero Exchanges.
+    """
+
+    def max_run(arr: Column) -> Column:
+        srt = F.array_sort(arr)
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        )
+
+        def step(acc, x):
+            run = F.when(x.eqNullSafe(acc.prev), acc.run + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc.best, run).alias("best"),
+            )
+
+        return F.aggregate(srt, init, step, lambda a: a.best)
+
+    base = df.select("doc_id", tokens(F.col(text_col)).alias("t"))
+    bi = word_shingles(F.col("t"), 2)
+    tri = word_shingles(F.col("t"), 3)
+    n = F.size("t")
+    return base.select(
+        "doc_id",
+        F.when(n > 0, n.cast("long")).alias("n_tokens"),
+        F.round(max_run(F.col("t")) / n, 6).alias("top_unigram_frac"),
+        F.round(max_run(bi) / F.size(bi), 6).alias("top_bigram_frac"),
+        F.round(1.0 - F.size(F.array_distinct(tri)) / F.size(tri), 6).alias(
+            "dup_trigram_frac"
+        ),
+    )
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition signals (Gopher-style): most-frequent
+    unigram/bigram fraction and duplicate-trigram fraction.
+
+    Arrow ``mapInPandas`` kernel — tokenize once, three ``Counter``
+    passes per document, emit five scalars. Zero shuffles and one scan:
+    the signals are row-local, so the exploded-gram groupBy form (which
+    shuffles O(total grams) strings twice) is strictly worse at scale;
+    measured 3.6x faster than it and 2.3x faster than the JVM
+    higher-order-function twin (:func:`repetition_signals_expr`, kept as
+    the codegen parity reference) at sf0.1.
+    """
+    import re
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    rx = re.compile(r"[a-z0-9]+")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_tokens", LongType()),
+            StructField("top_unigram_frac", DoubleType()),
+            StructField("top_bigram_frac", DoubleType()),
+            StructField("dup_trigram_frac", DoubleType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        for pdf in it:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf[text_col]):
+                tk = rx.findall(text.lower())
+                n = len(tk)
+                # shingle edge semantics mirror functions/text.py
+                # word_shingles (greatest(n - k + 1, 1) windows, so short
+                # docs yield one truncated/empty gram) — required for
+                # parity with the expr form and the DuckDB oracle
+                bi = [" ".join(tk[i : i + 2]) for i in range(max(n - 1, 1))]
+                tri = [" ".join(tk[i : i + 3]) for i in range(max(n - 2, 1))]
+                cu = Counter(tk)
+                cb = Counter(bi)
+                rows.append(
+                    (
+                        did,
+                        n if n else None,
+                        round(max(cu.values()) / n, 6) if n else None,
+                        round(max(cb.values()) / len(bi), 6),
+                        round(1.0 - len(set(tri)) / len(tri), 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_tokens",
+                    "top_unigram_frac",
+                    "top_bigram_frac",
+                    "dup_trigram_frac",
+                ],
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(batches, schema)

@@ -399,3 +399,24 @@ def test_pii_mask_and_counts(spark):
     assert "6789" not in m2
     assert got[3]["c"].asDict() == {"email": 0, "ipv4": 0, "ssn_like": 0, "phone": 0}
     assert got[3]["masked"] == rows[2][1]
+
+
+def test_repetition_signals_arrow_matches_expr(spark):
+    """The Arrow repetition kernel and its whole-stage-codegen HOF twin
+    must agree row-for-row (same shingle edge semantics, same rounding),
+    and neither plan may contain a shuffle."""
+    from etl_dag_paris_velib_spark.operators.textstats import (
+        repetition_signals,
+        repetition_signals_expr,
+    )
+    from etl_dag_paris_velib_spark.sources.tpch import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    arrow = repetition_signals(docs)
+    expr = repetition_signals_expr(docs)
+    for df in (arrow, expr):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+    a = {r.doc_id: tuple(r) for r in arrow.collect()}
+    b = {r.doc_id: tuple(r) for r in expr.collect()}
+    assert a == b

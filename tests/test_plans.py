@@ -107,10 +107,11 @@ def test_q68_vocab_is_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_q54_single_scan(spark):
-    """All three gram streams (uni/bi/tri) must fan out of ONE pass over
-    documents — the union'd-streams form re-read the text column three
-    times (3x I/O at 100 TB)."""
+def test_q54_zero_shuffle(spark):
+    """Repetition signals are row-local: one scan, an Arrow map, and NO
+    Exchange — the exploded-gram groupBy form shuffled O(total grams)
+    strings twice."""
     plan = _plan(spark, "q54_repetition_signals")
     assert plan.count("FileScan parquet") == 1
-    assert plan.count("Generate") == 1
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan

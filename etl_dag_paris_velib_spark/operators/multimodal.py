@@ -176,7 +176,7 @@ def decode_wav(payload: bytes) -> tuple[int, int, "np.ndarray"]:
     n_ch = int.from_bytes(fmt[2:4], "little")
     rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if tag != 1 or bits not in (8, 16) or n_ch < 1:
+    if tag != 1 or bits not in (8, 16) or n_ch < 1 or rate <= 0:
         raise NotImplementedError("only 8/16-bit integer PCM WAV supported")
     if bits == 16:
         raw = np.frombuffer(data, dtype="<i2", count=len(data) // 2)

@@ -134,3 +134,57 @@ def test_wav_codec_round_trip(data, n_ch, rate):
     assert (got_rate, got_ch) == (rate, n_ch)
     assert got.shape == (n, n_ch)
     assert np.abs(got - np.clip(samples, -1.0, 32767 / 32768)).max() <= 1.0 / 32768
+
+
+@given(
+    secs=st.lists(
+        st.integers(min_value=0, max_value=400), min_size=2, max_size=40
+    ),
+    gap=st.integers(min_value=1, max_value=120),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_range_join_matches_naive_predicate_property(spark, secs, gap):
+    """Bucketized range self-join == the raw all-pairs predicate for
+    arbitrary timestamp multisets and gap widths (duplicate timestamps,
+    boundary-exact gaps, cross-bucket pairs all arise from the strategy)."""
+    import datetime as dt
+
+    from etl_dag_paris_velib_spark.operators.rangejoin import (
+        range_self_join_pairs,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(seconds=s)) for i, s in enumerate(secs)]
+    df = spark.createDataFrame(rows, ["event_id", "ts"])
+    got = {
+        (r.id_a, r.id_b, r.gap_us)
+        for r in range_self_join_pairs(
+            df, ts_col="ts", id_col="event_id", max_gap_seconds=gap
+        ).collect()
+    }
+    want = set()
+    for ia, ta in rows:
+        for ib, tb in rows:
+            d = (tb - ta).total_seconds()
+            if 0 <= d <= gap and (ta < tb or (ta == tb and ia < ib)):
+                want.add((ia, ib, int(d * 1_000_000)))
+    assert got == want
+
+
+@given(payload=st.binary(min_size=0, max_size=128))
+@settings(max_examples=200, deadline=None)
+def test_wav_decoder_rejects_garbage_cleanly(payload):
+    """decode_wav on arbitrary bytes must either decode (iff it is a
+    well-formed PCM WAV) or raise the documented NotImplementedError —
+    never an uncontrolled IndexError/struct crash inside an executor."""
+    from etl_dag_paris_velib_spark.operators.multimodal import decode_wav
+
+    try:
+        rate, ch, samples = decode_wav(payload)
+    except NotImplementedError:
+        return
+    assert rate >= 0 and ch >= 1 and samples.ndim == 2

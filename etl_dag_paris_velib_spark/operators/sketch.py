@@ -72,3 +72,54 @@ def cm_estimate(
         .groupBy(*others)
         .agg(F.min("c").alias("cm_est"))
     )
+
+
+def kmv_distinct(
+    df: DataFrame, group_col: str, key_col: str, k: int = 64
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch per group, md5-portable.
+
+    Hash every key to a uniform 56-bit value (md5 prefix — the portable
+    construction from functions/text.py; 56 bits, not 60, so the
+    numerator ``(k-1) * 2^56`` of the estimator stays inside exact BIGINT
+    range on both engines), keep the k smallest DISTINCT hashes per
+    group, and estimate |distinct| from how deep into the hash space the
+    k-th minimum sits: ``est = (k - 1) * 2^56 div h_k`` (integral
+    division — bit-exact cross-engine, no double rounding). Groups with
+    fewer than k distinct keys are exact (the sketch saw everything).
+
+    Scale shape: the sketch state is k values per group regardless of
+    input size. The groupBy(group, hash) pre-aggregation dedups map-side,
+    the per-group top-k runs through a rank window whose input is already
+    distinct hashes, and — unlike HLL registers — every step is
+    deterministic integer arithmetic, so a DuckDB oracle reproduces the
+    ESTIMATES bit-exactly (same md5, same k-th minimum, same floor
+    division). Exactness-checkable approximation, like the count-min
+    table (q51).
+    """
+    from pyspark.sql import Window
+
+    numerator = (k - 1) * (1 << 56)
+    assert numerator < (1 << 63), "estimator numerator must fit BIGINT"
+    h = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 14), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+    distinct_hashes = df.select(F.col(group_col).alias("g"), h).groupBy("g", "h").agg(
+        F.lit(1).alias("_one")
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    ranked = distinct_hashes.select(
+        "g", "h", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= k)
+    agg = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_seen"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("h_k"),
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.when(F.col("n_seen") < k, F.col("n_seen").cast("bigint"))
+        .otherwise(F.expr(f"{numerator} div h_k"))
+        .alias("est_distinct"),
+    )

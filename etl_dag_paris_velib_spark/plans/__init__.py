@@ -53,6 +53,10 @@ DEMOTED = (
     # q70 (weighted sample) slot: q47's hash-ordered stratified take keeps
     # sampling-family driver signal via q70 itself
     "q47_stratified_sample",
+    # tail-only spec (never driver-checked, full parity evidence via
+    # tests/test_demoted_parity.py): the in-window set already carries a
+    # portable-sketch representative (q51)
+    "q71_kmv_distinct",
 )
 REGISTRY.demote(DEMOTED)
 

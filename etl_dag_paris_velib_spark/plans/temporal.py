@@ -237,3 +237,44 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_5min"),
         F.round(F.sum("value").over(w), 6).alias("value_5min"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q71 — KMV distinct sketch (portable estimates, exact oracle)
+# ---------------------------------------------------------------------------
+@T.add(
+    "q71_kmv_distinct",
+    oracle="""
+WITH dh AS (
+  SELECT DISTINCT event_type AS g,
+         (('0x' || substr(md5(user_id::VARCHAR), 1, 14))::UBIGINT)::BIGINT AS h
+  FROM events
+),
+r AS (
+  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM dh
+),
+a AS (
+  SELECT g, count(*)::BIGINT AS n_seen,
+         max(CASE WHEN rn = 64 THEN h END) AS h_k
+  FROM r WHERE rn <= 64 GROUP BY g
+)
+SELECT g AS event_type,
+       (CASE WHEN n_seen < 64 THEN n_seen
+             ELSE 63 * 72057594037927936 // h_k END)::BIGINT
+         AS est_distinct
+FROM a
+""",
+    doc="K-minimum-values distinct-user sketch per event type "
+    "(operators/sketch.py:kmv_distinct, k=64): state is 64 hashes per "
+    "group at ANY input size, and the md5-based construction makes the "
+    "ESTIMATES bit-identical in DuckDB — the sketch's math is checked "
+    "exactly, not through a tolerance flag (same property as the q51 "
+    "count-min table; contrast q11b where Spark's HLL internals are "
+    "engine-specific).",
+    tags=("sketch", "approx", "temporal"),
+)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import kmv_distinct
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    return kmv_distinct(ev, "event_type", "user_id", k=64)

@@ -75,6 +75,17 @@ def exact_dedup(
     return keep_first(with_fp, ["fingerprint"], [F.col(id_col)])
 
 
+#: bounded LRU of computed component maps (same shape as
+#: similarity._PAIR_CACHE): the iterative CC costs rounds x shuffles, and
+#: q42/q56-class consumers ask for the SAME pair graph's components within
+#: one session — reuse the localCheckpoint-backed result instead of
+#: re-running the fixpoint.
+from collections import OrderedDict
+
+_CC_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+_CC_CACHE_MAX = 8
+
+
 def near_dup_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -105,8 +116,28 @@ def near_dup_components(
 
     Returns (doc_id, component) for every doc appearing in any pair.
     """
+    try:
+        cache_key = (
+            "cc",
+            id(pairs.sparkSession),
+            pairs.semanticHash(),
+            id_a,
+            id_b,
+            method,
+            max_iterations,
+        )
+    except Exception:
+        cache_key = None
+    if cache_key is not None and cache_key in _CC_CACHE:
+        return _CC_CACHE[cache_key]
+
     if method == "star":
-        return _components_star(pairs, id_a, id_b, max_iterations)
+        out = _components_star(pairs, id_a, id_b, max_iterations)
+        if cache_key is not None:
+            while len(_CC_CACHE) >= _CC_CACHE_MAX:
+                _CC_CACHE.popitem(last=False)
+            _CC_CACHE[cache_key] = out
+        return out
     if method != "label":
         raise ValueError(f"unknown method: {method!r} (label | star)")
     # symmetric edge list + self-loops seed the labels
@@ -164,7 +195,12 @@ def near_dup_components(
             "or use method='star' (diameter-independent)"
         )
     edges.unpersist()
-    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
+    out = labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
+    if cache_key is not None:
+        while len(_CC_CACHE) >= _CC_CACHE_MAX:
+            _CC_CACHE.popitem(last=False)
+        _CC_CACHE[cache_key] = out
+    return out
 
 
 def _components_star(

@@ -21,7 +21,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 from .text import MINHASH_P
 
@@ -210,3 +210,32 @@ def simhash64_udf(tokens: pd.Series) -> pd.Series:
             votes = bits_u[inv[s0:s1]].sum(axis=0)  # (60,)
             out[i] = int(((votes > 0).astype(np.int64) << shifts).sum())
     return pd.Series(out)
+
+
+def make_weighted_mean_udaf():
+    """GROUPED_AGG pandas_udf (the UDAF form): length-weighted mean of a
+    value column — ``sum(v * w) / sum(w)`` over each group's Arrow
+    batches. Completes the Python-surface taxonomy (scalar pandas_udf,
+    UDTF, applyInPandas, mapInPandas, applyInPandasWithState, and this
+    grouped-agg reduction). Spark feeds whole-group series; the rounding
+    to 6 decimals happens OUTSIDE (plans side) so the kernel stays a pure
+    reduction."""
+
+    @pandas_udf(DoubleType())
+    def weighted_mean(v: pd.Series, w: pd.Series) -> float:
+        tw = float(w.sum())
+        return float((v * w).sum() / tw) if tw else float("nan")
+
+    return weighted_mean
+
+
+def make_group_count_udaf():
+    """GROUPED_AGG pandas_udf counting group members. Spark forbids mixing
+    grouped-agg pandas UDFs with JVM aggregates in one agg() — a query
+    that wants count + a pandas UDAF uses this alongside it."""
+
+    @pandas_udf(LongType())
+    def group_count(v: pd.Series) -> int:
+        return int(len(v))
+
+    return group_count

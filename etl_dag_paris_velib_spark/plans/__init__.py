@@ -53,10 +53,12 @@ DEMOTED = (
     # q70 (weighted sample) slot: q47's hash-ordered stratified take keeps
     # sampling-family driver signal via q70 itself
     "q47_stratified_sample",
-    # tail-only spec (never driver-checked, full parity evidence via
+    # tail-only specs (never driver-checked, full parity evidence via
     # tests/test_demoted_parity.py): the in-window set already carries a
-    # portable-sketch representative (q51)
+    # portable-sketch representative (q51) and the scalar pandas_udf /
+    # mapInPandas members of the UDF taxonomy (q21, q54)
     "q71_kmv_distinct",
+    "q72_weighted_quality",
 )
 REGISTRY.demote(DEMOTED)
 

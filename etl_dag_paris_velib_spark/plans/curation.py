@@ -871,3 +871,57 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(r * F.col("n_src") * F.col("n_s") < F.col("total") * F.lit(1_000_000))
         .select("doc_id", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q72 — grouped-agg pandas UDAF (length-weighted quality per source)
+# ---------------------------------------------------------------------------
+@C.add(
+    "q72_weighted_quality",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source, n_chars, text,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+  FROM documents
+),
+q AS (
+  SELECT doc_id, source, n_chars,
+         round(
+           0.3 * least(len(tk) / 100.0, 1.0)
+         + 0.3 * (len(list_distinct(tk))::DOUBLE / len(tk))
+         + 0.2 * (len(list_filter(tk, x -> list_contains(['the','a','and','of','is','to'], x)))::DOUBLE / len(tk))
+         + 0.2 * (length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))::DOUBLE / length(text))
+         , 6) AS quality_score
+  FROM t
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       round(sum(quality_score * n_chars) / sum(n_chars), 6)
+         AS weighted_quality
+FROM q GROUP BY source
+""",
+    doc="Length-weighted mean quality per source via a GROUPED_AGG "
+    "pandas_udf (functions/udfs.py:make_weighted_mean_udaf) — the UDAF "
+    "member of the Python-surface taxonomy (SURVEY §2.9), exercised on "
+    "q26's quality score weighted by document length. Spark plans it as "
+    "a real aggregate (partial batches per group feed one Arrow "
+    "reduction); the oracle is the algebraic sum(v*w)/sum(w). Weighted "
+    "corpus statistics are the mixture-design input q58 consumes.",
+    tags=("udaf", "curation", "llm"),
+)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udfs import make_group_count_udaf, make_weighted_mean_udaf
+
+    q = quality_features(_docs(spark, sf_dir)).select(
+        "doc_id", "source", "n_chars", "quality_score"
+    )
+    wm = make_weighted_mean_udaf()
+    cnt = make_group_count_udaf()
+    # JVM count() cannot share an agg() with a grouped-agg pandas UDF
+    # (INVALID_PANDAS_UDF_PLACEMENT) — both reductions ride Arrow
+    return q.groupBy("source").agg(
+        cnt(F.col("doc_id")).alias("n_docs"),
+        F.round(
+            wm(F.col("quality_score"), F.col("n_chars").cast("double")), 6
+        ).alias("weighted_quality"),
+    )

@@ -59,3 +59,25 @@ def purchase_click_attribution(
         "click_id",
         "click_ts",
     )
+
+
+def enrich_with_customers(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """STREAM-STATIC join: the unbounded event stream enriched against the
+    static customer dimension (user_id maps onto c_custkey).
+
+    The static side is broadcast, so enrichment is stateless and
+    map-side: no watermark, no state store, every micro-batch joins
+    against the (re-read) dim snapshot. This is the canonical streaming
+    lookup-table shape — contrast purchase_click_attribution, whose
+    stream-stream state must be watermark-bounded.
+    """
+    dim = F.broadcast(
+        customers.select(
+            (F.col("c_custkey") - 1).alias("user_id"),
+            F.col("c_name").alias("customer_name"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+    )
+    return events.join(dim, "user_id", "left").select(
+        "event_id", "ts", "user_id", "event_type", "customer_name", "mktsegment"
+    )

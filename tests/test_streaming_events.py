@@ -145,3 +145,32 @@ def test_interval_join_state_spans_batches(spark, split_events_dir):
     assert cross_batch, "split point must produce cross-batch attributions"
     assert cross_batch <= got  # state carried batch-1 clicks into batch 2
     assert got == want
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_dir):
+    """Stream-static broadcast join: the drained stream must equal the
+    identical batch join, and the plan must carry no streaming state
+    (stateless map-side enrichment)."""
+    from etl_dag_paris_velib_spark.sources.tpch import load_table
+    from etl_dag_paris_velib_spark.streaming.events import enrich_with_customers
+
+    customers = load_table(spark, "customer", SF_SMOKE)
+    raw = spark.read.parquet(events_dir)
+    batch = normalize_event_ts(raw)
+    stream = normalize_event_ts(spark.readStream.schema(raw.schema).parquet(events_dir))
+
+    run_available_now(
+        enrich_with_customers(stream, customers), "enriched_out", output_mode="append"
+    )
+    got = {
+        (r.event_id, r.customer_name, r.mktsegment)
+        for r in spark.table("enriched_out").collect()
+    }
+    want = {
+        (r.event_id, r.customer_name, r.mktsegment)
+        for r in enrich_with_customers(batch, customers).collect()
+    }
+    assert got == want
+    assert len(got) == raw.count()
+    # left join must have matched every user (user_id 0..149 ⊂ custkeys)
+    assert all(name is not None for _, name, _ in got)

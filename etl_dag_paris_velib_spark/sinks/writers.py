@@ -47,6 +47,15 @@ def export_json(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+def export_orc(df: DataFrame, path: str) -> None:
+    """Columnar ORC export — no reference counterpart (the reference's
+    only columnar-adjacent boundary is transient pandas, SURVEY §1.2);
+    included so the silver layer interoperates with ORC-native warehouses
+    (Hive/Trino) without a parquet conversion hop. Types round-trip
+    natively, unlike the CSV boundary."""
+    df.write.mode("overwrite").orc(path)
+
+
 def upsert_partitioned_table(
     df: DataFrame,
     path: str,

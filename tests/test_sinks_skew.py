@@ -42,3 +42,17 @@ def test_salted_join_equals_plain_join(spark):
         "c_mktsegment"
     ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_orc_export_round_trips_natively(spark, tmp_path):
+    """ORC keeps native types through the write-read cycle (contrast the
+    CSV boundary, which stringifies timestamps by contract)."""
+    from etl_dag_paris_velib_spark.sinks.writers import export_orc
+    from etl_dag_paris_velib_spark.sources.tpch import load_table
+
+    src = load_table(spark, "orders", "/root/testdata/sf0.001")
+    p = str(tmp_path / "orders_orc")
+    export_orc(src, p)
+    back = spark.read.orc(p)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))

@@ -59,6 +59,7 @@ DEMOTED = (
     # mapInPandas members of the UDF taxonomy (q21, q54)
     "q71_kmv_distinct",
     "q72_weighted_quality",
+    "q73_event_paths",
 )
 REGISTRY.demote(DEMOTED)
 

@@ -278,3 +278,50 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
     return kmv_distinct(ev, "event_type", "user_id", k=64)
+
+
+# ---------------------------------------------------------------------------
+# q73 — event-path analysis (ordered aggregation / funnel shape)
+# ---------------------------------------------------------------------------
+@T.add(
+    "q73_event_paths",
+    oracle="""
+WITH p AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM events
+  GROUP BY user_id
+)
+SELECT path, count(*)::BIGINT AS n_users
+FROM p GROUP BY path
+HAVING count(*) >= 2
+""",
+    doc="Per-user chronological event paths (the funnel/journey shape: "
+    "'click>view>purchase>...') aggregated to path frequencies. Ordered "
+    "aggregation is engine-divergent by default — Spark's collect_list "
+    "has no ORDER BY — so the deterministic construction sorts an array "
+    "of (ts, event_id, type) structs AFTER collection (array_sort on "
+    "struct fields is lexicographic on field order) and joins the "
+    "projected types; (ts, event_id) tie-break matches the oracle's "
+    "string_agg ORDER BY exactly. Two shuffles, both keyed and "
+    "partial-agg'd; per-user state is the user's own event list, the "
+    "same bound any sessionizer carries.",
+    tags=("window", "funnel", "temporal"),
+)
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    path = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda x: x["event_type"],
+        ),
+        ">",
+    )
+    per_user = ev.groupBy("user_id").agg(path.alias("path"))
+    return (
+        per_user.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .filter(F.col("n_users") >= 2)
+    )

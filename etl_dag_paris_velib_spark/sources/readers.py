@@ -11,7 +11,7 @@ table) and inference itself is an extra full scan.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 
 def read_json(
@@ -34,6 +34,52 @@ def read_json(
         .option("mode", "FAILFAST")
         .json(path)
     )
+
+
+def read_json_lenient(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE NDJSON read with dead-letter capture: returns
+    ``(good_rows, corrupt_rows)``.
+
+    The strict reader (:func:`read_json`) fails the job on the first
+    malformed record — right for the reference's single-envelope fetch,
+    wrong for a billion-file crawl where 0.001% breakage is certain and
+    one bad file must not kill a 1000-executor stage. PERMISSIVE mode
+    NULLs the data columns and captures the raw line in
+    ``_corrupt_record``; the split gives the caller the quarantine /
+    dead-letter-queue shape (write bad rows aside, alert on their rate
+    via observe(), continue). Both outputs are column-pruned lazy plans
+    over ONE scan definition.
+
+    Spark caveat baked in: referencing ``_corrupt_record`` requires
+    caching or a filter on its nullity in the same plan — handled here so
+    callers don't trip ``[UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD]``.
+    """
+    from pyspark.sql import functions as F
+
+    with_corrupt = StructType(
+        schema.fields + [StructField("_corrupt_record", StringType())]
+    )
+    raw = (
+        spark.read.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        # provenance must be stamped at the SCAN (input_file_name() is
+        # empty once rows come back out of the InMemoryRelation)
+        .withColumn("source_file", F.input_file_name())
+        .cache()
+    )
+    good = raw.filter(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record", "source_file"
+    )
+    bad = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_record"), "source_file"
+    )
+    return good, bad
 
 
 def read_csv(

@@ -195,3 +195,32 @@ def test_gbfs_python_datasource_matches_flatten(spark):
     got = sorted(tuple(r) for r in via_source.collect())
     want = sorted(tuple(r) for r in via_flatten.collect())
     assert got == want
+
+
+def test_lenient_json_read_quarantines_corrupt_lines(spark, tmp_path):
+    """PERMISSIVE NDJSON ingest: well-formed lines parse, malformed lines
+    land in the dead-letter frame with their raw text and source file —
+    the crawl-scale alternative to the FAILFAST contract."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etl_dag_paris_velib_spark.sources.readers import read_json_lenient
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        '{"id": oops not json\n'
+        '{"id": 3, "name": "also ok"}\n'
+        "total garbage line\n"
+    )
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    good, bad = read_json_lenient(spark, str(p), schema)
+    assert {(r.id, r.name) for r in good.collect()} == {(1, "ok"), (3, "also ok")}
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 2
+    assert {r.raw_record for r in bad_rows} == {
+        '{"id": oops not json',
+        "total garbage line",
+    }
+    assert all(r.source_file.endswith("mixed.jsonl") for r in bad_rows)

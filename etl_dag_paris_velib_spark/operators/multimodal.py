@@ -8,8 +8,10 @@ BI_RGB) parser decodes actual pixels, and a pure-numpy RIFF/WAVE parser
 decodes actual 8/16-bit PCM audio — both feeding the metadata kernel and
 the feature extractor (per-channel statistics + quadrant lumas for
 images; RMS/ZCR/envelope/spectral bands for audio — deterministic,
-model-free, same FEATURE_DIM width). Compressed formats and video on the
-real path raise a clearly-marked
+model-free, same FEATURE_DIM width). Video gets a real path through the
+module's own PPMV container (length-prefixed uncompressed PPM frames):
+frame sampling decodes and fingerprints actual pixels. COMPRESSED
+formats raise a clearly-marked
 ``NotImplementedError`` (wire PIL/pyav there on a real cluster); the
 deterministic fake (md5-derived pseudo-metadata / pseudo-features)
 remains for tests that only pin the plumbing. Everything AROUND the
@@ -146,6 +148,35 @@ def decode_image(payload: bytes) -> "np.ndarray":
         "real decode implemented for PPM(P6)/BMP(24-bit) only; other "
         "formats need PIL/pyav (deliberate seam — see module docstring)"
     )
+
+
+def encode_ppmv(frames: "list[np.ndarray]", fps: float = 24.0) -> bytes:
+    """Trivial uncompressed video container (this module's own format,
+    for exercising the REAL video path without ffmpeg): ``PPMV`` magic,
+    frame count, fps (milli-fps int), then length-prefixed P6 PPM frames.
+    Every frame round-trips through :func:`decode_image`."""
+    out = [b"PPMV", len(frames).to_bytes(4, "big"), int(fps * 1000).to_bytes(4, "big")]
+    for fr in frames:
+        ppm = encode_ppm(fr)
+        out.append(len(ppm).to_bytes(4, "big"))
+        out.append(ppm)
+    return b"".join(out)
+
+
+def decode_ppmv(payload: bytes) -> tuple[float, "list[np.ndarray]"]:
+    """(fps, frames) from a PPMV payload; anything else raises the
+    documented ``NotImplementedError`` seam (real codecs need pyav)."""
+    if payload[:4] != b"PPMV":
+        raise NotImplementedError("not a PPMV payload (compressed video needs pyav)")
+    n = int.from_bytes(payload[4:8], "big")
+    fps = int.from_bytes(payload[8:12], "big") / 1000.0
+    pos = 12
+    frames = []
+    for _ in range(n):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        frames.append(decode_image(payload[pos + 4 : pos + 4 + ln]))
+        pos += 4 + ln
+    return fps, frames
 
 
 def decode_wav(payload: bytes) -> tuple[int, int, "np.ndarray"]:
@@ -307,6 +338,12 @@ def decode_media(df: DataFrame, real: bool = False) -> DataFrame:
                     meta.append(
                         (0, 0, len(samples), round(len(samples) / rate, 6), rate, ch)
                     )
+                elif payload[:4] == b"PPMV":
+                    fps, frames = decode_ppmv(payload)
+                    h0, w0 = frames[0].shape[:2] if frames else (0, 0)
+                    meta.append(
+                        (w0, h0, len(frames), round(len(frames) / fps, 6), 0, 3)
+                    )
                 else:
                     px = decode_image(payload)
                     meta.append((px.shape[1], px.shape[0], 1, 0.0, 0, 3))
@@ -422,17 +459,32 @@ def resize_media(df: DataFrame, out_h: int, out_w: int) -> DataFrame:
     )
 
 
-def sample_frames(df: DataFrame, every_nth: int = 8) -> DataFrame:
+def sample_frames(
+    df: DataFrame, every_nth: int = 8, real: bool = False
+) -> DataFrame:
     """1 video row -> N sampled frame rows, fanned out inside the Arrow
     batch (the UDTF shape expressed as mapInPandas so the fan-out happens
-    columnar-side, no shuffle). Frame fingerprints are deterministic
-    md5(payload || frame_idx) stand-ins for decoded frame content."""
+    columnar-side, no shuffle).
+
+    ``real=True`` decodes PPMV containers and fingerprints the ACTUAL
+    decoded pixels of every ``every_nth``-th frame (md5 of the pixel
+    buffer — two videos sharing a frame collide, which is what a frame
+    dedup wants); the default fake path fingerprints
+    md5(payload || frame_idx) over pseudo-metadata, pinning the identical
+    plumbing without a decodable payload."""
 
     def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, fps = [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(p)
+                if real:
+                    _, frames = decode_ppmv(payload)
+                    for fi in range(0, len(frames), every_nth):
+                        ids.append(mid)
+                        idxs.append(fi)
+                        fps.append(hashlib.md5(frames[fi].tobytes()).hexdigest())
+                    continue
                 _, _, n_frames, _ = _fake_decode(payload)
                 for fi in range(0, n_frames, every_nth):
                     ids.append(mid)

@@ -281,3 +281,44 @@ def test_wav_decode_rejects_non_pcm(spark):
     wav[20:22] = (3).to_bytes(2, "little")  # fmt tag -> IEEE float
     with pytest.raises(NotImplementedError):
         decode_wav(bytes(wav))
+
+
+def test_real_video_frame_sampling(spark):
+    """sample_frames(real=True) over an actual PPMV container: every 2nd
+    decoded frame fingerprinted by pixel content — identical frames in
+    different videos collide (the frame-dedup property), distinct frames
+    don't."""
+    import numpy as np
+
+    from etl_dag_paris_velib_spark.operators.multimodal import (
+        decode_ppmv,
+        encode_ppmv,
+        sample_frames,
+    )
+
+    def frame(v):
+        return np.full((4, 6, 3), v, dtype=np.uint8)
+
+    vid_a = encode_ppmv([frame(i * 10) for i in range(6)], fps=12.0)
+    vid_b = encode_ppmv([frame(0), frame(99)], fps=12.0)  # shares frame 0 pixels
+    fps, frames = decode_ppmv(vid_a)
+    assert fps == 12.0 and len(frames) == 6
+    assert (frames[3] == 30).all()
+
+    media = spark.createDataFrame(
+        [(1, "video", vid_a, "video/x-ppmv", "s"), (2, "video", vid_b, "video/x-ppmv", "s")],
+        MEDIA_SCHEMA,
+    )
+    out = sample_frames(media, every_nth=2, real=True).collect()
+    by_vid = {}
+    for r in out:
+        by_vid.setdefault(r.media_id, {})[r.frame_idx] = r.frame_fingerprint
+    assert sorted(by_vid[1]) == [0, 2, 4]
+    assert sorted(by_vid[2]) == [0]
+    # pixel-content fingerprints: shared frame collides, others distinct
+    assert by_vid[1][0] == by_vid[2][0]
+    assert len({*by_vid[1].values()}) == 3
+
+    meta = {r.media_id: r for r in decode_media(media, real=True).collect()}
+    assert (meta[1].width, meta[1].height, meta[1].n_frames) == (6, 4, 6)
+    assert meta[1].duration_sec == pytest.approx(0.5)

@@ -385,7 +385,7 @@ c AS (
   FROM t
 )
 SELECT source,
-       cum_before // {PACK_CAPACITY} AS bin_id,
+       (cum_before // {PACK_CAPACITY})::BIGINT AS bin_id,
        count(*)::BIGINT AS n_docs,
        sum(n_tokens)::BIGINT AS bin_tokens,
        min(doc_id) AS first_doc,

@@ -803,7 +803,7 @@ WITH g AS (
 s AS (
   SELECT user_id, ts,
          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_no
+                           ROWS UNBOUNDED PRECEDING)::BIGINT AS session_no
   FROM g
 )
 SELECT user_id, session_no, count(*) AS n_events,
@@ -939,7 +939,7 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        count(*)                                        AS n,
-       sum(json_extract(props, '$.k')::BIGINT)         AS sum_k,
+       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
        round(avg(json_extract(props, '$.k')::BIGINT), 6) AS avg_k,
        max(json_extract(props, '$.k')::BIGINT)         AS max_k
 FROM events

@@ -286,34 +286,45 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
 @T.add(
     "q73_event_paths",
     oracle="""
-WITH p AS (
-  SELECT user_id,
-         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
   FROM events
-  GROUP BY user_id
+),
+p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 3 GROUP BY user_id
 )
 SELECT path, count(*)::BIGINT AS n_users
 FROM p GROUP BY path
 HAVING count(*) >= 2
 """,
-    doc="Per-user chronological event paths (the funnel/journey shape: "
-    "'click>view>purchase>...') aggregated to path frequencies. Ordered "
-    "aggregation is engine-divergent by default — Spark's collect_list "
-    "has no ORDER BY — so the deterministic construction sorts an array "
-    "of (ts, event_id, type) structs AFTER collection (array_sort on "
-    "struct fields is lexicographic on field order) and joins the "
-    "projected types; (ts, event_id) tie-break matches the oracle's "
-    "string_agg ORDER BY exactly. Two shuffles, both keyed and "
-    "partial-agg'd; per-user state is the user's own event list, the "
-    "same bound any sessionizer carries.",
+    doc="Per-user ENTRY paths (the funnel/journey shape: each user's first "
+    "3 events as 'click>view>purchase') aggregated to path frequencies. "
+    "Full-history paths are unique per user in this corpus (~86 events "
+    "each), which made the aggregate vacuous — the bounded prefix is both "
+    "the realistic product question (entry funnel) and non-vacuous at "
+    "every sf. Ordered aggregation is engine-divergent by default — "
+    "Spark's collect_list has no ORDER BY — so the deterministic "
+    "construction sorts an array of (ts, event_id, type) structs AFTER "
+    "collection (array_sort on struct fields is lexicographic on field "
+    "order), slices the first 3, and joins the projected types; the "
+    "(ts, event_id) tie-break matches the oracle's row_number ORDER BY "
+    "exactly. Two shuffles, both keyed and partial-agg'd; per-user state "
+    "is the user's own event list, the same bound any sessionizer "
+    "carries.",
     tags=("window", "funnel", "temporal"),
 )
 def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
     path = F.array_join(
         F.transform(
-            F.array_sort(
-                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                1,
+                3,
             ),
             lambda x: x["event_type"],
         ),

@@ -21,17 +21,26 @@ def test_bench_sf001_within_budget():
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.01",
         SPARK_GRAFT_BENCH_STRICT="1",
     )
-    proc = subprocess.run(
-        [sys.executable, os.path.join(ROOT, "bench.py")],
-        capture_output=True,
-        text=True,
-        env=env,
-        timeout=600,
-        cwd=ROOT,
-    )
-    line = proc.stdout.strip().splitlines()[-1]
-    parsed = json.loads(line)
-    assert parsed["queries"], "bench produced no timings"
+    # A real plan blow-up (the O(m²) interpreted-HOF class this guard
+    # exists for) is deterministic; a busy machine is not. One retry
+    # absorbs cold-boot / concurrent-suite noise (observed: trivial
+    # JVM-expression queries like q26 tripping the threshold while
+    # another Spark JVM held the cores) without weakening the guard.
+    for attempt in (1, 2):
+        proc = subprocess.run(
+            [sys.executable, os.path.join(ROOT, "bench.py")],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=600,
+            cwd=ROOT,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        parsed = json.loads(line)
+        assert parsed["queries"], "bench produced no timings"
+        if proc.returncode == 0:
+            return
     assert proc.returncode == 0, (
-        f"bench regressions: {parsed.get('regressions')}\n{proc.stderr[-2000:]}"
+        f"bench regressions (reproduced on retry): "
+        f"{parsed.get('regressions')}\n{proc.stderr[-2000:]}"
     )

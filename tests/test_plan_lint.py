@@ -39,6 +39,43 @@ BNLJ_WHITELIST = {
 }
 
 
+def test_no_oracle_emits_hugeint():
+    """No oracle may produce a HUGEINT (int128) column.
+
+    DuckDB's sum() over INTEGER/BIGINT widens to HUGEINT; a harness that
+    fetches oracle results through pandas coerces HUGEINT to float64, so
+    an integer-valued column renders "1.0" against Spark's "1" and the
+    value hash diverges even though the data is identical (this was the
+    CORRECTNESS_r03 q43 mismatch). Cast such aggregates ::BIGINT in the
+    oracle SQL.
+    """
+    import duckdb
+
+    con = duckdb.connect()
+    tables = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_SMOKE}/{t}.parquet')"
+        )
+    offenders = {}
+    for name, spec in REGISTRY.specs.items():
+        if not spec.oracle:
+            continue
+        rel = con.sql(spec.oracle)
+        hug = [
+            c
+            for c, t in zip(rel.columns, rel.types)
+            if str(t) in ("HUGEINT", "UHUGEINT")
+        ]
+        if hug:
+            offenders[name] = hug
+    assert not offenders, f"oracles emitting HUGEINT columns: {offenders}"
+
+
 @pytest.mark.parametrize("name", list(REGISTRY.specs))
 def test_plan_has_no_pathological_nodes(spark, name):
     df = REGISTRY.specs[name].fn(spark, SF_SMOKE)

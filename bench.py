@@ -83,12 +83,18 @@ def main():
         with open(budget_path, "w") as f:
             json.dump(budgets_all, f, indent=1, sort_keys=True)
             f.write("\n")
+    # SPARK_GRAFT_BENCH_SLACK widens the threshold for callers that run
+    # the bench next to another live Spark JVM (tests/test_bench_budget.py
+    # runs inside the pytest session whose 32-thread JVM holds caches from
+    # 200+ tests); the guard hunts order-of-magnitude plan blow-ups, which
+    # a 2x-wider bar still catches.
+    slack = float(os.environ.get("SPARK_GRAFT_BENCH_SLACK", "1.0"))
     if os.path.exists(budget_path):
         with open(budget_path) as f:
             budgets = json.load(f).get(str(sf), {})
         for name, t in timings.items():
             b = budgets.get(name)
-            if b is not None and t > max(2.5 * b, b + 2.0):
+            if b is not None and t > slack * max(2.5 * b, b + 2.0):
                 regressions[name] = {"sec": t, "budget": b}
 
     # The driver stores only a bounded tail of this process's output and

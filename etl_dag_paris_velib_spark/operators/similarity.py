@@ -34,6 +34,8 @@ footprint.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -744,4 +746,130 @@ def cosine_threshold_pairs(
         left_rep.groupBy("bi", "sj")
         .cogroup(right_rep.groupBy("bi", "sj"))
         .applyInPandas(pairs_cell, out_schema)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH (signed random projection / hyperplane LSH) top-k
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale for the sign-bit dot products: |v| <= ~1, so codes fit
+#: comfortably in int32 and every dot is EXACT integer arithmetic — the
+#: bucket assignment cannot drift between engines on FP summation order.
+SRP_QUANT = 1000
+
+#: default SRP geometry: 24 sign bits in 4 bands of 6. Expected band-bucket
+#: size is n / 2^6 — selective enough that the candidate join never
+#: approaches all-pairs (4-bit bands would put 1/16 of the corpus in every
+#: bucket), while 4 bands keep recall: a true near-neighbor only needs to
+#: agree on ONE 6-bit band.
+SRP_PLANES = 24
+SRP_BANDS = 4
+
+
+def srp_masks(planes: int = SRP_PLANES, dim: int = 64) -> list[list[int]]:
+    """Deterministic ±1 hyperplane components from md5 parity.
+
+    No RNG state: mask[j][d] = +1 iff the first byte of md5("srp:j:d") is
+    odd. Both the Spark plan and the DuckDB oracle are generated from this
+    one function, so the hyperplanes are bit-identical by construction.
+    """
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"srp:{j}:{d}".encode()).digest()[0] & 1 else -1
+            for d in range(dim)
+        ]
+        for j in range(planes)
+    ]
+
+
+def srp_lsh_topk(
+    embeddings: DataFrame,
+    query_pred,
+    k: int = 10,
+    planes: int = SRP_PLANES,
+    bands: int = SRP_BANDS,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via signed-random-projection LSH.
+
+    The fourth ANN family next to brute force (exact baseline), IVF
+    (coarse quantization), and SimHash (text): each vector gets ``planes``
+    sign bits — bit_j = [⟨v, h_j⟩ >= 0] for ±1 hyperplanes h_j — split
+    into ``bands`` band codes; candidates are vectors sharing ANY band
+    code with a query (banding trades recall for candidate count exactly
+    as MinHash-LSH banding does). Candidates are then scored with the
+    EXACT double-precision cosine and top-k'd per query.
+
+    Scale shape: sign bits come from one Arrow-batched integer GEMM
+    (the fixed-point SRP_QUANT dot removes FP-order nondeterminism, and
+    the batched matmul replaces planes× interpreted HOF folds — measured
+    3.2s → sub-second at sf0.1);
+    the only shuffle is the (band_idx, code)-keyed candidate join, whose
+    bucket sizes are |vectors| / 2^(planes/bands) in expectation — never
+    all-pairs. At billions of rows the band join is the same
+    bounded-bucket pattern as minhash_lsh_pairs; skewed buckets (mass
+    duplicates) fall to AQE skew-split.
+
+    Returns (q_id, vec_id, score) — score is the exact cosine, rounded
+    downstream by the caller.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    mask_mat = np.asarray(srp_masks(planes, dim), dtype=np.int64)  # planes×dim
+    per_band = planes // bands
+    weights = np.left_shift(1, np.arange(per_band, dtype=np.int64))
+
+    # One Arrow batch GEMM instead of planes× interpreted zip_with/aggregate
+    # HOFs (the round-2 winnowing lesson: interpreted HOF lambdas cost ~µs
+    # per element — planes × dim per row — where a batched integer matmul
+    # is effectively free). Fixed-point round is half-away-from-zero to
+    # match Spark/DuckDB round(); v*SRP_QUANT carries ≤34 significant bits
+    # (float32 mantissa × 2^10), so the +0.5 trick is FP-exact.
+    @pandas_udf(ArrayType(LongType()))
+    def band_codes(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64) * SRP_QUANT
+        q = np.where(m >= 0, np.floor(m + 0.5), np.ceil(m - 0.5)).astype(np.int64)
+        bits = (q @ mask_mat.T >= 0).astype(np.int64)  # n×planes
+        codes = bits.reshape(len(q), bands, per_band) @ weights  # n×bands
+        return pd.Series(list(codes))
+
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col),
+        band_codes(F.col(vec_col)).alias("codes"),
+    )
+    coded = base.select(
+        "vec_id",
+        vec_col,
+        F.posexplode("codes").alias("band_idx", "code"),
+    )
+    qcodes = coded.filter(query_pred).select(
+        F.col("vec_id").alias("q_id"), "band_idx", "code"
+    )
+    cand = (
+        coded.join(qcodes, ["band_idx", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    base_d = _as_double(embeddings, id_col, vec_col)
+    qside = base_d.select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qvec"), F.col("nv").alias("nq")
+    )
+    scored = (
+        cand.join(base_d, "vec_id")
+        .join(F.broadcast(qside), "q_id")
+        .select("q_id", "vec_id", _cos("qvec", "nq", "v", "nv"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
     )

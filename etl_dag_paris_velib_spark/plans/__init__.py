@@ -20,10 +20,14 @@ REGISTRY.merge(_curation)
 
 # The external correctness harness walks queries() in insertion order with a
 # ~50-query budget (CORRECTNESS_r03: exactly the first 50 entries — all of
-# relational+llm — got rows; temporal+curation got none). Rotate: demote 16
-# standard-SQL queries that are driver-green in CORRECTNESS_r03.json (and
-# stay oracle-checked every pytest run via tests/test_demoted_parity.py) so
-# the temporal/curation surface gets fresh driver-checked rows this round.
+# relational+llm — got rows; temporal+curation got none). Rotate: demote
+# queries that are already driver-green in CORRECTNESS_r03.json (each stays
+# oracle-checked every pytest run via tests/test_demoted_parity.py) so every
+# never-driver-checked spec — the whole temporal/curation surface, the
+# round-3 tail (q66-q73), and the round-4 additions (q74-q82) — sits inside
+# the 50-entry checked window, plus 16 still-in-window green anchors
+# (q01 flagship, q43 whose oracle changed this round, one representative
+# per operator family).
 DEMOTED = (
     "q02_forecast_revenue",
     "q06_latest_order_per_customer",
@@ -41,25 +45,29 @@ DEMOTED = (
     "q32_filename_parse",
     "q34_right_outer",
     "q39_grouping_sets",
-    # round 4: three more driver-green rows whose operator families keep an
-    # in-window representative (q11b approx-distinct, q45 percentiles,
-    # q17/q20/q27/q55 anti-join + dedup), freeing slots for q66-q68.
     "q11_distinct_customers",
     "q38_value_percentiles",
     "q36_incremental_dedup",
-    # q69 (variant) slot: q40's composed pipeline stages are each
-    # individually in-window (q20/q26/q31)
     "q40_corpus_pipeline",
-    # q70 (weighted sample) slot: q47's hash-ordered stratified take keeps
-    # sampling-family driver signal via q70 itself
     "q47_stratified_sample",
-    # tail-only specs (never driver-checked, full parity evidence via
-    # tests/test_demoted_parity.py): the in-window set already carries a
-    # portable-sketch representative (q51) and the scalar pandas_udf /
-    # mapInPandas members of the UDF taxonomy (q21, q54)
-    "q71_kmv_distinct",
-    "q72_weighted_quality",
-    "q73_event_paths",
+    # round 4: twelve more driver-green rows rotate out so the nine new
+    # specs (q74-q82) AND the formerly tail-only q71-q73 all get fresh
+    # driver rows. Family coverage stays in-window: semi/anti → q53/q55,
+    # broadcast join+agg → q03, sketches → q51/q71, text stats → q54,
+    # dedup → q20/q56, chunking → q62, embedding NN → q52/q81,
+    # skew salting keeps its r03 green row.
+    "q04_order_priority",
+    "q05_region_revenue",
+    "q11b_approx_distinct",
+    "q17_customers_without_orders",
+    "q23_text_stats",
+    "q25_language_id",
+    "q26_quality_score",
+    "q27_bow_dedup",
+    "q30_winnow_fingerprints",
+    "q31_doc_chunks",
+    "q33_embedding_nn",
+    "q37_salted_join_revenue",
 )
 REGISTRY.demote(DEMOTED)
 

@@ -925,3 +925,46 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
             wm(F.col("quality_score"), F.col("n_chars").cast("double")), 6
         ).alias("weighted_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q80 — PII-style pattern scrubbing (regex redaction accounting)
+# ---------------------------------------------------------------------------
+@C.add(
+    "q80_pii_scrub",
+    oracle="""
+SELECT event_type,
+       count(*)                                             AS n_events,
+       sum(len(props) - len(regexp_replace(props, '[0-9]+', '', 'g')))::BIGINT
+                                                            AS digits_removed,
+       sum(CASE WHEN regexp_matches(props, '[0-9]{2,}')
+                THEN 1 ELSE 0 END)::BIGINT                  AS events_with_runs,
+       min(regexp_replace(props, '[0-9]+', '#', 'g'))       AS sample_redacted
+FROM events
+GROUP BY event_type
+""",
+    doc="PII-style redaction pass: scrub digit runs from the "
+    "semi-structured props payload and account for what was removed — "
+    "the shape of the email/phone/SSN scrub every crawl-to-training "
+    "pipeline runs before tokenization (here over the corpus's only "
+    "digit-bearing column; the pattern set is pluggable). All "
+    "regexp_replace/rlike in whole-stage codegen — zero Python, zero "
+    "extra shuffles beyond the |event_type| rollup; at 100 TB this is "
+    "scan-rate bound, the redacted column writes straight back out. The "
+    "regex subset ([0-9]+, [0-9]{2,}) parses identically under Java "
+    "regex and RE2, so the oracle is exact, including the min() sample "
+    "of the redacted text.",
+    tags=("curation", "pii", "regex"),
+)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    redacted = F.regexp_replace("props", "[0-9]+", "#")
+    stripped = F.regexp_replace("props", "[0-9]+", "")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.length("props") - F.length(stripped)).alias("digits_removed"),
+        F.sum(
+            F.when(F.col("props").rlike("[0-9]{2,}"), 1).otherwise(0)
+        ).alias("events_with_runs"),
+        F.min(redacted).alias("sample_redacted"),
+    )

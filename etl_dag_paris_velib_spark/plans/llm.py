@@ -1275,3 +1275,93 @@ def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored
+
+
+# ---------------------------------------------------------------------------
+# q81 — SRP-LSH (hyperplane) approximate cosine top-k
+# ---------------------------------------------------------------------------
+def _srp_oracle() -> str:
+    """DuckDB oracle generated from the SAME srp_masks() the Spark
+    operator uses — hyperplanes bit-identical by construction, and all
+    bucket math is fixed-point integer, so the candidate sets (not just
+    the scores) are differential-checked."""
+    from ..operators.similarity import (
+        SRP_BANDS,
+        SRP_PLANES,
+        SRP_QUANT,
+        srp_masks,
+    )
+
+    masks = srp_masks(SRP_PLANES, 64)
+    per_band = SRP_PLANES // SRP_BANDS
+    values = ",\n           ".join(
+        f"({j}, {masks[j]})" for j in range(SRP_PLANES)
+    )
+    return f"""
+WITH qz AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> round(v::DOUBLE * {SRP_QUANT})::BIGINT) AS qv
+  FROM embeddings
+),
+masks(j, m) AS (
+  VALUES {values}
+),
+bits AS (
+  SELECT qz.vec_id, masks.j,
+         CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                                           i -> qz.qv[i] * masks.m[i])) >= 0
+              THEN 1 ELSE 0 END AS bit
+  FROM qz CROSS JOIN masks
+),
+codes AS (
+  SELECT vec_id, j // {per_band} AS band_idx,
+         sum(bit << (j % {per_band}))::BIGINT AS code
+  FROM bits GROUP BY vec_id, band_idx
+),
+cand AS (
+  SELECT DISTINCT qs.vec_id AS q_id, o.vec_id
+  FROM codes qs JOIN codes o
+    ON qs.band_idx = o.band_idx AND qs.code = o.code
+  WHERE qs.vec_id < 5 AND o.vec_id <> qs.vec_id
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT c.q_id, c.vec_id,
+         list_dot_product(eq.v, ev.v)
+           / (sqrt(list_dot_product(eq.v, eq.v))
+              * sqrt(list_dot_product(ev.v, ev.v))) AS cs
+  FROM cand c
+  JOIN e eq ON eq.vec_id = c.q_id
+  JOIN e ev ON ev.vec_id = c.vec_id
+),
+r AS (
+  SELECT q_id, vec_id, cs,
+         row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rn
+  FROM s
+)
+SELECT q_id, vec_id, round(cs, 6) AS score FROM r WHERE rn <= 10
+"""
+
+
+@L.add(
+    "q81_srp_lsh_topk",
+    oracle=_srp_oracle(),
+    doc="Signed-random-projection (hyperplane) LSH top-k — the fourth ANN "
+    "family beside brute force (q22, exact baseline), IVF (q29, coarse "
+    "quantization) and SimHash (q28, text): 24 sign bits per vector from "
+    "deterministic ±1 hyperplanes, banded into 4 six-bit codes so any "
+    "shared band code "
+    "makes a candidate, then exact-cosine verify + top-10 per query "
+    "(operators/similarity.py:srp_lsh_topk). Fixed-point integer dot "
+    "products make bucket assignment bit-exact across engines, so the "
+    "oracle checks the LSH banding itself. The only shuffle is the "
+    "(band, code)-keyed candidate join with expected bucket size "
+    "n / 2^6 — never all-pairs.",
+    tags=("vector", "lsh", "ann", "llm"),
+)
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import srp_lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    top = srp_lsh_topk(emb, F.col("vec_id") < 5, k=10)
+    return top.select("q_id", "vec_id", F.round("score", 6).alias("score"))

@@ -963,3 +963,210 @@ def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(k), 6).alias("avg_k"),
         F.max(k).alias("max_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q74 — correlated scalar subquery (Catalyst decorrelation)
+# ---------------------------------------------------------------------------
+@R.add(
+    "q74_correlated_subquery",
+    oracle="""
+SELECT p.p_partkey, p.p_name,
+       (SELECT round(max(l.l_extendedprice * (1 - l.l_discount)), 2)
+        FROM lineitem l WHERE l.l_partkey = p.p_partkey) AS max_line_rev
+FROM part p
+WHERE p.p_size >= 48
+""",
+    doc="Correlated scalar subquery — the last big SQL surface the engine "
+    "had not declared: per-part max single-line revenue, written as a "
+    "subquery referencing the outer row. Catalyst's "
+    "RewriteCorrelatedScalarSubquery decorrelates it into a grouped "
+    "aggregate over lineitem LEFT OUTER JOINed to the filtered part "
+    "scan — the execution shape a hand-written plan would pick, derived "
+    "automatically from the declarative form; parts with no lineitem "
+    "rows surface as NULL, exactly the subquery semantics. At 100 TB the "
+    "aggregate shuffles on l_partkey once and the filtered dim side "
+    "broadcasts.",
+    tags=("subquery", "sql", "relational"),
+)
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "part").createOrReplaceTempView("q74_part")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q74_lineitem")
+    return spark.sql(
+        """
+        SELECT p.p_partkey, p.p_name,
+               (SELECT round(max(l.l_extendedprice * (1 - l.l_discount)), 2)
+                FROM q74_lineitem l WHERE l.l_partkey = p.p_partkey) AS max_line_rev
+        FROM q74_part p
+        WHERE p.p_size >= 48
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q76 — robust statistics per group (median + MAD, two grouped passes)
+# ---------------------------------------------------------------------------
+@R.add(
+    "q76_robust_stats",
+    oracle="""
+WITH m AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+d AS (
+  SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
+  FROM events e JOIN m USING (event_type)
+)
+SELECT event_type,
+       round(any_value(med), 4)            AS median_value,
+       round(quantile_cont(ad, 0.5), 4)    AS mad
+FROM d GROUP BY event_type
+""",
+    doc="Robust per-group statistics: median and MAD (median absolute "
+    "deviation) — the outlier-resistant spread measure a quality-scoring "
+    "pipeline uses where stddev would be dragged by heavy tails. "
+    "Inherently two passes (the deviation needs the median first); the "
+    "median table is |event_type| rows so the second pass re-reads the "
+    "fact ONCE with a broadcast join — no fact-fact shuffle, and both "
+    "exact percentile sorts are per-group. Spark `percentile` == DuckDB "
+    "`quantile_cont` (linear interpolation), rounded in both engines.",
+    tags=("agg", "robust", "percentile"),
+)
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    d = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    return d.groupBy("event_type").agg(
+        F.round(F.any_value("med"), 4).alias("median_value"),
+        F.round(F.expr("percentile(ad, 0.5)"), 4).alias("mad"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q77 — ANALYZE-style column statistics (CBO stats collection)
+# ---------------------------------------------------------------------------
+@R.add(
+    "q77_table_stats",
+    oracle="""
+SELECT 'l_quantity' AS col, round(min(l_quantity), 6) AS min_val,
+       round(max(l_quantity), 6) AS max_val,
+       count(DISTINCT l_quantity)::BIGINT AS ndv,
+       (count(*) - count(l_quantity))::BIGINT AS n_nulls
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', round(min(l_extendedprice), 6),
+       round(max(l_extendedprice), 6),
+       count(DISTINCT l_extendedprice)::BIGINT,
+       (count(*) - count(l_extendedprice))::BIGINT
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', round(min(l_discount), 6), round(max(l_discount), 6),
+       count(DISTINCT l_discount)::BIGINT,
+       (count(*) - count(l_discount))::BIGINT
+FROM lineitem
+UNION ALL
+SELECT 'l_tax', round(min(l_tax), 6), round(max(l_tax), 6),
+       count(DISTINCT l_tax)::BIGINT,
+       (count(*) - count(l_tax))::BIGINT
+FROM lineitem
+""",
+    doc="ANALYZE-style statistics collection — min/max/NDV/null-count per "
+    "numeric column in long form, the inputs a cost-based optimizer and "
+    "a data-skipping layout both feed on. The Spark side is ONE "
+    "aggregate over one scan: multiple exact count(DISTINCT)s in a "
+    "single agg make Catalyst Expand the input (one replica per "
+    "distinct-column), the classic exact-NDV cost; at 100 TB the scale "
+    "path swaps approx_count_distinct (HLL, one pass, no Expand — the "
+    "q11b member of this family) and min/max/null stay single-pass. "
+    "Long form comes from a zero-shuffle unpivot of the 1-row aggregate "
+    "(same Expand-free reshape as q66).",
+    tags=("stats", "agg", "relational"),
+)
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.round(F.min(c), 6).alias(f"{c}__min"),
+            F.round(F.max(c), 6).alias(f"{c}__max"),
+            F.count_distinct(F.col(c)).alias(f"{c}__ndv"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+        ]
+    wide = li.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col(f"{c}__min").alias("min_val"),
+            F.col(f"{c}__max").alias("max_val"),
+            F.col(f"{c}__ndv").alias("ndv"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+        )
+        for c in cols
+    ]
+    return wide.select(
+        F.explode(F.array(*per_col)).alias("s")
+    ).select("s.col", "s.min_val", "s.max_val", "s.ndv", "s.n_nulls")
+
+
+# ---------------------------------------------------------------------------
+# q79 — incremental aggregate maintenance (partial-agg merge)
+# ---------------------------------------------------------------------------
+@R.add(
+    "q79_incremental_agg_merge",
+    oracle="""
+SELECT o_orderstatus,
+       count(*)                       AS n_orders,
+       round(sum(o_totalprice), 2)    AS total,
+       round(avg(o_totalprice), 4)    AS avg_price,
+       round(max(o_totalprice), 2)    AS max_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+    doc="Incremental aggregate maintenance: the Spark side never runs the "
+    "one-shot aggregate the oracle spells. It splits orders at "
+    "1997-01-01 into a 'base' partial aggregate (the materialized "
+    "yesterday-state) and a 'delta' partial aggregate (today's "
+    "increment), then MERGES the partials — counts and sums add, maxes "
+    "max, avg is re-derived from merged sum/count at the end "
+    "(avg itself is NOT mergeable; carrying sum+count is the algebraic "
+    "decomposition every incremental view maintenance engine uses). "
+    "Hash-matching the single-pass oracle proves the merge is lossless. "
+    "At 100 TB this is how a daily gold table absorbs a day's delta "
+    "without rescanning history: the base side is pre-aggregated "
+    "(|groups| rows), so the merge shuffles only group-sized data.",
+    tags=("agg", "incremental", "relational"),
+)
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("timestamp_ntz")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_totalprice").alias("sm"),
+            F.max("o_totalprice").alias("mx"),
+        )
+
+    base = partial(od.filter(F.col("o_orderdate") < cut))
+    delta = partial(od.filter(F.col("o_orderdate") >= cut))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("cnt").alias("n_orders"),
+            F.sum("sm").alias("raw_sum"),
+            F.max("mx").alias("raw_max"),
+        )
+    )
+    return merged.select(
+        "o_orderstatus",
+        "n_orders",
+        F.round("raw_sum", 2).alias("total"),
+        F.round(F.col("raw_sum") / F.col("n_orders"), 4).alias("avg_price"),
+        F.round("raw_max", 2).alias("max_price"),
+    )

@@ -336,3 +336,175 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .filter(F.col("n_users") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# q75 — retention cohorts (cohort week × activity week matrix)
+# ---------------------------------------------------------------------------
+@T.add(
+    "q75_retention_cohorts",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', min(ts))::TIMESTAMP AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts)::TIMESTAMP AS active_week
+  FROM events
+)
+SELECT f.cohort_week,
+       ((epoch(a.active_week)::BIGINT - epoch(f.cohort_week)::BIGINT)
+         / 604800)::BIGINT AS week_offset,
+       count(*)::BIGINT AS n_users
+FROM first_seen f JOIN activity a USING (user_id)
+GROUP BY f.cohort_week, week_offset
+""",
+    doc="Retention cohort matrix: users grouped by first-activity week "
+    "(cohort), counted in each later activity week as a week offset — "
+    "the standard product-analytics retention triangle. Three keyed "
+    "shuffles, all bounded: min-per-user and distinct-(user, week) both "
+    "hash on user_id (AQE reuses the partitioning for the self-join, so "
+    "the cohort join is co-located, not a third full exchange), and the "
+    "final rollup shuffles |cohorts × weeks| rows. The week offset is "
+    "integer-exact — epoch seconds of week-truncated timestamps divide "
+    "evenly by 604800 — so the hash has no FP surface. At 100 TB the "
+    "per-user state is one timestamp; nothing collects a user's history.",
+    tags=("cohort", "temporal", "join"),
+)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    j = first_seen.join(activity, "user_id")
+    week_offset = (
+        (ntz_epoch_us("active_week") - ntz_epoch_us("cohort_week"))
+        / F.lit(604800000000)
+    ).cast("long")
+    return (
+        j.withColumn("week_offset", week_offset)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q78 — Z-order layout keys (multi-dimensional clustering for data skipping)
+# ---------------------------------------------------------------------------
+def _zorder_terms(a_expr: str, b_expr: str, bits: int, shift_op: bool) -> str:
+    """Bit-interleave SQL for two ``bits``-wide ints, emitted for either
+    engine from ONE generator so the arithmetic cannot drift: Spark
+    (shift_op=False → shiftleft/shiftright calls) or DuckDB
+    (shift_op=True → << / >> operators)."""
+    terms = []
+    for i in range(bits):
+        if shift_op:
+            terms.append(f"((({a_expr} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({b_expr} >> {i}) & 1) << {2 * i + 1})")
+        else:
+            terms.append(
+                f"shiftleft(shiftright({a_expr}, {i}) & 1, {2 * i})"
+            )
+            terms.append(
+                f"shiftleft(shiftright({b_expr}, {i}) & 1, {2 * i + 1})"
+            )
+    return " + ".join(terms)
+
+
+@T.add(
+    "q78_zorder_layout",
+    oracle=f"""
+WITH k AS (
+  SELECT user_id & 255 AS ua,
+         (floor(epoch(ts))::BIGINT // 3600) & 255 AS hb
+  FROM events
+),
+z AS (
+  SELECT ua, hb, ({_zorder_terms('ua', 'hb', 8, True)}) AS zkey FROM k
+)
+SELECT (zkey >> 10)::BIGINT AS z_bucket,
+       count(*)::BIGINT AS n_rows,
+       min(ua)::BIGINT AS min_user, max(ua)::BIGINT AS max_user,
+       min(hb)::BIGINT AS min_hour, max(hb)::BIGINT AS max_hour
+FROM z GROUP BY z_bucket
+""",
+    doc="Z-order (Morton) layout keys: interleave the low 8 bits of "
+    "user_id with the low 8 bits of the event hour and bucket rows by "
+    "the top Z-key bits — the multi-dimensional clustering key a Delta "
+    "ZORDER BY / data-skipping layout sorts files on, so that BOTH "
+    "per-user and per-hour predicates prune most buckets (each 64-key "
+    "bucket spans at most a 32×32 square of the (user, hour) grid — the "
+    "min/max columns in the output ARE the per-file skipping stats such "
+    "a layout would publish). Pure integer bit arithmetic generated "
+    "from one Python function for both engines, all inside whole-stage "
+    "codegen; one |buckets|-sized shuffle. At 100 TB the same key feeds "
+    "repartitionByRange(zkey) before the write, turning the bucket "
+    "stats into real parquet row-group pruning.",
+    tags=("layout", "zorder", "temporal"),
+)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = ev.select(
+        (F.col("user_id").bitwiseAND(255)).alias("ua"),
+        F.expr(
+            "(div(timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts),"
+            " 3600)) & 255"
+        ).alias("hb"),
+    )
+    z = k.withColumn("zkey", F.expr(_zorder_terms("ua", "hb", 8, False)))
+    return (
+        z.withColumn("z_bucket", F.expr("shiftright(zkey, 10)").cast("long"))
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("ua").cast("long").alias("min_user"),
+            F.max("ua").cast("long").alias("max_user"),
+            F.min("hb").cast("long").alias("min_hour"),
+            F.max("hb").cast("long").alias("max_hour"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q82 — sliding-window distinct users (batch twin of the streaming window)
+# ---------------------------------------------------------------------------
+@T.add(
+    "q82_sliding_distinct_users",
+    oracle="""
+WITH expanded AS (
+  SELECT DISTINCT
+         to_timestamp((floor(epoch(ts))::BIGINT // 900 - k.k) * 900)::TIMESTAMP
+           AS window_start,
+         user_id
+  FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k
+)
+SELECT window_start, count(*)::BIGINT AS n_users
+FROM expanded
+GROUP BY window_start
+""",
+    doc="Distinct users per 1-hour window sliding every 15 minutes — the "
+    "batch twin of the streaming sliding-window aggregate (SURVEY §2.8), "
+    "oracle-checked where the streaming tier is pytest-checked. Spark's "
+    "built-in window(ts, '1 hour', '15 minutes') expands each event into "
+    "exactly overlap=4 windows aligned to the unix epoch; the oracle "
+    "spells that same alignment arithmetic explicitly "
+    "((epoch // 900 - k) * 900). The duplication factor is the overlap "
+    "count — bounded by window/slide = 4, independent of data size — "
+    "then one count-distinct shuffle keyed by (window, user). At 100 TB "
+    "the same plan holds; the streaming path adds a watermark to bound "
+    "state instead of the batch shuffle.",
+    tags=("window", "sliding", "temporal"),
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = ev.select(
+        F.window("ts", "1 hour", "15 minutes").alias("w"), "user_id"
+    )
+    return (
+        w.select(F.col("w.start").alias("window_start"), "user_id")
+        .groupBy("window_start")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

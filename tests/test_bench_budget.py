@@ -20,6 +20,10 @@ def test_bench_sf001_within_budget():
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.01",
         SPARK_GRAFT_BENCH_STRICT="1",
+        # the pytest session's own Spark JVM is alive next to the bench
+        # subprocess; widen the per-query bar (the guard targets
+        # order-of-magnitude blow-ups, not scheduler contention)
+        SPARK_GRAFT_BENCH_SLACK="2.0",
     )
     # A real plan blow-up (the O(m²) interpreted-HOF class this guard
     # exists for) is deterministic; a busy machine is not. One retry

@@ -30,6 +30,9 @@ HEADLINE = (
     "q63_quality_selection",    # histogram rank
     "q68_unigram_logprob",      # vocab join
     "q70_weighted_sample",      # hash-threshold sampling
+    "q74_correlated_subquery",  # decorrelated scalar subquery
+    "q81_srp_lsh_topk",         # hyperplane LSH band join
+    "q82_sliding_distinct_users",  # Expand x4 + two-phase distinct
 )
 
 SFS = ("0.001", "0.01", "0.1")

@@ -17,10 +17,11 @@ fact side adds a broadcast of one array row and a few md5 evaluations
 per row — repaid whenever the dim filter is selective, because every
 pruned row skips the join Exchange entirely.
 
-Hashing uses the repo's portable md5-prefix idiom, so the false-positive
-rate is reproducible cross-engine (and the filter itself could be
-oracle-checked bit-for-bit if ever needed; the join-result oracle is the
-plain join, by design).
+Hashing uses native xxhash64 (one codegen intrinsic per probe): the
+join-result oracle is the plain join by design — bloom false positives
+never reach the result — so the hash needs determinism, not cross-engine
+portability, and the md5-prefix idiom's hex-string + conv() cost per
+fact row is pure overhead here.
 """
 
 from __future__ import annotations
@@ -30,19 +31,15 @@ from pyspark.sql import functions as F
 
 
 def _positions(key_str: Column, n_bits: int, k: int) -> Column:
-    """array of k bit positions for a key — md5('i:key') % n_bits."""
+    """array of k bit positions for a key — pmod(xxhash64(i, key), n_bits).
+
+    xxhash64 is the native 64-bit hash (one codegen intrinsic per probe);
+    the earlier md5-prefix form paid a hex string + conv() per probe per
+    row — measurable at fact-table row counts, and portability buys
+    nothing here because the spec's oracle is the PLAIN join (bloom false
+    positives never reach the result)."""
     return F.array(
-        *[
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(":", F.lit(i), key_str)), 1, 15
-                ),
-                16,
-                10,
-            ).cast("long")
-            % F.lit(n_bits)
-            for i in range(k)
-        ]
+        *[F.pmod(F.xxhash64(F.lit(i), key_str), F.lit(n_bits)) for i in range(k)]
     )
 
 

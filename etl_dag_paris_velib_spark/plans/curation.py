@@ -479,6 +479,12 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_distinct(word_shingles(tokens(F.col("text")), 5))
             ).alias("g"),
         )
+        # group on the 64-bit hash, not the ~40-byte shingle string: the
+        # shingle-keyed Exchange carries 8-byte longs (same keyspace
+        # reasoning as q65's 60-bit span keys — collision odds ~n²/2^65
+        # are below the md5-idiom's own). The oracle groups by the string;
+        # identical groups absent a collision.
+        .select("source", F.xxhash64("g").alias("g"))
         .groupBy("g")
         .agg(F.sort_array(F.collect_set("source")).alias("ss"))
         .select(

@@ -115,3 +115,54 @@ def test_q54_zero_shuffle(spark):
     assert plan.count("FileScan parquet") == 1
     assert "MapInPandas" in plan
     assert "Exchange" not in plan
+
+
+def test_q74_subquery_is_decorrelated(spark):
+    """The correlated scalar subquery must plan as a decorrelated
+    aggregate joined LeftOuter — never a per-row re-execution (which
+    would surface as a nested-loop join)."""
+    plan = _plan(spark, "q74_correlated_subquery")
+    assert "LeftOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the per-partkey max is partial-agg'd before its exchange
+    assert "partial_max" in plan
+
+
+def test_q79_merge_adds_no_exchange_above_union(spark):
+    """Merging the base/delta partial aggregates must reuse their
+    partitioning: exactly the two per-branch exchanges, none above the
+    Union — the exchange-free merge IS the incremental-maintenance
+    contract."""
+    plan = _plan(spark, "q79_incremental_agg_merge")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Union" in plan
+
+
+def test_q81_band_codes_single_arrow_pass(spark):
+    """SRP band codes come from ONE Arrow batch (the integer GEMM) per
+    scan branch, and the top-k prunes per-partition before the final
+    q_id exchange (WindowGroupLimit Partial), so no partition collects a
+    query's full candidate stream."""
+    plan = _plan(spark, "q81_srp_lsh_topk")
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_q82_window_expands_not_joins(spark):
+    """The sliding window must plan as the codegen Expand (x4 overlap,
+    data-size independent) — not a windows-table join — and the distinct
+    count must pre-aggregate on (window, user) before the final
+    per-window count."""
+    plan = _plan(spark, "q82_sliding_distinct_users")
+    assert "Expand" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_q78_zorder_single_shuffle_pruned_scan(spark):
+    """The bit interleave is pure codegen over a 2-column scan; the only
+    exchange is the |buckets|-sized rollup."""
+    plan = _plan(spark, "q78_zorder_layout")
+    assert plan.count("Exchange") == 1
+    assert "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint>" in plan

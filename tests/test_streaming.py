@@ -317,3 +317,36 @@ def test_gbfs_streaming_source_checkpointed_increments(spark, tmp_path):
     # only the third snapshot was appended — not a full re-read
     assert got.count() == 3 * n_stations
     assert got.select("record_id").distinct().count() == 3 * n_stations
+
+
+def test_bounded_dedup_matches_unbounded_on_feed(spark, bronze_dir):
+    """dropDuplicatesWithinWatermark (guaranteed-bounded state) must
+    produce the same rows as the plain stateful dedup on this feed: the
+    stale-station re-reports all arrive within the watermark window, so
+    only the state-eviction CONTRACT differs, not the output."""
+    from etl_dag_paris_velib_spark.streaming.gbfs import (
+        deduped_station_stream_bounded,
+    )
+
+    stream = read_station_status_stream(spark, bronze_dir, max_files_per_trigger=1)
+    q = run_available_now(
+        deduped_station_stream_bounded(stream),
+        "dedup_bounded_out",
+        output_mode="append",
+    )
+    assert q.lastProgress is not None
+    got = spark.table("dedup_bounded_out")
+    want = (
+        _static_flat(spark, bronze_dir)
+        .select("station_id", "last_reported")
+        .distinct()
+        .count()
+    )
+    assert got.count() == want
+    assert (
+        got.groupBy("station_id", "last_reported")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+        == 0
+    )

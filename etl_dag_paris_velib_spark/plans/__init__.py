@@ -68,6 +68,9 @@ DEMOTED = (
     "q31_doc_chunks",
     "q33_embedding_nn",
     "q37_salted_join_revenue",
+    # q83 (data-quality report) slot: q15's as-of join is driver-green in
+    # r03 and the temporal-join family keeps q49 in-window
+    "q15_asof_purchase_click",
 )
 REGISTRY.demote(DEMOTED)
 

@@ -1170,3 +1170,76 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("raw_sum") / F.col("n_orders"), 4).alias("avg_price"),
         F.round("raw_max", 2).alias("max_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q83 — data-quality constraint report (expectations in one pass)
+# ---------------------------------------------------------------------------
+@R.add(
+    "q83_data_quality_report",
+    oracle="""
+SELECT 'o_custkey_not_null' AS rule,
+       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_violations,
+       count(*) AS n_rows
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus_in_set',
+       sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                  OR o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       count(*)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice_in_range',
+       sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 400000
+                  OR o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       count(*)
+FROM orders
+UNION ALL
+SELECT 'unique:o_orderkey',
+       coalesce(sum(CASE WHEN c > 1 THEN c END), 0)::BIGINT,
+       sum(c)::BIGINT
+FROM (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY o_orderkey)
+UNION ALL
+SELECT 'fk:o_custkey',
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)),
+       count(*)
+FROM orders
+""",
+    doc="Declarative data-quality report (operators/quality.py): the "
+    "reference's implicit contract — a fixed DDL that silently coerces "
+    "(SURVEY §1.4) — made explicit and measured. Null / set-membership / "
+    "range expectations fold into ONE aggregate over ONE scan (map-side "
+    "partial counters, 1-row result, then a free explode to long form); "
+    "the uniqueness rule adds its own keyed shuffle (global property) "
+    "and the referential rule an anti-join against the broadcast "
+    "customer key set. The range rule is deliberately tight "
+    "(o_totalprice ≤ 400k) so the report is non-vacuous on clean data. "
+    "At 100 TB the row-rule pass rides any existing scan — compose with "
+    "`check()` to gate a pipeline stage, or `observe()` to measure "
+    "during the sink write itself (pipeline.py).",
+    tags=("quality", "constraints", "relational"),
+)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import (
+        fk_violations,
+        in_range,
+        in_set,
+        not_null,
+        quality_report,
+        unique_key,
+    )
+
+    od = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    report = quality_report(
+        od,
+        [
+            not_null("o_custkey"),
+            in_set("o_orderstatus", ("O", "F", "P")),
+            in_range("o_totalprice", 0, 400000),
+            unique_key("o_orderkey"),
+        ],
+    )
+    return report.unionByName(fk_violations(od, "o_custkey", cust, "c_custkey"))

@@ -108,19 +108,28 @@ def fk_violations(
     fact: DataFrame, fact_key: str, dim: DataFrame, dim_key: str
 ) -> DataFrame:
     """(rule, n_violations, n_rows) for referential integrity: fact rows
-    whose key has no parent in dim. Anti-join; dim key set broadcasts."""
-    orphans = fact.join(
-        F.broadcast(dim.select(F.col(dim_key).alias(fact_key)).distinct()),
+    whose key has no parent in dim.
+
+    ONE scan of the fact side: a broadcast LEFT join marks matched keys
+    and a single aggregate counts both the total and the orphans (an
+    anti-join formulation needs a second fact scan — or a cross join of
+    two 1-row aggregates, which plans as a nested-loop node the plan
+    lint rightly rejects)."""
+    marked = fact.join(
+        F.broadcast(
+            dim.select(F.col(dim_key).alias(fact_key))
+            .distinct()
+            .withColumn("__hit", F.lit(1))
+        ),
         fact_key,
-        "left_anti",
+        "left",
     )
-    return (
-        orphans.agg(F.count(F.lit(1)).alias("n_violations"))
-        .crossJoin(fact.agg(F.count(F.lit(1)).alias("n_rows")))
-        .select(
-            F.lit(f"fk:{fact_key}").alias("rule"), "n_violations", "n_rows"
-        )
-    )
+    return marked.agg(
+        F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias(
+            "n_violations"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).select(F.lit(f"fk:{fact_key}").alias("rule"), "n_violations", "n_rows")
 
 
 def check(report: DataFrame, max_violation_frac: float = 0.0) -> None:

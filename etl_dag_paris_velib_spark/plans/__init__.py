@@ -7,6 +7,7 @@
 from __future__ import annotations
 
 from .curation import C as _curation
+from .graph import G as _graph
 from .llm import L as _llm
 from .relational import R as _relational
 from .spec import QuerySpec, Registry
@@ -17,6 +18,7 @@ REGISTRY.merge(_relational)
 REGISTRY.merge(_llm)
 REGISTRY.merge(_temporal)
 REGISTRY.merge(_curation)
+REGISTRY.merge(_graph)
 
 # The external correctness harness walks queries() in insertion order with a
 # ~50-query budget (CORRECTNESS_r03: exactly the first 50 entries — all of
@@ -71,6 +73,12 @@ DEMOTED = (
     # q83 (data-quality report) slot: q15's as-of join is driver-green in
     # r03 and the temporal-join family keeps q49 in-window
     "q15_asof_purchase_click",
+    # round-4 continuation: three slots for q84-q86 (pair mining, SCD2,
+    # PageRank). Rotated greens keep family cover in-window: vector
+    # top-k → q29/q52/q81, textstats top-terms/tfidf → q54/q68.
+    "q22_vector_topk",
+    "q41_top_terms",
+    "q44_tfidf_keywords",
 )
 REGISTRY.demote(DEMOTED)
 

@@ -19,7 +19,7 @@ way it must be built at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalar import ntz_epoch_us
@@ -507,4 +507,87 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.select(F.col("w.start").alias("window_start"), "user_id")
         .groupBy("window_start")
         .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q85 — SCD2 history build (type-2 slowly-changing dimension)
+# ---------------------------------------------------------------------------
+@T.add(
+    "q85_scd2_history",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+versioned AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)::BIGINT AS version
+  FROM ordered
+),
+spans AS (
+  SELECT user_id, version,
+         min(event_type) AS attr_value,  -- constant within the version
+         min(ts) AS valid_from,
+         count(*)::BIGINT AS n_events
+  FROM versioned
+  GROUP BY user_id, version
+)
+SELECT user_id, version, attr_value, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+         AS valid_to,
+       (lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+         IS NULL) AS is_current,
+       n_events
+FROM spans
+""",
+    doc="Type-2 slowly-changing dimension build from the event stream: "
+    "per user, consecutive runs of the same event_type collapse into "
+    "versioned validity spans (valid_from, valid_to = next version's "
+    "start, open span ⇒ NULL + is_current) — the standard warehouse "
+    "history-table shape the reference's append-only snapshots exist to "
+    "feed (SURVEY §1.1: hourly observations accumulating into a "
+    "time-series). Deterministic ordering tie-break on (ts, event_id). "
+    "Shape: two window passes and one groupBy, ALL partitioned by "
+    "user_id — a single hash exchange that every later stage reuses; "
+    "per-user state in each window is one row. At 100 TB this is the "
+    "same one-shuffle plan; the streaming twin is the "
+    "change-detection stateful operator (streaming/gbfs.py), which "
+    "emits exactly these spans incrementally.",
+    tags=("window", "scd2", "temporal"),
+)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type"))
+    )
+    versioned = ev.withColumn(
+        "version",
+        F.sum(F.when(changed, 1).otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    spans = versioned.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("attr_value"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return spans.select(
+        "user_id",
+        "version",
+        "attr_value",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        F.lead("valid_from").over(wv).isNull().alias("is_current"),
+        "n_events",
     )

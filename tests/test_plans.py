@@ -166,3 +166,32 @@ def test_q78_zorder_single_shuffle_pruned_scan(spark):
     plan = _plan(spark, "q78_zorder_layout")
     assert plan.count("Exchange") == 1
     assert "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint>" in plan
+
+
+def test_q84_pair_join_is_equi_keyed(spark):
+    """The basket self-join must key on l_orderkey (SortMerge/Hash join,
+    never a nested-loop all-pairs), and top-25 must be
+    TakeOrderedAndProject, not a global sort."""
+    plan = _plan(spark, "q84_copurchase_pairs")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>" in plan
+
+
+def test_q86_pagerank_reads_two_columns_no_nested_loop(spark):
+    """Edge build + two unrolled rank iterations stay equi-join only;
+    the scan is pruned to (orderkey, suppkey)."""
+    plan = _plan(spark, "q86_supplier_pagerank")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint>" in plan
+
+
+def test_q85_scd2_single_user_exchange(spark):
+    """Every window and the span rollup partition by user_id: one hash
+    exchange on user_id feeds the whole plan (AQE may add nothing)."""
+    plan = _plan(spark, "q85_scd2_history")
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert exchanges, plan[:500]
+    assert all(e.startswith("user_id") for e in exchanges), exchanges

@@ -1,0 +1,91 @@
+"""Invariant tests for the graph-analytics specs (plans/graph.py) and the
+SCD2 history build (plans/temporal.py:q85) — properties the DuckDB
+differential can't see because both engines could share a systematic bug:
+mass conservation, span contiguity, symmetry."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from etl_dag_paris_velib_spark.plans.graph import _cosupply_graph
+from etl_dag_paris_velib_spark.sources.tpch import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_cosupply_graph_is_symmetric_no_self_loops(spark):
+    edges, deg, n_nodes = _cosupply_graph(spark, SF_SMOKE)
+    assert edges.filter(F.col("src") == F.col("dst")).count() == 0
+    # symmetry: (a,b) present iff (b,a) present
+    fwd = edges.select("src", "dst")
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    assert fwd.exceptAll(rev).count() == 0
+    assert deg.count() == n_nodes
+
+
+def test_pagerank_mass_is_conserved(spark):
+    """Symmetric graph, no dangling nodes ⇒ every iteration redistributes
+    all rank: total mass stays 1 (up to FP) and every rank is positive."""
+    df = entrymod.queries()["q86_supplier_pagerank"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert 0 < len(rows) <= 20
+    assert all(r["rank"] > 0 for r in rows)
+    # recompute full (unlimited) rank sum via the same graph
+    edges, deg, n_nodes = _cosupply_graph(spark, SF_SMOKE)
+    rank = deg.select("src", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(2):
+        contrib = (
+            edges.join(rank.withColumnRenamed("src", "node"), F.col("node") == edges.src)
+            .join(deg, "src")
+            .select("dst", (F.col("rank") / F.col("degree")).alias("share"))
+        )
+        rank = (
+            contrib.groupBy("dst")
+            .agg((F.lit(0.15 / n_nodes) + F.lit(0.85) * F.sum("share")).alias("rank"))
+            .withColumnRenamed("dst", "src")
+        )
+        total = rank.agg(F.sum("rank")).first()[0]
+        assert abs(total - 1.0) < 1e-9, total
+
+
+def test_scd2_spans_partition_each_users_events(spark):
+    """Per user: versions are 1..k contiguous, span event counts sum to
+    the user's event count, exactly one open (is_current) span, and each
+    closed span's valid_to equals the next span's valid_from."""
+    spans = entrymod.queries()["q85_scd2_history"](spark, SF_SMOKE)
+    ev_counts = (
+        load_table(spark, "events", SF_SMOKE)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events_user"))
+    )
+    per_user = spans.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.max("version").alias("max_version"),
+        F.min("version").alias("min_version"),
+        F.sum("n_events").alias("span_event_sum"),
+        F.sum(F.col("is_current").cast("int")).alias("n_open"),
+    )
+    joined = per_user.join(ev_counts, "user_id")
+    bad = joined.filter(
+        (F.col("n_spans") != F.col("max_version"))
+        | (F.col("min_version") != 1)
+        | (F.col("span_event_sum") != F.col("n_events_user"))
+        | (F.col("n_open") != 1)
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
+    # closed spans chain: valid_to == next valid_from (lead over version)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("version")
+    chained = spans.withColumn("next_from", F.lead("valid_from").over(w)).filter(
+        F.col("valid_to").isNotNull() & (F.col("valid_to") != F.col("next_from"))
+    )
+    assert chained.count() == 0
+
+
+def test_copurchase_pairs_are_ordered_and_positive(spark):
+    rows = entrymod.queries()["q84_copurchase_pairs"](spark, SF_SMOKE).collect()
+    assert rows, "expected co-purchase pairs at smoke scale"
+    assert all(r["part_a"] < r["part_b"] and r["n_orders"] >= 1 for r in rows)
+    counts = [r["n_orders"] for r in rows]
+    assert counts == sorted(counts, reverse=True)

@@ -38,8 +38,17 @@ def main():
     sf = float(m.group(1)) if m else None
 
     # no console progress bars: their \r-rewritten lines were interleaved
-    # around the result line in the driver-captured output (BENCH_r03)
-    spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    # around the result line in the driver-captured output (BENCH_r03).
+    # Driver memory is honored here because this process launches the JVM;
+    # the 1g default holds at sf0.1 but larger SF_DIRs (e.g. the .scale/
+    # sf1.0 replica) grow 64MB-threshold broadcast sides past it.
+    spark = get_spark(
+        "bench",
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 

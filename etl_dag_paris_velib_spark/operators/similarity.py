@@ -526,6 +526,7 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroid_cap: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF coarse quantization.
 
@@ -541,7 +542,16 @@ def ivf_topk(
        partitioned by centroid and the probe prunes partitions.
     """
     base = _as_double(embeddings, id_col, vec_col)
-    cents = base.filter(F.col("vec_id") % centroid_mod == 0).select(
+    # ``centroid_cap`` bounds the CODEBOOK SIZE independently of corpus
+    # size (ids above the cap never become centroids). Without it the
+    # modulus selection grows the codebook linearly with n and the
+    # assign pass degrades to O(n²/mod) — a real IVF index has a fixed
+    # codebook (k-means, trained once), and this keeps that property
+    # while staying deterministic/oracle-checkable.
+    is_cent = F.col("vec_id") % centroid_mod == 0
+    if centroid_cap is not None:
+        is_cent = is_cent & (F.col("vec_id") < centroid_cap)
+    cents = base.filter(is_cent).select(
         F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("nv").alias("cn")
     )
 

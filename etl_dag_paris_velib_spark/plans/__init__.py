@@ -73,12 +73,13 @@ DEMOTED = (
     # q83 (data-quality report) slot: q15's as-of join is driver-green in
     # r03 and the temporal-join family keeps q49 in-window
     "q15_asof_purchase_click",
-    # round-4 continuation: three slots for q84-q86 (pair mining, SCD2,
-    # PageRank). Rotated greens keep family cover in-window: vector
-    # top-k → q29/q52/q81, textstats top-terms/tfidf → q54/q68.
+    # round-4 continuation: four slots for q84-q87 (pair mining, SCD2,
+    # PageRank, CDC diff). Rotated greens keep family cover in-window:
+    # vector top-k → q52/q81, textstats top-terms/tfidf → q54/q68.
     "q22_vector_topk",
     "q41_top_terms",
     "q44_tfidf_keywords",
+    "q29_ivf_topk",
 )
 REGISTRY.demote(DEMOTED)
 

@@ -13,9 +13,13 @@ analytics pipeline runs over relationship data:
   and oracle-checkable; the driver-loop variant for arbitrary k is the
   same join+agg body iterated (same shape as operators/dedup.py's CC
   fixpoint loop).
+- q87: CDC snapshot diff — relationship between two VERSIONS of a
+  table rather than between rows; the classify-changes primitive an
+  incremental pipeline runs before MERGE.
 
-Both specs carry exact DuckDB oracles; double rank mass is rounded in
-BOTH engines (sum order differs) per the repo-wide FP rule.
+All specs carry exact DuckDB oracles; double rank mass is rounded in
+BOTH engines (sum order differs) per the repo-wide FP rule, and q87's
+price bump is FP-exact by construction.
 """
 
 from __future__ import annotations
@@ -219,4 +223,76 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2.select(F.col("src").alias("s_suppkey"), F.round("rank", 9).alias("rank"))
         .orderBy(F.desc("rank"), "s_suppkey")
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q87 — CDC snapshot diff (insert / delete / update classification)
+# ---------------------------------------------------------------------------
+@G.add(
+    "q87_snapshot_diff",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 97 <> 0
+),
+curr AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 13 = 0
+              THEN o_totalprice + 1000.0 ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderkey % 89 <> 0
+)
+SELECT coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+       CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+            WHEN c.o_orderkey IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       b.price AS old_price,
+       c.price AS new_price
+FROM base b FULL OUTER JOIN curr c ON b.o_orderkey = c.o_orderkey
+WHERE b.o_orderkey IS NULL OR c.o_orderkey IS NULL OR b.price <> c.price
+""",
+    doc="CDC snapshot diff: classify rows as insert / delete / update "
+    "between two versions of a table — the change-data-capture primitive "
+    "an incremental 100 TB pipeline runs between partition snapshots "
+    "before MERGEing (the batch twin of sinks.writers:"
+    "upsert_partitioned_table, which applies such a diff). The two "
+    "versions are derived deterministically from orders (key-modulus "
+    "membership + a price bump) so both engines see identical inputs. "
+    "One full-outer join on the key — a single co-partitioned shuffle "
+    "pair; unchanged rows are filtered by the value comparison, so "
+    "output is proportional to the CHANGE volume, not table size. At "
+    "100 TB both sides bucket/partition on the key and the join is "
+    "zero-exchange (tests/test_bucketing.py shape). The synthetic price "
+    "bump is +1000.0 — exact in binary floating point, so the change "
+    "comparison and output values are bit-identical in both engines "
+    "(a *1.1 bump landed on a round-half boundary Spark and DuckDB "
+    "round differently).",
+    tags=("cdc", "diff", "join", "relational"),
+)
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+    curr = orders.filter(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 1000.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    )
+    b = base.alias("b")
+    c = curr.alias("c")
+    joined = b.join(c, F.col("b.o_orderkey") == F.col("c.o_orderkey"), "full_outer")
+    return joined.select(
+        F.coalesce(F.col("b.o_orderkey"), F.col("c.o_orderkey")).alias("o_orderkey"),
+        F.when(F.col("b.o_orderkey").isNull(), "insert")
+        .when(F.col("c.o_orderkey").isNull(), "delete")
+        .otherwise("update")
+        .alias("change_type"),
+        F.col("b.price").alias("old_price"),
+        F.col("c.price").alias("new_price"),
+    ).filter(
+        F.col("b.o_orderkey").isNull()
+        | F.col("c.o_orderkey").isNull()
+        | (F.col("b.price") != F.col("c.price"))
     )

@@ -439,7 +439,8 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q29_ivf_topk",
     oracle="""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cents AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+cents AS (SELECT vec_id AS c_id, v AS cv FROM e
+          WHERE vec_id % 50 = 0 AND vec_id < 3200),
 asg AS (
   SELECT vec_id, v, c_id FROM (
     SELECT e.vec_id, e.v, cents.c_id,
@@ -476,15 +477,19 @@ r AS (
 SELECT q_id, vec_id, round(c, 6) AS score FROM r WHERE rn <= 10
 """,
     doc="IVF approximate cosine top-10 (operators/similarity.py:ivf_topk): "
-    "deterministic coarse centroids (vec_id %% 50), nprobe=2 inverted "
-    "lists searched. The scale path — candidates shrink by centroids/nprobe "
-    "and the c_id join partition-prunes when lists are bucketed by centroid.",
+    "deterministic coarse centroids (vec_id %% 50, capped below id 3200 "
+    "so the CODEBOOK is fixed-size like a real trained IVF index — "
+    "without the cap the assign pass is O(n²/mod); the cap is above "
+    "every sf≤0.1 id, so small-scale results are unchanged), nprobe=2 "
+    "inverted lists searched. The scale path — candidates shrink by "
+    "centroids/nprobe and the c_id join partition-prunes when lists "
+    "are bucketed by centroid.",
     tags=("vector", "topk", "ann", "llm"),
 )
 def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     qs = make_query_set(emb, F.col("vec_id") < 5)
-    top = ivf_topk(emb, qs, k=10, centroid_mod=50, nprobe=2)
+    top = ivf_topk(emb, qs, k=10, centroid_mod=50, nprobe=2, centroid_cap=3200)
     return top.select("q_id", "vec_id", F.round("score", 6).alias("score"))
 
 

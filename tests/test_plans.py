@@ -195,3 +195,13 @@ def test_q85_scd2_single_user_exchange(spark):
     exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
     assert exchanges, plan[:500]
     assert all(e.startswith("user_id") for e in exchanges), exchanges
+
+
+def test_q87_diff_is_single_outer_join(spark):
+    """CDC diff = one full-outer equi-join on the key; the orderkey
+    modulus filters reach the scan as data filters, and no nested loop
+    appears."""
+    plan = _plan(spark, "q87_snapshot_diff")
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1
+    assert "FullOuter" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan

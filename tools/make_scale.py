@@ -79,7 +79,10 @@ def main() -> None:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        out.write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
+        # one file per core, not one per replica branch: a 10-file table
+        # caps local[32] scan parallelism at 10 tasks and distorts the
+        # scaling measurements this replica exists for
+        out.repartition(32).write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
         n = spark.read.parquet(f"{DST}/{t}.parquet").count()
         print(f"{t}: {n} rows ({replicas} replicas)")
 

@@ -52,8 +52,16 @@ def main() -> None:
 
     names = sys.argv[1:] or list(HEADLINE)
     sfs = [sf for sf in SFS if os.path.isdir(sf_dir(sf))]
+    # This process launches the JVM itself, so driver memory set here is
+    # honored (it's a no-op only on an already-running session). The
+    # default 1g heap holds through sf0.1 but sf1.0 broadcasts
+    # (64 MB autoBroadcastJoinThreshold sides grow ~10x) need headroom.
     spark = get_spark(
-        "scalecheck", extra_conf={"spark.ui.showConsoleProgress": "false"}
+        "scalecheck",
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
@@ -61,9 +69,12 @@ def main() -> None:
     def run(name: str, sf: str) -> float:
         df = qs[name](spark, sf_dir(sf))
         df.write.format("noop").mode("overwrite").save()  # warm plan + pages
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(2):  # min-of-2: one GC pause shouldn't publish
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
 
     top = sfs[-1]
     prev = sfs[-2]
@@ -82,7 +93,7 @@ def main() -> None:
         "fixed overhead cancels. Flat columns = overhead-bound at this",
         "scale; the plan audit (EXPLAIN.md) is the evidence beyond it.",
         "sf1.0 (when present) is the 10x key-offset replica of sf0.1",
-        "(tools/make_scale.py): ~6M lineitem / 1M events / 5k documents,",
+        "(tools/make_scale.py): ~6M lineitem / 1M events / 50k documents,",
         "with each document replica group a planted near-dup cluster —",
         "the dedup tier's candidate volume grows superlinearly there by",
         "construction.",

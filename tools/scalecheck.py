@@ -33,6 +33,12 @@ HEADLINE = (
     "q74_correlated_subquery",  # decorrelated scalar subquery
     "q81_srp_lsh_topk",         # hyperplane LSH band join
     "q82_sliding_distinct_users",  # Expand x4 + two-phase distinct
+    # dedup-stress tier: sf1.0 plants 10-replica near-dup clusters, so
+    # CANDIDATE volume grows ~(replicas²)x, not 10x — these rows measure
+    # that deliberately superlinear regime, not a plan defect
+    "q28_simhash_pairs",        # band self-join, output ∝ true pair count
+    "q46_edit_distance_pairs",  # LSH candidates + thresholded levenshtein
+    "q52_embedding_dedup",      # exact block-matmul threshold pairs, O(n²) GEMM
 )
 
 SFS = ("0.001", "0.01", "0.1", "1.0")
@@ -102,6 +108,14 @@ def main() -> None:
         "|---|" + "---|" * (len(sfs) + 1),
     ]
     note = (
+        "\nThe last three rows are the dedup-stress tier: sf1.0's"
+        "\nplanted 10-replica clusters square the candidate volume"
+        "\n(every original near-dup pair becomes a 10x10 replica block),"
+        "\nso their sf1.0 cost tracks TRUE pair count, which grows"
+        "\n~(replicas^2)x by construction — the right behavior for a"
+        "\ndedup operator; q52 is additionally the exact O(n^2) GEMM"
+        "\nbaseline whose documented scale path is IVF/SRP-LSH"
+        "\n(q29/q81, flat rows above).\n"
         "\nNear-zero warm times on q21/q42 are the session pair cache"
         "\n(operators/similarity.py:_PAIR_CACHE): the LSH pair set is"
         "\nmaterialized once per (session, input, params) and every"

@@ -80,6 +80,9 @@ DEMOTED = (
     "q41_top_terms",
     "q44_tfidf_keywords",
     "q29_ivf_topk",
+    # q88 (LOCF) slot: percentile family keeps q76 (robust stats) and
+    # the demoted q45/q38 stay oracle-checked in the pytest tail
+    "q45_approx_percentiles",
 )
 REGISTRY.demote(DEMOTED)
 

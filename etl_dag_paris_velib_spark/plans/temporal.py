@@ -591,3 +591,57 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(wv).isNull().alias("is_current"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# q88 — LOCF forward fill (time-series imputation)
+# ---------------------------------------------------------------------------
+@T.add(
+    "q88_locf_forward_fill",
+    oracle="""
+WITH base AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+  FROM events
+),
+grp AS (
+  SELECT user_id, ts, event_id, v,
+         count(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM base
+)
+SELECT user_id, ts, event_id, v,
+       max(v) OVER (PARTITION BY user_id, g) AS v_filled
+FROM grp
+""",
+    doc="LOCF (last-observation-carried-forward) imputation: per-user "
+    "forward fill of missing readings with the most recent non-null "
+    "value — the standard time-series repair for sensor feeds like the "
+    "reference's hourly station snapshots (a station that misses a "
+    "report keeps its last known bike count). Nulls are planted "
+    "deterministically (event_id % 7) so both engines see the same "
+    "holes; leading nulls stay null. Spark is the idiomatic "
+    "last(ignorenulls) over an unbounded-preceding row frame — ONE "
+    "user_id exchange, one sort, per-row state a single value; the "
+    "oracle spells the same semantics portably (running non-null count "
+    "forms carry groups; max within (user, group) recovers the carried "
+    "value). No arithmetic touches the doubles, so values hash "
+    "bit-identically. At 100 TB this is the q85 plan shape: everything "
+    "rides one hash partitioning on the key.",
+    tags=("window", "temporal", "gapfill", "locf"),
+)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.withColumn("v_filled", F.last("v", ignorenulls=True).over(w))

@@ -205,3 +205,12 @@ def test_q87_diff_is_single_outer_join(spark):
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1
     assert "FullOuter" in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_q88_locf_single_user_exchange(spark):
+    """Forward fill rides one hash exchange on user_id (q85's shape)."""
+    import re
+
+    plan = _plan(spark, "q88_locf_forward_fill")
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert exchanges and all(e.startswith("user_id") for e in exchanges), exchanges

@@ -83,6 +83,9 @@ DEMOTED = (
     # q88 (LOCF) slot: percentile family keeps q76 (robust stats) and
     # the demoted q45/q38 stay oracle-checked in the pytest tail
     "q45_approx_percentiles",
+    # q89 (interval overlap) slot: LSH-dedup family keeps q21/q28/q35
+    # in-window; q46's edit-distance verify stays pytest-checked
+    "q46_edit_distance_pairs",
 )
 REGISTRY.demote(DEMOTED)
 

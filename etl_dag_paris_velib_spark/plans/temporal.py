@@ -645,3 +645,100 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return ev.withColumn("v_filled", F.last("v", ignorenulls=True).over(w))
+
+
+# ---------------------------------------------------------------------------
+# q89 — interval overlap join (sessions × busiest hours)
+# ---------------------------------------------------------------------------
+@T.add(
+    "q89_interval_overlap",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING)::BIGINT AS session_no
+  FROM g
+),
+sess AS (
+  SELECT user_id, session_no,
+         min(ts) AS session_start, max(ts) AS session_end
+  FROM s GROUP BY user_id, session_no
+),
+hours AS (
+  SELECT (floor(epoch(ts))::BIGINT // 3600) AS hb, count(*)::BIGINT AS hour_events
+  FROM events GROUP BY 1
+),
+hot AS (
+  SELECT hb, hour_events FROM (
+    SELECT hb, hour_events,
+           row_number() OVER (ORDER BY hour_events DESC, hb) AS rn
+    FROM hours
+  ) WHERE rn <= 20
+)
+SELECT sess.user_id, sess.session_no, sess.session_start, sess.session_end,
+       hot.hb AS hour_bucket, hot.hour_events
+FROM sess JOIN hot
+  ON floor(epoch(sess.session_start))::BIGINT < (hot.hb + 1) * 3600
+ AND floor(epoch(sess.session_end))::BIGINT >= hot.hb * 3600
+""",
+    doc="Interval OVERLAP join: which user sessions (q43's gaps-and-islands "
+    "intervals) overlap the 20 busiest hours of the feed — the "
+    "interval×interval temporal join (Flink interval join / kdb wj "
+    "family), distinct from q49's point-range join and q15's as-of. "
+    "Spark has no IEJoin, so the raw double-inequality predicate would "
+    "plan as a nested loop; instead each session explodes into the hour "
+    "buckets it spans (sequence(start_hb, end_hb) — fan-out bounded by "
+    "session duration, itself bounded by the 30-min-gap rule) and "
+    "equi-joins the broadcast hot-hour list on the bucket id. Bucket "
+    "membership is EXACTLY the half-open overlap predicate (floor "
+    "arithmetic both sides), so DuckDB's native IEJoin on the raw "
+    "inequalities is the exact oracle. Hot hours use an integer "
+    "(count, bucket) rank — no FP threshold surface; the output keys "
+    "are the bucket id, not a constructed timestamp, so no session-"
+    "timezone surface either. At 100 TB: sessionization is one user_id "
+    "exchange (q43), the hour histogram is one map-side-combined "
+    "rollup, and the overlap join broadcasts 20 rows.",
+    tags=("join", "interval", "temporal", "sessionize"),
+)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import q43
+
+    sess = q43(spark, sf_dir).drop("n_events")
+    sec_of = lambda c: F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})"
+    )
+    ev = _t(spark, sf_dir, "events")
+    hours = (
+        ev.select(F.floor(sec_of("ts") / 3600).cast("long").alias("hb"))
+        .groupBy("hb")
+        .agg(F.count(F.lit(1)).alias("hour_events"))
+    )
+    hot = hours.orderBy(F.desc("hour_events"), "hb").limit(20)
+    spanned = sess.select(
+        "user_id",
+        "session_no",
+        "session_start",
+        "session_end",
+        F.explode(
+            F.sequence(
+                F.floor(sec_of("session_start") / 3600).cast("long"),
+                F.floor(sec_of("session_end") / 3600).cast("long"),
+            )
+        ).alias("hb"),
+    )
+    return spanned.join(F.broadcast(hot), "hb").select(
+        "user_id",
+        "session_no",
+        "session_start",
+        "session_end",
+        F.col("hb").alias("hour_bucket"),
+        "hour_events",
+    )

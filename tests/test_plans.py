@@ -214,3 +214,12 @@ def test_q88_locf_single_user_exchange(spark):
     plan = _plan(spark, "q88_locf_forward_fill")
     exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
     assert exchanges and all(e.startswith("user_id") for e in exchanges), exchanges
+
+
+def test_q89_overlap_is_bucketized_broadcast(spark):
+    """The interval overlap must run as explode + broadcast equi-join on
+    the bucket id — never a nested-loop inequality join."""
+    plan = _plan(spark, "q89_interval_overlap")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Generate explode" in plan

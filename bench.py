@@ -82,13 +82,22 @@ def main():
         os.path.dirname(os.path.abspath(__file__)), "tools", "bench_budget.json"
     )
     if os.environ.get("SPARK_GRAFT_BENCH_RECORD"):
-        # re-record accepted budgets for this sf (e.g. after a runtime
-        # upgrade shifts the baseline): merge this run's timings in place.
+        # re-record accepted budgets for this sf. Default merges by MIN
+        # with the existing budget (this VM shows host steal-time stalls;
+        # a single noisy run must not loosen the guard) — new queries get
+        # this run's time. SPARK_GRAFT_BENCH_RECORD=replace overwrites
+        # outright (intentional re-baseline after a runtime upgrade).
         budgets_all = {}
         if os.path.exists(budget_path):
             with open(budget_path) as f:
                 budgets_all = json.load(f)
-        budgets_all[str(sf)] = timings
+        prev = budgets_all.get(str(sf), {})
+        if os.environ["SPARK_GRAFT_BENCH_RECORD"] == "replace":
+            budgets_all[str(sf)] = timings
+        else:
+            budgets_all[str(sf)] = {
+                n: min(t, prev[n]) if n in prev else t for n, t in timings.items()
+            }
         with open(budget_path, "w") as f:
             json.dump(budgets_all, f, indent=1, sort_keys=True)
             f.write("\n")
@@ -101,10 +110,25 @@ def main():
     if os.path.exists(budget_path):
         with open(budget_path) as f:
             budgets = json.load(f).get(str(sf), {})
-        for name, t in timings.items():
+
+        def over(name, t):
             b = budgets.get(name)
-            if b is not None and t > slack * max(2.5 * b, b + 2.0):
-                regressions[name] = {"sec": t, "budget": b}
+            return b is not None and t > slack * max(2.5 * b, b + 2.0)
+
+        # The container shows transient multi-second stalls that land on
+        # arbitrary queries (observed: the same query 1.4s and 9.6s in
+        # back-to-back suite runs with identical plans). A real plan
+        # blow-up is deterministic, so re-time only the flagged queries
+        # and keep the better number: stalls self-heal, genuine
+        # regressions stay flagged.
+        for name in [n for n, t in timings.items() if over(n, t)]:
+            t0 = time.perf_counter()
+            force(qs[name](spark, sf_dir))
+            timings[name] = min(timings[name], round(time.perf_counter() - t0, 3))
+        total = round(sum(timings.values()), 3)
+        for name, t in timings.items():
+            if over(name, t):
+                regressions[name] = {"sec": t, "budget": budgets.get(name)}
 
     # The driver stores only a bounded tail of this process's output and
     # parses the JSON line out of it (BENCH_r03.json came back parsed:null

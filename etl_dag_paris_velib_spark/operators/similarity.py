@@ -377,6 +377,70 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    min_shingles: int = 5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle-containment join: directed pairs where
+    ``|A ∩ B| / |A| >= threshold`` — document A is (mostly) contained in
+    document B. The doc-in-doc detector Jaccard misses: a paragraph quoted
+    inside a 100x-longer page has tiny Jaccard but containment ~1, which
+    is how quote/boilerplate/supersede relationships are found during
+    corpus curation (same measure as DataSketch's MinHash-LSH-Ensemble
+    problem statement, computed exactly here).
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs` — shingle
+    explode, co-occurrence count, size rejoin — but keeps BOTH directions
+    of every co-occurring pair and divides by the SOURCE side's set size
+    only. Shuffles are identical to the Jaccard join (the direction flip
+    is a projection, not a new shuffle); ``max_df`` is the same hub-
+    shingle guard. ``min_shingles`` drops sources too small for the
+    containment ratio to be meaningful (a 1-shingle doc is "contained"
+    everywhere its one shingle appears).
+    """
+    sh = _shingle_sets(df, id_col, text_col, shingle_n)
+    sh = sh.persist()
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    inv = sh.select("id", F.explode("sh").alias("s"))
+    if max_df is not None:
+        hubs = (
+            inv.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("s")
+        )
+        inv = inv.join(F.broadcast(hubs), "s", "left_anti")
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    directed = inter.select(
+        F.col("id_a").alias("src_id"), F.col("id_b").alias("dst_id"), "n_common"
+    ).unionByName(
+        inter.select(
+            F.col("id_b").alias("src_id"), F.col("id_a").alias("dst_id"), "n_common"
+        )
+    )
+    zs = sizes.alias("zs")
+    return (
+        directed.join(zs, F.col("src_id") == F.col("zs.id"))
+        .filter(F.col("zs.n_sh") >= min_shingles)
+        .select(
+            "src_id",
+            "dst_id",
+            (F.col("n_common") / F.col("zs.n_sh")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

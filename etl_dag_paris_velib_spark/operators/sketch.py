@@ -123,3 +123,65 @@ def kmv_distinct(
         .otherwise(F.expr(f"{numerator} div h_k"))
         .alias("est_distinct"),
     )
+
+
+def kmv_merge_distinct(
+    df: DataFrame, group_col: str, part_col: str, key_col: str, k: int = 16
+) -> DataFrame:
+    """Hierarchical KMV: per-(group, partition) sub-sketches MERGED into a
+    per-group estimate — the mergeable-aggregate shape that makes sketches
+    work at 100 TB (build sketch state independently per shard/day/file,
+    union the tiny states, never re-scan raw data to combine).
+
+    Merge law (exact, not approximate): the k smallest distinct hashes of
+    a union are each the k-smallest within their own partition, so
+    ``top-k(union of per-partition top-k sets) == top-k(union)`` — the
+    merged estimate is BIT-IDENTICAL to a one-shot :func:`kmv_distinct`
+    over the same rows, which is exactly what the DuckDB oracle for
+    q97 computes (the differential gate therefore checks the merge law
+    itself). State: k BIGINTs per (group, partition) sub-sketch, then k
+    per group — both sides of the merge are bounded regardless of input.
+
+    Returns ``(group_col, n_subsketches, est_distinct)``.
+    """
+    from pyspark.sql import Window
+
+    numerator = (k - 1) * (1 << 56)
+    assert numerator < (1 << 63), "estimator numerator must fit BIGINT"
+    h = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 14), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+    sub = (
+        df.select(F.col(group_col).alias("g"), F.col(part_col).alias("p"), h)
+        .groupBy("g", "p", "h")
+        .agg(F.lit(1).alias("_one"))
+    )
+    w_sub = Window.partitionBy("g", "p").orderBy("h")
+    kept = (
+        sub.select("g", "p", "h", F.row_number().over(w_sub).alias("rn"))
+        .filter(F.col("rn") <= k)
+    )
+    n_parts = kept.select("g", "p").distinct().groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_subsketches")
+    )
+    merged = kept.select("g", "h").distinct()
+    w_g = Window.partitionBy("g").orderBy("h")
+    ranked = merged.select("g", "h", F.row_number().over(w_g).alias("rn")).filter(
+        F.col("rn") <= k
+    )
+    agg = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_seen"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("h_k"),
+    )
+    return (
+        agg.join(n_parts, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n_subsketches",
+            F.when(F.col("n_seen") < k, F.col("n_seen").cast("bigint"))
+            .otherwise(F.expr(f"{numerator} div h_k"))
+            .alias("est_distinct"),
+        )
+    )

@@ -36,6 +36,7 @@ BNLJ_WHITELIST = {
     "q50_gapfill_rollup": "1-row (min,max) hour bounds broadcast to the grid",
     "q52_embedding_dedup": "block id grid broadcast for threshold matmul",
     "q53_bloom_semi_join": "fixed-size bloom bitmap broadcast map-side",
+    "q96_mutual_nn_pairs": "q33's block/shard id grid broadcast (all_pairs_nn)",
 }
 
 

@@ -52,24 +52,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # q90 — LATERAL correlated top-k subquery
 # ---------------------------------------------------------------------------
 @M.add(
-    "q90_lateral_topk",
+    "q90_lateral_agg",
     oracle="""
-SELECT n.n_name, t.c_name, t.c_acctbal
+SELECT n.n_name, t.top_bal, t.n_rich
 FROM nation n,
 LATERAL (
-  SELECT c_name, c_acctbal FROM customer c
-  WHERE c.c_nationkey = n.n_nationkey
-  ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+  SELECT max(c_acctbal) AS top_bal,
+         count(CASE WHEN c_acctbal > 5000 THEN 1 END) AS n_rich
+  FROM customer c WHERE c.c_nationkey = n.n_nationkey
 ) t
 """,
-    doc="Per-nation top-3 customers via a LATERAL correlated subquery "
-    "with ORDER BY + LIMIT — the SQL form of q16's window top-k. "
-    "Catalyst decorrelates the lateral into a join + per-key limit "
-    "rather than executing the inner query once per outer row; the "
-    "outer side is the 25-row dim, so even a nested-loop fallback is "
-    "dim-bounded, never fact x fact. DuckDB runs the identical LATERAL "
-    "text — the correctness check covers the decorrelation rewrite "
-    "itself.",
+    doc="LATERAL correlated aggregate subquery — the per-outer-row-driven "
+    "join form; DuckDB runs the IDENTICAL SQL text, so the correctness "
+    "check covers Catalyst's decorrelation rewrite itself (lateral -> "
+    "grouped aggregate + equi-join, never an inner query per outer row). "
+    "The aggregate flavor is chosen deliberately: Spark 4.1 decorrelates "
+    "the ORDER BY + LIMIT flavor into a GLOBAL range sort feeding an "
+    "ORDER-LESS row_number window across a hash exchange — deterministic "
+    "on local mode's in-order block fetch but order-fragile on a real "
+    "cluster's shuffle (and a global fact sort is the wrong plan at "
+    "100 TB); per-group top-k belongs to the explicit window form (q16).",
     tags=("join", "lateral", "sql"),
 )
 def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,12 +79,12 @@ def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "customer").createOrReplaceTempView("q90_customer")
     return spark.sql(
         """
-        SELECT n.n_name, t.c_name, t.c_acctbal
+        SELECT n.n_name, t.top_bal, t.n_rich
         FROM q90_nation n,
         LATERAL (
-          SELECT c_name, c_acctbal FROM q90_customer c
-          WHERE c.c_nationkey = n.n_nationkey
-          ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+          SELECT max(c_acctbal) AS top_bal,
+                 count(CASE WHEN c_acctbal > 5000 THEN 1 END) AS n_rich
+          FROM q90_customer c WHERE c.c_nationkey = n.n_nationkey
         ) t
         """
     )

@@ -143,12 +143,15 @@ def test_q95_vocab_broadcast_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_q90_lateral_stays_dim_bounded(spark):
-    """The decorrelated lateral must not cross facts: any join in the
-    plan has the 25-row dim on one side (broadcast or partition-limit
-    rewrite both satisfy this); no CartesianProduct ever."""
-    plan = _plan(spark, "q90_lateral_topk")
+def test_q90_lateral_decorrelates_to_agg_join(spark):
+    """The lateral aggregate must decorrelate: a grouped aggregate joined
+    back on the correlation key — no per-outer-row execution, no
+    cartesian, and no global sort (the failure mode of the ORDER+LIMIT
+    lateral flavor this spec's doc records)."""
+    plan = _plan(spark, "q90_lateral_agg")
     assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    assert "HashAggregate" in plan
 
 
 def test_q97_sketch_merge_two_bounded_exchanges(spark):

@@ -81,3 +81,67 @@ def enrich_with_customers(events: DataFrame, customers: DataFrame) -> DataFrame:
     return events.join(dim, "user_id", "left").select(
         "event_id", "ts", "user_id", "event_type", "customer_name", "mktsegment"
     )
+
+
+def streaming_distinct_users(events: DataFrame, k: int = 16) -> DataFrame:
+    """Streaming KMV distinct-count: per event type, maintain the k
+    smallest md5-hashes of user_id as arbitrary state
+    (``applyInPandasWithState``) and emit the refreshed estimate each
+    micro-batch.
+
+    This is the mergeable-sketch story (operators/sketch.py:
+    kmv_merge_distinct) applied to an unbounded stream: each batch is a
+    sub-sketch, and the merge law top-k(state ∪ batch) == top-k(all rows
+    so far) makes the state BOUNDED (k longs per group, forever) while
+    the last emission is BIT-IDENTICAL to the batch
+    ``kmv_distinct(everything seen)`` — which is exactly what the
+    differential test asserts. Contrast ``dropDuplicates`` distinct
+    counting, whose state grows with true cardinality and needs a
+    watermark to stay bounded; the sketch needs neither.
+
+    The md5 construction matches the batch operator (Spark's
+    ``conv(substring(md5(cast(u AS STRING)), 1, 14), 16, 10)`` ==
+    ``int(hashlib.md5(str(u).encode()).hexdigest()[:14], 16)``), so the
+    stream, the batch operator, and the DuckDB oracle (q97) all agree on
+    the estimates, not just approximately.
+    """
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    numerator = (k - 1) * (1 << 56)
+    assert numerator < (1 << 63), "estimator numerator must fit BIGINT"
+
+    def update(key, pdf_iter, state):
+        if state.exists:
+            kept, n_batches = list(state.get[0]), int(state.get[1])
+        else:
+            kept, n_batches = [], 0
+        seen = set(kept)
+        for pdf in pdf_iter:
+            for u in pdf["user_id"]:
+                h = int(hashlib.md5(str(int(u)).encode()).hexdigest()[:14], 16)
+                seen.add(h)
+        kept = sorted(seen)[:k]
+        n_batches += 1
+        state.update((kept, n_batches))
+        est = len(kept) if len(kept) < k else numerator // kept[-1]
+        yield pd.DataFrame(
+            [(key[0], n_batches, est)],
+            columns=["event_type", "n_batches", "est_distinct"],
+        )
+
+    return (
+        events.select("event_type", "user_id")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "event_type string, n_batches int, est_distinct long"
+            ),
+            stateStructType="hashes array<long>, n_batches int",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

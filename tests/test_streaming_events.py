@@ -174,3 +174,53 @@ def test_stream_static_enrichment_matches_batch(spark, events_dir):
     assert len(got) == raw.count()
     # left join must have matched every user (user_id 0..149 ⊂ custkeys)
     assert all(name is not None for _, name, _ in got)
+
+
+def test_streaming_kmv_matches_batch_sketch(spark, tmp_path):
+    """Streaming KMV distinct-count over two forced micro-batches: the
+    sketch state (k smallest hashes) carries across batches, and the
+    LAST emission per event type is bit-identical to the batch
+    kmv_distinct over everything streamed — the merge law applied to an
+    unbounded feed."""
+    import os
+
+    from etl_dag_paris_velib_spark.operators.sketch import kmv_distinct
+    from etl_dag_paris_velib_spark.streaming.events import (
+        streaming_distinct_users,
+    )
+
+    d = tmp_path / "events_kmv"
+    d.mkdir()
+    batch = normalize_event_ts(spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
+    for i, half in enumerate(
+        (batch.filter("event_id % 2 = 0"), batch.filter("event_id % 2 = 1"))
+    ):
+        sub = d / f"b{i}"
+        half.coalesce(1).write.parquet(str(sub))
+        (part,) = [f for f in os.listdir(sub) if f.endswith(".parquet")]
+        os.rename(sub / part, d / f"poll_{i}.parquet")
+        shutil.rmtree(sub)
+
+    raw = spark.read.parquet(str(d))
+    stream = spark.readStream.schema(raw.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(d))
+    run_available_now(
+        streaming_distinct_users(stream, k=16), "kmv_out", output_mode="update"
+    )
+    rows = spark.table("kmv_out").collect()
+    last = {}
+    for r in rows:
+        if r.event_type not in last or r.n_batches > last[r.event_type].n_batches:
+            last[r.event_type] = r
+    # both files contain every event type, so state evolved over 2 batches
+    assert all(r.n_batches == 2 for r in last.values()), rows
+
+    want = {
+        r["event_type"]: r["est_distinct"]
+        for r in kmv_distinct(
+            batch.select("event_type", "user_id"), "event_type", "user_id", k=16
+        ).collect()
+    }
+    got = {t: r.est_distinct for t, r in last.items()}
+    assert got == want

@@ -33,6 +33,9 @@ HEADLINE = (
     "q74_correlated_subquery",  # decorrelated scalar subquery
     "q81_srp_lsh_topk",         # hyperplane LSH band join
     "q82_sliding_distinct_users",  # Expand x4 + two-phase distinct
+    "q92_funnel_conversion",    # three chained windows, one user_id exchange
+    "q95_bigram_logprob",       # bigram freq join + vocab broadcast
+    "q97_kmv_sketch_merge",     # bounded-state sketch merge (k rows/group)
     # dedup-stress tier: sf1.0 plants 10-replica near-dup clusters, so
     # CANDIDATE volume grows ~(replicas²)x, not 10x — these rows measure
     # that deliberately superlinear regime, not a plan defect

@@ -87,11 +87,22 @@ def main() -> None:
 
     top = sfs[-1]
     prev = sfs[-2]
+    # TWO full sweeps, elementwise min: this VM shows sustained host
+    # steal-time windows (minutes) under 32-way load that swallow a whole
+    # per-query min-of-2; two sweeps separated by the rest of the suite
+    # rarely both land in one (observed: the same cell 0.2s vs 26s across
+    # back-to-back runs with identical plans).
+    t: dict[tuple[str, str], float] = {}
+    for _ in range(2):
+        for name in names:
+            for sf in sfs:
+                v = run(name, sf)
+                k = (name, sf)
+                t[k] = min(t.get(k, float("inf")), v)
     rows = []
     for name in names:
-        t = {sf: run(name, sf) for sf in sfs}
-        marg = t[top] - t[prev]  # ~cost of the top decade's extra data
-        rows.append((name, [t[sf] for sf in sfs], marg))
+        marg = t[(name, top)] - t[(name, prev)]
+        rows.append((name, [t[(name, sf)] for sf in sfs], marg))
 
     span = f"{int(float(top) / float(sfs[0])):,}x"
     out = [

@@ -97,6 +97,30 @@ def minhash_signature(shingles_col, k: int = 16) -> Column:
 MINHASH_P = 2_147_483_647
 
 
+def shingle_hashes60(shingles_col) -> Column:
+    """Distinct 60-bit md5 hashes of a shingle array (JVM-side, one md5
+    per element — O(m), unlike the O(m·k)/O(m²) lane math that justifies
+    the Arrow UDFs). DuckDB mirror:
+    ``list_distinct(list_transform(s, x ->
+    (('0x' || substr(md5(x), 1, 15))::UBIGINT)::BIGINT))``.
+
+    This is the inverted-index / Jaccard-verify representation: 8-byte
+    longs through the shuffles instead of ~20-byte shingle strings, and —
+    being a pure JVM expression — it is safe inside a persisted plan,
+    where a pandas-UDF column is not (Spark 4.1.2 intermittently fails
+    the SECOND in-memory cache build whose plan carries a Python UDF:
+    [INTERNAL_ERROR] Cannot evaluate expression inside the cache
+    serializer; reproduced in this sandbox on vanilla and tuned sessions
+    alike)."""
+    col = shingles_col if isinstance(shingles_col, Column) else F.col(shingles_col)
+    return F.array_distinct(
+        F.transform(
+            col,
+            lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long"),
+        )
+    )
+
+
 def minhash_signature_int(shingles_col, k: int = 16) -> Column:
     """k-wide integer MinHash signature — the fast variant.
 

@@ -39,7 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles, tokens
+from ..functions.text import shingle_hashes60, shingles, tokens
 from ..functions.udfs import make_minhash_sig_udf, simhash64_udf
 from ..functions.vector import dot, l2_norm
 
@@ -85,6 +85,21 @@ def _shingle_sets(df: DataFrame, id_col: str, text_col: str, shingle_n: int) -> 
     )
 
 
+def _hashed_shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """(id, hs): distinct 60-bit md5 hashes of the n-word shingles — the
+    integer form of :func:`_shingle_sets` the inverted-index operators
+    explode (8-byte longs instead of ~20-byte strings through the index
+    shuffle). Pure JVM expression (functions.text.shingle_hashes60), so
+    it is safe to persist — which a pandas-UDF column is not (Spark
+    4.1.2 cache-build bug, see shingle_hashes60's docstring)."""
+    return _spread(df).select(
+        F.col(id_col).alias("id"),
+        shingle_hashes60(shingles(F.col(text_col), shingle_n)).alias("hs"),
+    )
+
+
 def _bucket_pairs(banded: DataFrame, member: "F.Column") -> DataFrame:
     """(band, band_key, member) -> distinct candidate pairs (id_a < id_b).
 
@@ -126,12 +141,16 @@ def _minhash_candidates(
     shingle_n: int,
     persist_shingles: bool,
 ):
-    """Shared LSH candidate generation: returns (shingle_sets, candidate
-    pairs). Pass ``persist_shingles=True`` only when the CALLER re-consumes
-    the shingle sets (Jaccard verify does; edit-distance verify joins raw
-    text instead) — the signature chain itself reads them once, so
-    persisting for a single consumer would just burn cache (see module
-    docstring for the cache-lifetime contract).
+    """Shared LSH candidate generation: returns (sh, candidate pairs)
+    where ``sh`` is (id, sh strings, hs) — the shingle sets plus their
+    distinct 60-bit JVM-computed md5 hashes. The Jaccard verify runs on
+    ``hs`` (longs) instead of the strings: integer intersects over ~4x
+    smaller arrays, read straight from the persisted projection with no
+    re-evaluation (exactness up to md5 collisions, which the DuckDB
+    oracle reproduces bit-identically). Pass ``persist_shingles=True``
+    only when the CALLER re-consumes ``sh`` (Jaccard verify does;
+    edit-distance verify joins raw text instead — and without the
+    persist, Catalyst prunes the unused hs column entirely).
 
     The candidate-pair set is cached across calls like the verified pairs
     (same semantic-hash key; see minhash_lsh_pairs): the Jaccard family
@@ -152,7 +171,17 @@ def _minhash_candidates(
         )
     except Exception:
         cache_key = None
-    sh = _shingle_sets(df, id_col, text_col, shingle_n)
+    sh = _shingle_sets(df, id_col, text_col, shingle_n).select(
+        "id",
+        "sh",
+        # JVM-side 60-bit hashes INSIDE the (to-be-persisted) projection:
+        # the verify sides then read cached longs with zero re-evaluation,
+        # and no Python UDF ever sits in a cached plan (Spark 4.1.2 fails
+        # the second such cache build — see shingle_hashes60's docstring).
+        # When persist_shingles=False (edit-distance path) Catalyst prunes
+        # the hs column away, so the hashing is free there.
+        shingle_hashes60(F.col("sh")).alias("hs"),
+    )
     if persist_shingles:
         sh = sh.persist()
     if cache_key is not None and cache_key in _PAIR_CACHE:
@@ -160,7 +189,7 @@ def _minhash_candidates(
     # Arrow-vectorized signature (bit-identical to the JVM
     # functions.text.minhash_signature_int; see functions/udfs.py for why
     # the UDF wins here: HOF lambdas are interpreted, k x |shingles| evals)
-    sig = sh.withColumn("sig", make_minhash_sig_udf(k)(F.col("sh")))
+    sig = sh.select("id", make_minhash_sig_udf(k)(F.col("sh")).alias("sig"))
     band_arr = F.array(
         *[
             F.array_join(
@@ -282,11 +311,17 @@ def minhash_lsh_pairs(
         if cache_key is not None and cache_key in _PAIR_CACHE:
             return _PAIR_CACHE[cache_key]
 
-    sh, cand = _minhash_candidates(
+    sigh, cand = _minhash_candidates(
         df, id_col, text_col, k, bands, shingle_n, persist_intermediate
     )
+    sigh = sigh.select("id", "hs")
 
-    sa, sb = sh.alias("sa"), sh.alias("sb")
+    # exact Jaccard on the distinct 60-bit shingle hashes — integer
+    # intersects over ~4x smaller arrays than the shingle strings; equal
+    # to string-set Jaccard up to md5 collisions (~|union|²/2^61 per
+    # pair), which the oracle reproduces bit-identically. hs is a plain
+    # cached column here: no UDF, no re-hash on either join side.
+    sa, sb = sigh.alias("sa"), sigh.alias("sb")
     verified = (
         cand.join(sa, F.col("id_a") == F.col("sa.id"))
         .join(sb, F.col("id_b") == F.col("sb.id"))
@@ -294,8 +329,8 @@ def minhash_lsh_pairs(
             "id_a",
             "id_b",
             (
-                F.size(F.array_intersect("sa.sh", "sb.sh"))
-                / F.size(F.array_union("sa.sh", "sb.sh"))
+                F.size(F.array_intersect("sa.hs", "sb.hs"))
+                / F.size(F.array_union("sa.hs", "sb.hs"))
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -325,8 +360,10 @@ def ngram_jaccard_pairs(
     ground-truth companion to :func:`minhash_lsh_pairs` (used by tests to
     measure LSH recall).
 
-    Not all-pairs: explodes shingles into an inverted index, counts shared
-    shingles per pair with one groupBy, then computes Jaccard from
+    Not all-pairs: explodes the DISTINCT 60-bit shingle hashes into an
+    inverted index (8-byte longs through the index shuffle, not shingle
+    strings — see :func:`_hashed_shingle_sets`), counts shared shingles
+    per pair with one groupBy, then computes Jaccard from
     |A∩B| / (|A| + |B| - |A∩B|). The pair space is bounded by co-occurring
     shingles, not n².
 
@@ -342,11 +379,11 @@ def ngram_jaccard_pairs(
     sub-hub shingle (tests/test_llm_operators.py quantifies this on the
     planted pairs).
     """
-    sh = _shingle_sets(df, id_col, text_col, shingle_n)
+    hsh = _hashed_shingle_sets(df, id_col, text_col, shingle_n)
     if persist_intermediate:
-        sh = sh.persist()  # three consumers: sizes x2 + inverted index
-    sizes = sh.select("id", F.size("sh").alias("n_sh"))
-    inv = sh.select("id", F.explode("sh").alias("s"))
+        hsh = hsh.persist()  # three consumers: sizes x2 + inverted index
+    sizes = hsh.select("id", F.size("hs").alias("n_sh"))
+    inv = hsh.select("id", F.explode("hs").alias("s"))
     if max_df is not None:
         hubs = (
             inv.groupBy("s")
@@ -394,8 +431,9 @@ def containment_pairs(
     corpus curation (same measure as DataSketch's MinHash-LSH-Ensemble
     problem statement, computed exactly here).
 
-    Same inverted-index shape as :func:`ngram_jaccard_pairs` — shingle
-    explode, co-occurrence count, size rejoin — but keeps BOTH directions
+    Same inverted-index shape as :func:`ngram_jaccard_pairs` — hashed
+    shingle explode, co-occurrence count, size rejoin — but keeps BOTH
+    directions
     of every co-occurring pair and divides by the SOURCE side's set size
     only. Shuffles are identical to the Jaccard join (the direction flip
     is a projection, not a new shuffle); ``max_df`` is the same hub-
@@ -403,10 +441,10 @@ def containment_pairs(
     containment ratio to be meaningful (a 1-shingle doc is "contained"
     everywhere its one shingle appears).
     """
-    sh = _shingle_sets(df, id_col, text_col, shingle_n)
-    sh = sh.persist()
-    sizes = sh.select("id", F.size("sh").alias("n_sh"))
-    inv = sh.select("id", F.explode("sh").alias("s"))
+    hsh = _hashed_shingle_sets(df, id_col, text_col, shingle_n)
+    hsh = hsh.persist()
+    sizes = hsh.select("id", F.size("hs").alias("n_sh"))
+    inv = hsh.select("id", F.explode("hs").alias("s"))
     if max_df is not None:
         hubs = (
             inv.groupBy("s")

@@ -181,9 +181,9 @@ WITH RECURSIVE
 pairs AS (
   SELECT id_a, id_b
   FROM cand
-  JOIN sh sa ON sa.doc_id = cand.id_a
-  JOIN sh sb ON sb.doc_id = cand.id_b
-  WHERE len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(sa.s || sb.s)) >= 0.5
+  JOIN hsets sa ON sa.doc_id = cand.id_a
+  JOIN hsets sb ON sb.doc_id = cand.id_b
+  WHERE len(list_intersect(sa.hs, sb.hs))::DOUBLE / len(list_distinct(sa.hs || sb.hs)) >= 0.5
 ),
 edges AS (
   SELECT id_a AS a, id_b AS b FROM pairs

@@ -58,9 +58,12 @@ sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks),
 ms AS (
   SELECT doc_id, s,
          list_transform(s,
+           x -> (('0x' || substr(md5(x), 1, 15))::UBIGINT)::BIGINT) AS hv,
+         list_transform(s,
            x -> (('0x' || substr(md5(x), 1, 15))::UBIGINT % 2147483647)::BIGINT) AS m
   FROM sh
 ),
+hsets AS (SELECT doc_id, list_distinct(hv) AS hs FROM ms),
 sig AS (
   SELECT doc_id,
          list_transform(generate_series(0, 15),
@@ -120,10 +123,10 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_SQL_MINHASH_CAND},
 scored AS (
   SELECT id_a, id_b,
-         len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(sa.s || sb.s)) AS j
+         len(list_intersect(sa.hs, sb.hs))::DOUBLE / len(list_distinct(sa.hs || sb.hs)) AS j
   FROM cand
-  JOIN sh sa ON sa.doc_id = cand.id_a
-  JOIN sh sb ON sb.doc_id = cand.id_b
+  JOIN hsets sa ON sa.doc_id = cand.id_a
+  JOIN hsets sb ON sb.doc_id = cand.id_b
 )
 SELECT id_a, id_b, round(j, 6) AS jaccard FROM scored WHERE j >= 0.5
 """,
@@ -662,8 +665,13 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
 sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks),
-sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
-inv0 AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+hsh AS (
+  SELECT doc_id, list_distinct(list_transform(s,
+           x -> (('0x' || substr(md5(x), 1, 15))::UBIGINT)::BIGINT)) AS hs
+  FROM sh
+),
+sizes AS (SELECT doc_id, len(hs) AS n_sh FROM hsh),
+inv0 AS (SELECT doc_id, unnest(hs) AS tok FROM hsh),
 dfs AS (SELECT tok, count(*) AS df FROM inv0 GROUP BY tok),
 inv AS (SELECT doc_id, tok FROM inv0 JOIN dfs USING (tok) WHERE df <= 5),
 inter AS (
@@ -911,9 +919,9 @@ WITH RECURSIVE
 pairs AS (
   SELECT id_a, id_b
   FROM cand
-  JOIN sh sa ON sa.doc_id = cand.id_a
-  JOIN sh sb ON sb.doc_id = cand.id_b
-  WHERE len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(sa.s || sb.s)) >= 0.5
+  JOIN hsets sa ON sa.doc_id = cand.id_a
+  JOIN hsets sb ON sb.doc_id = cand.id_b
+  WHERE len(list_intersect(sa.hs, sb.hs))::DOUBLE / len(list_distinct(sa.hs || sb.hs)) >= 0.5
 ),
 edges AS (
   SELECT id_a AS a, id_b AS b FROM pairs

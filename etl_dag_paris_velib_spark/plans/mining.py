@@ -235,8 +235,13 @@ sh AS (
            i -> array_to_string(t[i:i+2], ' '))) AS s
   FROM toks
 ),
-sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
-inv AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+hsh AS (
+  SELECT doc_id, list_distinct(list_transform(s,
+           x -> (('0x' || substr(md5(x), 1, 15))::UBIGINT)::BIGINT)) AS hs
+  FROM sh
+),
+sizes AS (SELECT doc_id, len(hs) AS n_sh FROM hsh),
+inv AS (SELECT doc_id, unnest(hs) AS tok FROM hsh),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
   FROM inv a JOIN inv b ON a.tok = b.tok AND a.doc_id < b.doc_id
@@ -258,9 +263,14 @@ SELECT src_id, dst_id, round(c, 6) AS containment FROM scored WHERE c >= 0.8
     "shingles (operators/similarity.py:containment_pairs): finds a "
     "document mostly CONTAINED in another — quotes, boilerplate "
     "wrappers, supersets — which symmetric Jaccard (q35) scores near "
-    "zero when lengths differ 100x. Same inverted-index plan as q35 "
-    "(the direction flip is a projection, not a shuffle); min 5 "
-    "shingles on the source side keeps the ratio meaningful.",
+    "zero when lengths differ 100x. Same hashed inverted-index plan as "
+    "q35 (the direction flip is a projection, not a shuffle); min 5 "
+    "shingles on the source side keeps the ratio meaningful. Scale "
+    "note: candidate volume is the co-occurrence pair count, so the "
+    "sf1.0 replica (10x planted near-dup clusters) grows it ~100x by "
+    "construction — the dedup-stress regime (SCALING.md); the operator's "
+    "max_df hub guard is the valve for true boilerplate hubs, left off "
+    "here because pruning also lower-bounds the containment ratio.",
     tags=("dedup", "containment", "llm"),
 )
 def q93(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -58,6 +58,25 @@ def test_minhash_udf_matches_jvm(spark):
     assert both.filter(F.col("jvm") != F.col("udf")).count() == 0
 
 
+def test_shingle_hashes60_matches_hashlib(spark):
+    """The JVM 60-bit shingle-hash expression (the persisted verify /
+    inverted-index representation) equals the python md5 reference the
+    Arrow UDFs and DuckDB oracles share."""
+    import hashlib
+
+    from etl_dag_paris_velib_spark.functions.text import shingle_hashes60
+
+    rows = _docs(spark, 40).select(
+        "doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("sh")
+    ).select("sh", shingle_hashes60(F.col("sh")).alias("hs")).collect()
+    assert rows
+    for r in rows:
+        want = list(dict.fromkeys(
+            int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in r["sh"]
+        ))
+        assert r["hs"] == want
+
+
 def test_simhash_udf_matches_jvm(spark):
     t = _docs(spark, 60).select(tokens(F.col("text")).alias("t"))
     both = t.select(

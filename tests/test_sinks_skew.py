@@ -56,3 +56,61 @@ def test_orc_export_round_trips_natively(spark, tmp_path):
     back = spark.read.orc(p)
     assert back.schema == src.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The third skew tool next to salting (operators/skew.py) and
+    bucketing (test_bucketing.py): AQE's runtime skew-join split. With
+    the thresholds scaled down to testdata size, a join where one key
+    holds ~95% of the rows must show SortMergeJoin(skew=true) in the
+    FINAL adaptive plan — Spark re-planned the hot partition into
+    sub-splits at runtime, no code change needed. This is the default
+    answer at 100 TB when the skew is not known ahead of time (salting
+    is for when it is)."""
+    import re
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        # force a shuffle join: broadcasting the small side would dodge
+        # the skew instead of demonstrating the split
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 300_000).select(
+            F.when(F.col("id") < 285_000, F.lit(0))
+            .otherwise((F.col("id") % 64) + 1)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(65).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        # global aggregate above the join: a groupBy on the join key would
+        # legally block the split (it requires the unsplit hash
+        # distribution), which is itself part of the lesson
+        # sum(v) keeps the unique-valued column through the shuffle: with
+        # only the constant key surviving column pruning, the hot
+        # partition lz4-compresses below any detection threshold
+        joined = left.join(right, "k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+        )
+        [row] = joined.collect()
+        assert row["n"] == 300_000  # correctness unaffected by the split
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"SortMergeJoin.*skew=true", plan) or "skew=true" in plan, (
+            plan[:2000]
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

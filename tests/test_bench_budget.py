@@ -48,3 +48,32 @@ def test_bench_sf001_within_budget():
         f"bench regressions (reproduced on retry): "
         f"{parsed.get('regressions')}\n{proc.stderr[-2000:]}"
     )
+
+
+def test_bench_json_line_fits_driver_tail_window():
+    """The external harness keeps only a bounded tail (observed: 2000
+    chars) of bench.py's output and parses the last line as JSON —
+    BENCH_r03 came back parsed:null when the per-query map outgrew that
+    window. Rebuild the line exactly as bench.py prints it, from the
+    full current registry, and require comfortable headroom."""
+    sys.path.insert(0, ROOT)
+    import __spark_entry__ as entrymod
+
+    names = sorted(entrymod.queries())
+    short = {n.split("_", 1)[0]: 999.99 for n in names}
+    assert len(short) == len(names), "short query keys must stay unique"
+    line = json.dumps(
+        {
+            "metric": "suite_seconds",
+            "value": 99999.999,
+            "unit": "sec",
+            "queries": short,
+            "sf": 0.1,
+            "regressions": sorted(names[:5]),
+        }
+    )
+    assert len(line) <= 1800, (
+        f"bench JSON line is {len(line)} chars — the driver's ~2000-char "
+        "tail window will truncate it (BENCH_r03 failure mode); shorten "
+        "the keys or drop a field"
+    )

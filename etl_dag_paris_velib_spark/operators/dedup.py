@@ -82,8 +82,17 @@ def exact_dedup(
 #: re-running the fixpoint.
 from collections import OrderedDict
 
+from ..cacheutil import register_cache_clearer, session_token
+
 _CC_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
 _CC_CACHE_MAX = 8
+
+
+@register_cache_clearer
+def clear_cc_cache() -> None:
+    """Drop every cached component map (entries are localCheckpoint-backed,
+    so dropping the reference releases them; cold-path measurement)."""
+    _CC_CACHE.clear()
 
 
 def near_dup_components(
@@ -119,7 +128,7 @@ def near_dup_components(
     try:
         cache_key = (
             "cc",
-            id(pairs.sparkSession),
+            session_token(pairs.sparkSession),
             pairs.semanticHash(),
             id_a,
             id_b,

@@ -50,6 +50,8 @@ from ..functions.vector import dot, l2_norm
 
 from collections import OrderedDict
 
+from ..cacheutil import register_cache_clearer, session_token
+
 #: bounded LRU of persisted verified-pair DataFrames (see
 #: minhash_lsh_pairs); one entry per (session, input-plan, params)
 _PAIR_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
@@ -57,6 +59,17 @@ _PAIR_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
 # entries per sf_dir, and diffcheck interleaves two sf_dirs) never evicts an
 # entry that a later query in the same sweep will re-request.
 _PAIR_CACHE_MAX = 8
+
+
+@register_cache_clearer
+def clear_pair_cache() -> None:
+    """Unpersist and drop every cached pair set (cold-path measurement)."""
+    while _PAIR_CACHE:
+        _, old = _PAIR_CACHE.popitem(last=False)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -161,7 +174,7 @@ def _minhash_candidates(
     try:
         cache_key = (
             "cand",
-            id(df.sparkSession),
+            session_token(df.sparkSession),
             df.semanticHash(),
             id_col,
             text_col,
@@ -297,7 +310,7 @@ def minhash_lsh_pairs(
         # LRU; evicted entries are unpersisted.
         try:
             cache_key = (
-                id(df.sparkSession),
+                session_token(df.sparkSession),
                 df.semanticHash(),
                 id_col,
                 text_col,
@@ -422,6 +435,7 @@ def containment_pairs(
     threshold: float = 0.8,
     min_shingles: int = 5,
     max_df: int | None = None,
+    persist_intermediate: bool = True,
 ) -> DataFrame:
     """Asymmetric shingle-containment join: directed pairs where
     ``|A ∩ B| / |A| >= threshold`` — document A is (mostly) contained in
@@ -442,7 +456,12 @@ def containment_pairs(
     everywhere its one shingle appears).
     """
     hsh = _hashed_shingle_sets(df, id_col, text_col, shingle_n)
-    hsh = hsh.persist()
+    if persist_intermediate:
+        # same opt-out contract as ngram_jaccard_pairs: hsh feeds two
+        # consumers (sizes + inverted index); callers that run this in a
+        # loop (bench re-times) pass False to avoid accumulating block-
+        # manager entries across invocations.
+        hsh = hsh.persist()
     sizes = hsh.select("id", F.size("hs").alias("n_sh"))
     inv = hsh.select("id", F.explode("hs").alias("s"))
     if max_df is not None:

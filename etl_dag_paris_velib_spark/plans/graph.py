@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..cacheutil import register_cache_clearer, session_token
 from ..sources.tpch import load_table
 from .spec import Registry
 
@@ -51,10 +52,23 @@ _EDGE_CACHE: "OrderedDict[tuple, tuple[DataFrame, DataFrame, int]]" = OrderedDic
 _EDGE_CACHE_MAX = 4
 
 
+@register_cache_clearer
+def clear_edge_cache() -> None:
+    """Unpersist and drop every cached co-supply graph (cold-path
+    measurement)."""
+    while _EDGE_CACHE:
+        _, (e_old, d_old, _n) = _EDGE_CACHE.popitem(last=False)
+        try:
+            e_old.unpersist()
+            d_old.unpersist()
+        except Exception:
+            pass
+
+
 def _cosupply_graph(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, int]:
-    key = (id(spark), os.path.abspath(sf_dir))
+    key = (session_token(spark), os.path.abspath(sf_dir))
     hit = _EDGE_CACHE.get(key)
     if hit is not None:
         return hit

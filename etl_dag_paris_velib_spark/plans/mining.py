@@ -157,10 +157,10 @@ SELECT (SELECT count(DISTINCT user_id) FROM events)::BIGINT AS n_users,
        (SELECT count(*) FROM u1)::BIGINT AS n_view,
        (SELECT count(*) FROM u2)::BIGINT AS n_click_after_view,
        (SELECT count(*) FROM u3)::BIGINT AS n_purchase_after_click,
-       round((SELECT count(*) FROM u2) * 1.0 / (SELECT count(*) FROM u1), 6)
-         AS click_rate,
-       round((SELECT count(*) FROM u3) * 1.0 / (SELECT count(*) FROM u2), 6)
-         AS purchase_rate
+       round((SELECT count(*) FROM u2) * 1.0
+             / nullif((SELECT count(*) FROM u1), 0), 6) AS click_rate,
+       round((SELECT count(*) FROM u3) * 1.0
+             / nullif((SELECT count(*) FROM u2), 0), 6) AS purchase_rate
 """,
     doc="Ordered funnel: users who viewed, then clicked AFTER their first "
     "view, then purchased AFTER that click — strict event-order chaining, "
@@ -212,9 +212,17 @@ def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_view",
         "n_click_after_view",
         "n_purchase_after_click",
-        F.round(F.col("n_click_after_view") / F.col("n_view"), 6).alias("click_rate"),
+        # try_divide, not /: under ANSI mode an empty funnel stage would
+        # raise DIVIDE_BY_ZERO at runtime while the oracle's NULLIF yields
+        # NULL — both engines now agree on NULL for a zero denominator.
         F.round(
-            F.col("n_purchase_after_click") / F.col("n_click_after_view"), 6
+            F.try_divide(F.col("n_click_after_view"), F.col("n_view")), 6
+        ).alias("click_rate"),
+        F.round(
+            F.try_divide(
+                F.col("n_purchase_after_click"), F.col("n_click_after_view")
+            ),
+            6,
         ).alias("purchase_rate"),
     )
 

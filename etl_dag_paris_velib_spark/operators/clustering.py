@@ -1,24 +1,31 @@
 """Embedding clustering: distributed Lloyd's k-means.
 
 The missing step between raw embeddings and the IVF index
-(operators/similarity.py:ivf_topk uses deterministic id-picked centroids;
-this produces TRAINED ones for the same dataflow), and the standard
-corpus-organization pass (topic bucketing, dedup blocking, data mixing).
+(operators/similarity.py:ivf_topk uses deterministic id-picked centroids
+by default; this produces TRAINED ones for the same dataflow — see
+:func:`kmeans_centroids`, which plugs straight into
+``ivf_topk(centroids=...)``), and the standard corpus-organization pass
+(topic bucketing, dedup blocking, data mixing).
 
 Execution model — the canonical iterative-ML shape on Spark:
 - the MODEL (C x dim centroids) lives on the driver and is broadcast each
   round; the DATA never leaves executors;
-- assignment = broadcast cross join + per-row argmin (one pass, no
-  shuffle beyond the tiny window on vec_id);
-- update = posexplode to (cluster, dim, value) + groupBy mean — one
-  map-side-combined shuffle of C x dim cells;
+- each round is ONE ``mapInPandas`` pass emitting per-batch sufficient
+  statistics (cluster count + vector sum), merged on the driver — the
+  map-side-combine formulation of the centroid update;
 - iterations are a driver loop over lazy plans, exactly like
   near_dup_components (operators/dedup.py).
 
-Determinism: centroid seeds are id-picked (vec_id %% seed_mod == 0), ties
-break to the lowest centroid id, so repeated runs agree bit-for-bit on
-assignments (floating-point summation order can differ across
-partitionings only in the last ulp of the means).
+Determinism: centroid seeds are id-picked (vec_id %% seed_mod == 0, id
+below the ``seed_cap`` bound), ties break to the lowest centroid id, so
+repeated runs agree bit-for-bit on assignments (floating-point summation
+order can differ across partitionings only in the last ulp of the means).
+
+Scale: every piece of driver state is O(seed_cap * dim) — the seed
+collect is bounded by ``seed_cap`` REGARDLESS of corpus size (without the
+bound, ``vec_id % seed_mod == 0`` selects n/seed_mod vectors: 2% of a
+100 TB corpus on the driver). A real index has a fixed codebook; the cap
+keeps that property while staying deterministic.
 """
 
 from __future__ import annotations
@@ -28,27 +35,36 @@ from pyspark.sql import functions as F
 
 from .similarity import _as_double
 
+#: default max codebook size: bounds every driver-side structure at
+#: O(seed_cap * dim) independent of corpus size. Not binding below
+#: seed_mod * seed_cap rows of dense ids (sf0.1's 5k embeddings use all
+#: 100 seeds); a 100 TB corpus trains on the first seed_cap seeds only.
+DEFAULT_SEED_CAP = 256
 
-def embedding_kmeans(
-    embeddings: DataFrame,
-    seed_mod: int = 50,
-    iterations: int = 3,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Lloyd's k-means (squared-L2) with deterministic id-picked seeds.
 
-    Returns the assignment table (vec_id, c_id, dist_sq) after
-    ``iterations`` rounds. Cluster ids are the 0-based ordinal of the seed
-    vectors in ascending vec_id order.
+def _seed_filter(seed_mod: int, seed_cap: int | None, id_col: str = "vec_id"):
+    cond = F.col(id_col) % seed_mod == 0
+    if seed_cap is not None:
+        cond = cond & (F.col(id_col) < seed_mod * seed_cap)
+    return cond
 
-    Each round is ONE ``mapInPandas`` pass emitting per-batch sufficient
-    statistics (cluster count + vector sum — C x (dim+1) doubles per
-    batch); the driver merges those into new centroids. That is the
-    map-side-combine formulation: nothing wider than the model ever
-    leaves an executor, and the distance kernel is a numpy GEMM instead
-    of an interpreted array fold (~5x faster measured at sf0.1).
-    """
+
+def _dists(block, c):
+    """||v - c||^2 for every (row, centroid) pair — one GEMM per batch;
+    clamp: cancellation can yield -1e-16 for a vector AT its centroid."""
+    import numpy as np
+
+    d = (
+        (block * block).sum(axis=1)[:, None]
+        - 2.0 * (block @ c.T)
+        + (c * c).sum(axis=1)[None, :]
+    )
+    return np.maximum(d, 0.0, out=d)
+
+
+def _train(base: DataFrame, seed_mod: int, seed_cap: int | None, iterations: int):
+    """Run the Lloyd loop over a persisted (vec_id, v) frame; returns the
+    final (C x dim) numpy centroid matrix. Driver state is O(C * dim)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
@@ -59,18 +75,15 @@ def embedding_kmeans(
         StructType,
     )
 
-    spark = embeddings.sparkSession
-    # persisted for iterations+1 passes; stays cached for the returned
-    # (lazy) assignment DataFrame — same cache-lifetime contract as
-    # operators.similarity (see that module docstring)
-    base = _as_double(embeddings, id_col, vec_col).select("vec_id", "v").persist()
-
-    seeds = base.filter(F.col("vec_id") % seed_mod == 0).orderBy("vec_id").collect()
+    spark = base.sparkSession
+    seeds = (
+        base.filter(_seed_filter(seed_mod, seed_cap)).orderBy("vec_id").collect()
+    )
     if not seeds:
         base.unpersist()
         raise ValueError(
-            f"no seed vectors: no {id_col} is divisible by seed_mod={seed_mod} "
-            "— lower seed_mod or supply ids that cover it"
+            f"no seed vectors: no vec_id satisfies % {seed_mod} == 0 under "
+            f"seed_cap={seed_cap} — lower seed_mod / raise the cap"
         )
     cents = np.array([r["v"] for r in seeds], dtype=np.float64)
 
@@ -81,16 +94,6 @@ def embedding_kmeans(
             StructField("vsum", ArrayType(DoubleType())),
         ]
     )
-
-    def _dists(block: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
-        # ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2, one GEMM per batch;
-        # clamp: cancellation can yield -1e-16 for a vector AT its centroid
-        d = (
-            (block * block).sum(axis=1)[:, None]
-            - 2.0 * (block @ c.T)
-            + (c * c).sum(axis=1)[None, :]
-        )
-        return np.maximum(d, 0.0, out=d)
 
     for _ in range(iterations):
         bc = spark.sparkContext.broadcast(cents)
@@ -117,6 +120,42 @@ def embedding_kmeans(
             sums[r["c_id"]] += np.array(r["vsum"])
         nonempty = counts > 0  # empty clusters keep their previous centroid
         cents[nonempty] = sums[nonempty] / counts[nonempty][:, None]
+    return cents
+
+
+def embedding_kmeans(
+    embeddings: DataFrame,
+    seed_mod: int = 50,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_cap: int | None = DEFAULT_SEED_CAP,
+) -> DataFrame:
+    """Lloyd's k-means (squared-L2) with deterministic id-picked seeds.
+
+    Returns the assignment table (vec_id, c_id, dist_sq) after
+    ``iterations`` rounds. Cluster ids are the 0-based ordinal of the seed
+    vectors in ascending vec_id order. ``seed_cap`` bounds the codebook
+    (and so every driver-side collect/broadcast) at O(seed_cap * dim)
+    regardless of corpus size; pass ``None`` to disable the bound.
+
+    Each round is ONE ``mapInPandas`` pass emitting per-batch sufficient
+    statistics (cluster count + vector sum — C x (dim+1) doubles per
+    batch); the driver merges those into new centroids. That is the
+    map-side-combine formulation: nothing wider than the model ever
+    leaves an executor, and the distance kernel is a numpy GEMM instead
+    of an interpreted array fold (~5x faster measured at sf0.1).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    spark = embeddings.sparkSession
+    # persisted for iterations+1 passes; stays cached for the returned
+    # (lazy) assignment DataFrame — same cache-lifetime contract as
+    # operators.similarity (see that module docstring)
+    base = _as_double(embeddings, id_col, vec_col).select("vec_id", "v").persist()
+    cents = _train(base, seed_mod, seed_cap, iterations)
 
     bc_final = spark.sparkContext.broadcast(cents)
     out_schema = StructType(
@@ -144,6 +183,37 @@ def embedding_kmeans(
             )
 
     return base.mapInPandas(final_assign, out_schema)
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    seed_mod: int = 50,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_cap: int | None = DEFAULT_SEED_CAP,
+) -> DataFrame:
+    """Train the same Lloyd loop and return the CODEBOOK as a (c_id, cv)
+    DataFrame — the bridge into :func:`~..operators.similarity.ivf_topk`'s
+    ``centroids`` parameter, turning the id-picked demo codebook into a
+    trained IVF index over the identical dataflow:
+
+        ivf_topk(emb, qs, centroids=kmeans_centroids(emb))
+
+    The codebook is O(seed_cap * dim) rows built driver-side by design
+    (the model IS driver state in the broadcast-model execution shape);
+    the returned frame is what ivf_topk broadcasts.
+    """
+    spark = embeddings.sparkSession
+    base = _as_double(embeddings, id_col, vec_col).select("vec_id", "v").persist()
+    try:
+        cents = _train(base, seed_mod, seed_cap, iterations)
+    finally:
+        base.unpersist()
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "c_id long, cv array<double>",
+    )
 
 
 def kmeans_summary(assignments: DataFrame) -> DataFrame:

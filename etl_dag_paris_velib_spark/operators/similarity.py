@@ -648,12 +648,17 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_cap: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF coarse quantization.
 
-    Deterministic centroid choice (every ``centroid_mod``-th vector by id)
-    keeps the operator oracle-checkable; a production build would plug in
-    k-means centroids without changing the dataflow. Steps:
+    The default centroid choice (every ``centroid_mod``-th vector by id)
+    is deterministic so the operator stays oracle-checkable; pass
+    ``centroids`` — a (c_id, cv array<double>) frame, e.g. from
+    ``operators.clustering.kmeans_centroids`` — to run the same dataflow
+    on a TRAINED codebook (the production IVF path; recall on clustered
+    corpora is at least the id-picked codebook's,
+    tests/test_clustering.py quantifies it). Steps:
 
     1. assign: every vector joins the broadcast centroid set, keeps its
        nearest centroid (one pass, no shuffle beyond the window on vec_id);
@@ -663,18 +668,26 @@ def ivf_topk(
        partitioned by centroid and the probe prunes partitions.
     """
     base = _as_double(embeddings, id_col, vec_col)
-    # ``centroid_cap`` bounds the CODEBOOK SIZE independently of corpus
-    # size (ids above the cap never become centroids). Without it the
-    # modulus selection grows the codebook linearly with n and the
-    # assign pass degrades to O(n²/mod) — a real IVF index has a fixed
-    # codebook (k-means, trained once), and this keeps that property
-    # while staying deterministic/oracle-checkable.
-    is_cent = F.col("vec_id") % centroid_mod == 0
-    if centroid_cap is not None:
-        is_cent = is_cent & (F.col("vec_id") < centroid_cap)
-    cents = base.filter(is_cent).select(
-        F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("nv").alias("cn")
-    )
+    if centroids is not None:
+        cv = F.col("cv").cast("array<double>")
+        cents = centroids.select(
+            F.col("c_id"), cv.alias("cv"), l2_norm(cv).alias("cn")
+        )
+    else:
+        # ``centroid_cap`` bounds the CODEBOOK SIZE independently of corpus
+        # size (ids above the cap never become centroids). Without it the
+        # modulus selection grows the codebook linearly with n and the
+        # assign pass degrades to O(n²/mod) — a real IVF index has a fixed
+        # codebook (k-means, trained once — the ``centroids`` path), and
+        # this keeps that property while staying deterministic.
+        is_cent = F.col("vec_id") % centroid_mod == 0
+        if centroid_cap is not None:
+            is_cent = is_cent & (F.col("vec_id") < centroid_cap)
+        cents = base.filter(is_cent).select(
+            F.col("vec_id").alias("c_id"),
+            F.col("v").alias("cv"),
+            F.col("nv").alias("cn"),
+        )
 
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("c_id"))
     assigned = (

@@ -13,8 +13,11 @@ from __future__ import annotations
 
 import numpy as np
 
+from pyspark.sql import functions as F
+
 from etl_dag_paris_velib_spark.operators.clustering import (
     embedding_kmeans,
+    kmeans_centroids,
     kmeans_summary,
 )
 from tests.conftest import SF_SMOKE
@@ -71,3 +74,68 @@ def test_kmeans_matches_numpy(spark):
     assert sum(sizes.values()) == n
     for c in np_sizes:
         assert abs(sizes[c] - np_sizes[c]) <= max(3, 0.1 * np_sizes[c]), c
+
+
+def test_seed_cap_not_binding_is_identity(spark):
+    """The default seed_cap (256 seeds) must not change results where it
+    doesn't bind: sf0.001's 500 embeddings yield 10 seeds either way."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    capped = {(r.vec_id, r.c_id) for r in embedding_kmeans(emb).collect()}
+    uncapped = {
+        (r.vec_id, r.c_id)
+        for r in embedding_kmeans(emb, seed_cap=None).collect()
+    }
+    assert capped == uncapped
+
+
+def test_seed_cap_bounds_codebook(spark):
+    """A binding cap keeps the codebook (= the driver collect) at
+    O(seed_cap) rows regardless of how many ids pass the modulus."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    # seed_mod=10 selects 50 of the 500 ids; cap at 5 → ids {0,10,...,40}
+    assigned = embedding_kmeans(emb, seed_mod=10, seed_cap=5)
+    assert assigned.select("c_id").distinct().count() <= 5
+    assert assigned.count() == 500  # every vector still assigned
+    cb = kmeans_centroids(emb, seed_mod=10, seed_cap=5)
+    assert cb.count() == 5
+
+
+def test_trained_centroids_feed_ivf(spark):
+    """kmeans_centroids -> ivf_topk(centroids=...) is the production ANN
+    composition: on a CLUSTERED corpus the trained codebook's recall is at
+    least the id-picked one's (id-picked seeds land wherever the id layout
+    happens to put them; Lloyd's rounds move them to cluster centers)."""
+    import numpy as np
+
+    from etl_dag_paris_velib_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        make_query_set,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(5, 16)) * 10.0
+    rows = []
+    for i in range(400):
+        c = i % 5  # cluster ids interleave, so id-modulus seeds oversample
+        rows.append((i, (centers[c] + rng.normal(size=16)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = make_query_set(emb, F.col("vec_id") < 10)
+    exact = {(r.q_id, r.vec_id) for r in brute_force_topk(emb, qs, k=10).collect()}
+
+    def recall(res):
+        got = {(r.q_id, r.vec_id) for r in res.collect()}
+        return len(got & exact) / len(exact)
+
+    id_picked = recall(ivf_topk(emb, qs, k=10, centroid_mod=50, nprobe=2))
+    trained = recall(
+        ivf_topk(
+            emb,
+            qs,
+            k=10,
+            nprobe=2,
+            centroids=kmeans_centroids(emb, seed_mod=50, iterations=3),
+        )
+    )
+    assert trained >= id_picked
+    assert trained >= 0.5

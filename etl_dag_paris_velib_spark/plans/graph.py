@@ -195,6 +195,73 @@ LIMIT 20
 """
 
 
+def _pr_step(
+    edges: DataFrame,
+    deg: DataFrame,
+    rank: DataFrame,
+    teleport,
+    damping: float = 0.85,
+) -> DataFrame:
+    """One power iteration: rank' = teleport + d * sum(in-share). Shared
+    by the unrolled q86 plan and the convergence-stopped :func:`pagerank`.
+    On a symmetric graph every node has out-degree >= 1, so no
+    dangling-mass term; the edge join shuffles on src and AQE reuses the
+    partitioning across iterations."""
+    contrib = (
+        edges.join(rank.withColumnRenamed("src", "node"), F.col("node") == edges.src)
+        .join(deg, "src")
+        .select("dst", (F.col("rank") / F.col("degree")).alias("share"))
+    )
+    return (
+        contrib.groupBy("dst")
+        .agg((teleport + F.lit(damping) * F.sum("share")).alias("rank"))
+        .withColumnRenamed("dst", "src")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    deg: DataFrame,
+    n_nodes: int,
+    damping: float = 0.85,
+    max_iterations: int = 20,
+    tol: float = 1e-9,
+) -> tuple[DataFrame, int]:
+    """Arbitrary-k PageRank with a convergence stop — the driver-loop
+    variant of q86's two unrolled iterations (same join+agg body via
+    :func:`_pr_step`), in the operators/dedup.py CC-fixpoint idiom:
+    persist the new rank vector each round, compute the L1 rank delta
+    (one bounded aggregation → a single driver scalar), unpersist the
+    previous round, stop when delta < ``tol`` or after
+    ``max_iterations``.
+
+    Returns ``(rank, iterations_run)``; ``rank`` is left persisted for
+    the caller (unpersist when done). Rank state is one double per node;
+    nothing graph-shaped ever reaches the driver. ``tol=0.0`` never
+    converges early, giving exactly ``max_iterations`` rounds — the
+    differential handle tests use to pin this against the unrolled q86
+    at k=2 (tests/test_graph.py).
+    """
+    teleport = F.lit((1.0 - damping) / n_nodes)
+    rank = deg.select("src", F.lit(1.0 / n_nodes).alias("rank")).persist()
+    iterations_run = 0
+    for _ in range(max_iterations):
+        new_rank = _pr_step(edges, deg, rank, teleport, damping).persist()
+        delta_row = (
+            new_rank.alias("n")
+            .join(rank.alias("o"), "src")
+            .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("d"))
+            .collect()[0]
+        )
+        rank.unpersist()
+        rank = new_rank
+        iterations_run += 1
+        delta = delta_row["d"]
+        if delta is not None and delta < tol:
+            break
+    return rank, iterations_run
+
+
 @G.add(
     "q86_supplier_pagerank",
     oracle=_PR_ORACLE,
@@ -221,18 +288,7 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
     teleport = F.lit(0.15 / n_nodes)
 
     rank = deg.select("src", F.lit(1.0 / n_nodes).alias("rank"))
-
-    def step(r: DataFrame) -> DataFrame:
-        contrib = (
-            edges.join(r.withColumnRenamed("src", "node"), F.col("node") == edges.src)
-            .join(deg, "src")
-            .select("dst", (F.col("rank") / F.col("degree")).alias("share"))
-        )
-        return contrib.groupBy("dst").agg(
-            (teleport + F.lit(0.85) * F.sum("share")).alias("rank")
-        ).withColumnRenamed("dst", "src")
-
-    r2 = step(step(rank))
+    r2 = _pr_step(edges, deg, _pr_step(edges, deg, rank, teleport), teleport)
     return (
         r2.select(F.col("src").alias("s_suppkey"), F.round("rank", 9).alias("rank"))
         .orderBy(F.desc("rank"), "s_suppkey")

@@ -89,3 +89,42 @@ def test_copurchase_pairs_are_ordered_and_positive(spark):
     assert all(r["part_a"] < r["part_b"] and r["n_orders"] >= 1 for r in rows)
     counts = [r["n_orders"] for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_pagerank_k2_matches_unrolled_q86(spark):
+    """pagerank(tol=0, max_iterations=2) must reproduce the unrolled q86
+    ranks exactly — same _pr_step body, driver-loop vs static plan."""
+    from etl_dag_paris_velib_spark.plans.graph import pagerank
+
+    edges, deg, n_nodes = _cosupply_graph(spark, SF_SMOKE)
+    rank, rounds = pagerank(edges, deg, n_nodes, max_iterations=2, tol=0.0)
+    assert rounds == 2
+    looped = {r.src: r.rank for r in rank.collect()}
+    rank.unpersist()
+    q86 = entrymod.queries()["q86_supplier_pagerank"](spark, SF_SMOKE).collect()
+    assert q86, "q86 should rank suppliers at smoke scale"
+    for r in q86:  # q86 rounds to 9dp for the oracle; compare at that grain
+        assert abs(looped[r.s_suppkey] - r.rank) < 5e-10, r.s_suppkey
+
+
+def test_pagerank_converges_and_conserves_mass(spark):
+    from etl_dag_paris_velib_spark.plans.graph import pagerank
+
+    edges, deg, n_nodes = _cosupply_graph(spark, SF_SMOKE)
+    rank, rounds = pagerank(edges, deg, n_nodes, max_iterations=50, tol=1e-10)
+    assert rounds < 50, "tolerance stop never fired"
+    total = rank.agg(F.sum("rank").alias("m")).collect()[0]["m"]
+    # on a symmetric graph with no dangling nodes rank mass is conserved
+    assert abs(total - 1.0) < 1e-6
+    # converged means one more step moves ranks by less than tol
+    from etl_dag_paris_velib_spark.plans.graph import _pr_step
+
+    stepped = _pr_step(edges, deg, rank, F.lit(0.15 / n_nodes))
+    delta = (
+        stepped.alias("n")
+        .join(rank.alias("o"), "src")
+        .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("d"))
+        .collect()[0]["d"]
+    )
+    rank.unpersist()
+    assert delta < 1e-10

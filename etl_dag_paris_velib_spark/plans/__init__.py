@@ -9,9 +9,11 @@ from __future__ import annotations
 from .curation import C as _curation
 from .graph import G as _graph
 from .llm import L as _llm
+from .media import MD as _media
 from .mining import M as _mining
 from .relational import R as _relational
 from .spec import QuerySpec, Registry
+from .sqltext import S as _sqltext
 from .temporal import T as _temporal
 
 REGISTRY = Registry()
@@ -21,89 +23,85 @@ REGISTRY.merge(_temporal)
 REGISTRY.merge(_curation)
 REGISTRY.merge(_graph)
 REGISTRY.merge(_mining)
+REGISTRY.merge(_media)
+REGISTRY.merge(_sqltext)
 
-# The external correctness harness walks queries() in insertion order with a
-# ~50-query budget (CORRECTNESS_r03: exactly the first 50 entries — all of
-# relational+llm — got rows; temporal+curation got none). Rotate: demote
-# queries that are already driver-green in CORRECTNESS_r03.json (each stays
-# oracle-checked every pytest run via tests/test_demoted_parity.py) so every
-# never-driver-checked spec — the whole temporal/curation surface, the
-# round-3 tail (q66-q73), and the round-4 additions (q74-q82) — sits inside
-# the 50-entry checked window, plus 16 still-in-window green anchors
-# (q01 flagship, q43 whose oracle changed this round, one representative
-# per operator family).
+# The external correctness harness walks queries() in insertion order with
+# a ~50-query budget (CORRECTNESS_r03/r04: exactly the first 50 entries got
+# rows). DEMOTED rotates specs out of that window; everything demoted stays
+# oracle-checked on every pytest run at the driver's own sf=0.01 operating
+# point (tests/test_demoted_parity.py — the identical rows+schema+hash
+# comparison).
+#
+# Round-5 window policy (the round-4 verdict's #1 ask): every spec whose
+# CODE changed since its last driver row gets a fresh one, and the r03-era
+# greens rotate back in so no spec's driver evidence is more than two
+# rounds older than its code. In-window (the 50 NOT listed below):
+# - q01 flagship; q98/q99/q100 (new this round: real-decode multimodal,
+#   two shared-text SQL specs);
+# - the six specs modified in r04 after their r03 rows (q21/q28/q35/q42/
+#   q46/q52) plus the five touched THIS round (q29 ivf centroids param,
+#   q48 seed_cap, q86 _pr_step refactor, q92 try_divide, q93 persist
+#   opt-out);
+# - 35 of the 40 r03-era greens (all except the five below).
+# Demoted: the 46 unmodified r04-green specs plus five r03-era greens
+# whose marginal driver value is lowest — q11b/q45 are tolerance-flag
+# forms (the exact-value twins q11/q38 are in-window) and q36/q40/q47 are
+# compositions of operator families that keep in-window representatives.
 DEMOTED = (
-    "q02_forecast_revenue",
-    "q06_latest_order_per_customer",
-    "q07_running_total",
-    "q08_event_gaps",
-    "q09_status_priority_rollup",
-    "q10_events_cube",
-    "q12_set_ops",
-    "q13_hourly_events",
-    "q14_event_pivot",
-    "q16_topk_per_group",
-    "q18_scalar_functions",
-    "q19_brand_revenue",
-    "q24_full_outer",
-    "q32_filename_parse",
-    "q34_right_outer",
-    "q39_grouping_sets",
-    "q11_distinct_customers",
-    "q38_value_percentiles",
+    # r04-green, code unchanged since their fresh r04 rows
+    "q43_sessionize_events",
+    "q49_range_join_pairs",
+    "q50_gapfill_rollup",
+    "q51_countmin_heavy_hitters",
+    "q53_bloom_semi_join",
+    "q54_repetition_signals",
+    "q55_decontamination",
+    "q56_canonical_docs",
+    "q57_quantized_embeddings",
+    "q58_mixture_weights",
+    "q59_sequence_packing",
+    "q60_rolling_range_frame",
+    "q61_source_overlap",
+    "q62_boilerplate_chunks",
+    "q63_quality_selection",
+    "q64_split_assignment",
+    "q65_repeated_spans",
+    "q66_unpivot_metrics",
+    "q67_rank_distribution",
+    "q68_unigram_logprob",
+    "q69_variant_props",
+    "q70_weighted_sample",
+    "q71_kmv_distinct",
+    "q72_weighted_quality",
+    "q73_event_paths",
+    "q74_correlated_subquery",
+    "q75_retention_cohorts",
+    "q76_robust_stats",
+    "q77_table_stats",
+    "q78_zorder_layout",
+    "q79_incremental_agg_merge",
+    "q80_pii_scrub",
+    "q81_srp_lsh_topk",
+    "q82_sliding_distinct_users",
+    "q83_data_quality_report",
+    "q84_copurchase_pairs",
+    "q85_scd2_history",
+    "q87_snapshot_diff",
+    "q88_locf_forward_fill",
+    "q89_interval_overlap",
+    "q90_lateral_agg",
+    "q91_regression_stats",
+    "q94_winsorized_stats",
+    "q95_bigram_logprob",
+    "q96_mutual_nn_pairs",
+    "q97_kmv_sketch_merge",
+    # r03-era greens staying in the tail this round (see policy above)
+    "q11b_approx_distinct",
+    "q45_approx_percentiles",
     "q36_incremental_dedup",
     "q40_corpus_pipeline",
     "q47_stratified_sample",
-    # round 4: twelve more driver-green rows rotate out so the nine new
-    # specs (q74-q82) AND the formerly tail-only q71-q73 all get fresh
-    # driver rows. Family coverage stays in-window: semi/anti → q53/q55,
-    # broadcast join+agg → q03, sketches → q51/q71, text stats → q54,
-    # dedup → q20/q56, chunking → q62, embedding NN → q52/q81,
-    # skew salting keeps its r03 green row.
-    "q04_order_priority",
-    "q05_region_revenue",
-    "q11b_approx_distinct",
-    "q17_customers_without_orders",
-    "q23_text_stats",
-    "q25_language_id",
-    "q26_quality_score",
-    "q27_bow_dedup",
-    "q30_winnow_fingerprints",
-    "q31_doc_chunks",
-    "q33_embedding_nn",
-    "q37_salted_join_revenue",
-    # q83 (data-quality report) slot: q15's as-of join is driver-green in
-    # r03 and the temporal-join family keeps q49 in-window
-    "q15_asof_purchase_click",
-    # round-4 continuation: four slots for q84-q87 (pair mining, SCD2,
-    # PageRank, CDC diff). Rotated greens keep family cover in-window:
-    # vector top-k → q52/q81, textstats top-terms/tfidf → q54/q68.
-    "q22_vector_topk",
-    "q41_top_terms",
-    "q44_tfidf_keywords",
-    "q29_ivf_topk",
-    # q88 (LOCF) slot: percentile family keeps q76 (robust stats) and
-    # the demoted q45/q38 stay oracle-checked in the pytest tail
-    "q45_approx_percentiles",
-    # q89 (interval overlap) slot: LSH-dedup family keeps q21/q28/q35
-    # in-window; q46's edit-distance verify stays pytest-checked
-    "q46_edit_distance_pairs",
-    # round 4: eight r03-green anchors rotate out for the eight new specs
-    # (q90-q97). Remaining in-window anchors: q01 (flagship) and q43
-    # (red in r03 on an oracle that changed after the snapshot — needs a
-    # fresh driver row). Family cover for the rotated: window top-k →
-    # q90's lateral twin + q16 demoted-parity; dedup/LSH → q93
-    # containment + q56/q62 in-window; components → q56 (consumes q42's
-    # operator); kmeans → q48 demoted-parity + test_clustering; embedding
-    # NN → q96 (consumes q33's all_pairs_nn) + q52 r03-green.
-    "q03_shipping_priority",
-    "q20_exact_dedup",
-    "q21_near_dup_pairs",
-    "q28_simhash_pairs",
-    "q35_ngram_jaccard",
-    "q42_dedup_clusters",
-    "q48_kmeans_clusters",
-    "q52_embedding_dedup",
 )
 REGISTRY.demote(DEMOTED)
 

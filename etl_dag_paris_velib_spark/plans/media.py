@@ -1,0 +1,181 @@
+"""Multimodal decode query surface (SURVEY §2.10 north star; the reference
+has no media counterpart — this extends it the way a training-data
+pipeline needs: media as opaque binary columns, decoded/feature-extracted
+by Arrow-batched kernels).
+
+The driver's oracle is DuckDB over the same parquet — it cannot decode
+PPM/WAV/PPMV payloads. The differential trick: the media table is built
+IN-PLAN from a deterministic generation law seeded by ``documents.doc_id``
+(one payload per seed; pure-numpy encoders from operators/multimodal.py),
+Spark then REALLY decodes the bytes (header parse, pixel/PCM/frame reads,
+feature kernels), and the oracle recomputes the expected metadata from the
+same law in closed form — widths, sample counts, container byte sizes, and
+the quantized feature values are all exact functions of the seed. A decode
+bug (wrong stride, wrong chunk walk, off-by-one header) breaks the hash;
+the law itself never decodes anything.
+
+Generation law (m = doc_id % 3):
+- m=0 image: solid-color P6 PPM, w = 16 + (id%7)*4, h = 12 + (id%5)*4,
+  RGB = (id%256, id*7%256, id*13%256).
+- m=1 audio: constant-amplitude PCM WAV, rate 8000, ch = 1 + id%2,
+  n = 800 + (id%10)*80 samples, amplitude (20 + id%70)/100 — quantized to
+  16-bit by the encoder, so the decoded RMS is exactly
+  round(amp*32768)/32768 (no half-way cases for this amplitude grid:
+  0.68k mod 1 never hits .5).
+- m=2 video: PPMV container (length-prefixed P6 frames), 2 + id%3 frames
+  at the image w/h law, 24 fps.
+
+Scale: generation and decode are row-local mapInPandas passes — zero
+shuffles; the feature join is on the generated media_id (collision-free by
+construction). At 100 TB the same plan reads payloads from parquet binary
+columns instead of generating them; everything downstream is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import (
+    MEDIA_SCHEMA,
+    decode_media,
+    encode_ppm,
+    encode_ppmv,
+    encode_wav,
+    extract_features,
+)
+from ..sources.tpch import load_table
+from .spec import Registry
+
+MD = Registry()
+
+N_SEEDS = 60
+
+
+def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic media table: one payload per documents.doc_id
+    below N_SEEDS, built by the module's generation law (see docstring)."""
+    import numpy as np
+    import pandas as pd
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id")
+        .filter(F.col("doc_id") < N_SEEDS)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                m = i % 3
+                w = 16 + (i % 7) * 4
+                h = 12 + (i % 5) * 4
+                if m == 0:
+                    px = np.empty((h, w, 3), np.uint8)
+                    px[..., 0] = i % 256
+                    px[..., 1] = (i * 7) % 256
+                    px[..., 2] = (i * 13) % 256
+                    rows.append(
+                        (i, "image", encode_ppm(px), "image/x-portable-pixmap", "synthetic")
+                    )
+                elif m == 1:
+                    n = 800 + (i % 10) * 80
+                    ch = 1 + (i % 2)
+                    amp = (20 + (i % 70)) / 100.0
+                    samples = np.full((n, ch), amp, dtype=np.float64)
+                    rows.append(
+                        (i, "audio", encode_wav(samples, 8000), "audio/wav", "synthetic")
+                    )
+                else:
+                    nfr = 2 + (i % 3)
+                    frames = []
+                    for f in range(nfr):
+                        px = np.empty((h, w, 3), np.uint8)
+                        px[...] = (i + f) % 256
+                        frames.append(px)
+                    rows.append(
+                        (i, "video", encode_ppmv(frames, 24.0), "video/x-ppmv", "synthetic")
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "mime", "source"]
+            )
+
+    return docs.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+@MD.add(
+    "q98_media_decode",
+    oracle="""
+WITH law AS (
+  SELECT doc_id,
+         doc_id % 3 AS m,
+         16 + (doc_id % 7) * 4 AS w,
+         12 + (doc_id % 5) * 4 AS h,
+         800 + (doc_id % 10) * 80 AS n_samp,
+         1 + (doc_id % 2) AS ch,
+         2 + (doc_id % 3) AS nfr,
+         (20 + doc_id % 70) / 100.0 AS amp
+  FROM documents WHERE doc_id < 60
+),
+sized AS (
+  SELECT *,
+         9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3 * w * h
+           AS ppm_bytes
+  FROM law
+)
+SELECT doc_id AS media_id,
+       CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CASE m WHEN 1 THEN 0 ELSE w END AS width,
+       CASE m WHEN 1 THEN 0 ELSE h END AS height,
+       CASE m WHEN 0 THEN 1 WHEN 1 THEN n_samp ELSE nfr END AS n_frames,
+       CASE m WHEN 0 THEN 0.0
+              WHEN 1 THEN round(n_samp / 8000.0, 6)
+              ELSE round(nfr / 24.0, 6) END AS duration_sec,
+       CASE m WHEN 0 THEN ppm_bytes
+              WHEN 1 THEN 44 + 2 * n_samp * ch
+              ELSE 12 + nfr * (4 + ppm_bytes) END AS payload_bytes,
+       CASE m WHEN 1 THEN 8000 ELSE 0 END AS sample_rate,
+       CASE m WHEN 1 THEN ch ELSE 3 END AS n_channels,
+       CASE m WHEN 0 THEN round((doc_id % 256) / 255.0, 6)
+              WHEN 1 THEN round(round(amp * 32768) / 32768.0, 6)
+              ELSE NULL END AS feat_stat
+FROM sized
+""",
+    doc="REAL multimodal decode, driver-checked: generate PPM/WAV/PPMV "
+    "payloads in-plan from a seed law (operators/multimodal.py encoders), "
+    "decode the actual bytes back (header parse, BGR/stride/chunk-walk "
+    "pixel+PCM reads, frame container walk) plus the feature kernels "
+    "(image channel means, audio RMS), and hash-compare against the "
+    "closed-form law the oracle evaluates without ever decoding. Covers "
+    "the full §2.10 plumbing: MEDIA_SCHEMA binary columns, mapInPandas "
+    "Arrow batches, decode_media(real=True), extract_features(real=True). "
+    "feat_stat pins the kernels to exact values: a solid image's mean-R "
+    "is id%256/255; a constant 16-bit PCM signal's RMS is its quantized "
+    "amplitude round(amp*32768)/32768 (video rows are NULL — features of "
+    "frame containers go through sample_frames instead).",
+    tags=("multimodal", "decode", "mapInPandas", "llm"),
+)
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthetic_media(spark, sf_dir)
+    decoded = decode_media(media, real=True)
+    feats = extract_features(media.filter(F.col("kind") != "video"), real=True)
+    stat = F.when(
+        F.col("kind") == "image", F.round(F.element_at("features", 1), 6)
+    ).when(F.col("kind") == "audio", F.round(F.element_at("features", 4), 6))
+    return (
+        decoded.join(feats, "media_id", "left")
+        .select(
+            "media_id",
+            "kind",
+            "width",
+            "height",
+            "n_frames",
+            "duration_sec",
+            "payload_bytes",
+            "sample_rate",
+            "n_channels",
+            stat.alias("feat_stat"),
+        )
+    )

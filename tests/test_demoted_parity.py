@@ -1,13 +1,15 @@
 """Oracle parity for the demoted query tail.
 
 The external correctness harness walks ``queries()`` in insertion order
-with a ~50-query budget, so the 16 queries in ``plans.DEMOTED`` (all
-driver-green in CORRECTNESS_r03.json) no longer receive a fresh
+with a ~50-query budget, so the queries in ``plans.DEMOTED`` (every one
+driver-green in a previous CORRECTNESS_r*.json) no longer receive a fresh
 driver-checked row each round. This test preserves the same differential
-evidence locally: run each demoted query at sf0.001 and compare row
-count, sorted column names, and the order-insensitive canonical value
-hash against its DuckDB oracle — the identical comparison
-tools/diffcheck.py (and the driver) performs.
+evidence locally: run each demoted query AT THE DRIVER'S OWN OPERATING
+POINT (sf=0.01 — a smaller sf could in principle miss value-canonical
+edges like r03's q43 HUGEINT cast) and compare row count, sorted column
+names, and the order-insensitive canonical value hash against its DuckDB
+oracle — the identical comparison tools/diffcheck.py (and the driver)
+performs.
 """
 
 from __future__ import annotations
@@ -24,7 +26,7 @@ from diffcheck import TABLES, canon_hash  # noqa: E402
 
 from etl_dag_paris_velib_spark.plans import DEMOTED, REGISTRY  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="module")
@@ -44,7 +46,16 @@ def test_demoted_queries_are_at_the_tail():
     assert len(names) - len(DEMOTED) <= 50
 
 
-@pytest.mark.parametrize("name", DEMOTED)
+# Specs added this round sit in the WINDOW but have no driver row yet;
+# give them the same local evidence until CORRECTNESS_r05 lands.
+NEW_THIS_ROUND = (
+    "q98_media_decode",
+    "q99_sql_order_distribution",
+    "q100_sql_small_qty_revenue",
+)
+
+
+@pytest.mark.parametrize("name", DEMOTED + NEW_THIS_ROUND)
 def test_demoted_query_matches_oracle(spark, oracle_con, name):
     spec = REGISTRY.specs[name]
     assert spec.oracle is not None, f"{name} demoted without an oracle"

@@ -37,8 +37,8 @@ REGISTRY.merge(_sqltext)
 # CODE changed since its last driver row gets a fresh one, and the r03-era
 # greens rotate back in so no spec's driver evidence is more than two
 # rounds older than its code. In-window (the 50 NOT listed below):
-# - q01 flagship; q98/q99/q100 (new this round: real-decode multimodal,
-#   two shared-text SQL specs);
+# - q01 flagship; q98/q99/q100/q101/q102 (new this round: three
+#   real-decode multimodal specs, two shared-text SQL specs);
 # - the six specs modified in r04 after their r03 rows (q21/q28/q35/q42/
 #   q46/q52) plus the five touched THIS round (q29 ivf centroids param,
 #   q48 seed_cap, q86 _pr_step refactor, q92 try_divide, q93 persist
@@ -46,8 +46,9 @@ REGISTRY.merge(_sqltext)
 # - 35 of the 40 r03-era greens (all except the five below).
 # Demoted: the 46 unmodified r04-green specs plus five r03-era greens
 # whose marginal driver value is lowest — q11b/q45 are tolerance-flag
-# forms (the exact-value twins q11/q38 are in-window) and q36/q40/q47 are
-# compositions of operator families that keep in-window representatives.
+# forms (the exact-value twins q11/q38 are in-window), q36/q40/q47 are
+# compositions of operator families that keep in-window representatives,
+# and q41/q44's textstats family keeps q23/q25/q26/q30/q31 in-window.
 DEMOTED = (
     # r04-green, code unchanged since their fresh r04 rows
     "q43_sessionize_events",
@@ -102,6 +103,8 @@ DEMOTED = (
     "q36_incremental_dedup",
     "q40_corpus_pipeline",
     "q47_stratified_sample",
+    "q41_top_terms",
+    "q44_tfidf_keywords",
 )
 REGISTRY.demote(DEMOTED)
 

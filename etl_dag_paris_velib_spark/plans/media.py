@@ -43,6 +43,8 @@ from ..operators.multimodal import (
     encode_ppmv,
     encode_wav,
     extract_features,
+    resize_media,
+    sample_frames,
 )
 from ..sources.tpch import load_table
 from .spec import Registry
@@ -179,3 +181,84 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
             stat.alias("feat_stat"),
         )
     )
+
+
+@MD.add(
+    "q101_frame_dedup",
+    oracle="""
+WITH law AS (
+  SELECT doc_id,
+         16 + (doc_id % 7) * 4 AS w,
+         12 + (doc_id % 5) * 4 AS h,
+         2 + (doc_id % 3) AS nfr
+  FROM documents WHERE doc_id < 60 AND doc_id % 3 = 2
+),
+frames AS (
+  -- a solid frame's pixel buffer is its color byte repeated w*h*3 times,
+  -- so md5(buffer) equality is exactly (w*h, color) equality — including
+  -- ACROSS different shapes with equal areas (16x24 == 24x16 == 32x12)
+  SELECT l.w * l.h AS npix, (l.doc_id + f.range) % 256 AS color
+  FROM law l JOIN range(0, 4) f ON f.range < l.nfr
+),
+per_fp AS (
+  SELECT npix, color, count(*) AS n_occurrences
+  FROM frames GROUP BY npix, color
+)
+SELECT n_occurrences, count(*) AS n_fingerprints
+FROM per_fp GROUP BY n_occurrences
+""",
+    doc="Video-frame dedup over REAL decoded pixels: sample_frames("
+    "real=True) walks every PPMV container, decodes each frame, and "
+    "fingerprints the pixel BUFFER (md5) — so two videos sharing a frame "
+    "collide, which is the frame-dedup contract. The output is the "
+    "fingerprint-multiplicity histogram; the oracle rebuilds it from the "
+    "generation law, where buffer equality reduces to (pixel-count, "
+    "color) equality — deliberately INCLUDING cross-shape collisions "
+    "(a 16x24 solid buffer is byte-identical to a 24x16 one), which a "
+    "fingerprint-of-decoded-header implementation would get wrong. "
+    "Plan: one mapInPandas fan-out (frames expand inside the Arrow "
+    "batch, no explode shuffle) + two grouped counts.",
+    tags=("multimodal", "video", "dedup", "llm"),
+)
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = sample_frames(synthetic_media(spark, sf_dir), every_nth=1, real=True)
+    per_fp = frames.groupBy("frame_fingerprint").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    return per_fp.groupBy("n_occurrences").agg(
+        F.count(F.lit(1)).alias("n_fingerprints")
+    )
+
+
+@MD.add(
+    "q102_media_resize",
+    oracle="""
+SELECT doc_id AS media_id,
+       13 AS width,
+       9 AS height,
+       9 + length(CAST(13 AS VARCHAR)) + length(CAST(9 AS VARCHAR))
+         + 3 * 13 * 9 AS payload_bytes,
+       round((doc_id % 256) / 255.0, 6) AS mean_r
+FROM documents WHERE doc_id < 60 AND doc_id % 3 = 0
+""",
+    doc="Resize round-trip: resize_media (nearest-neighbor resample -> "
+    "P6 re-encode) produces an opaque binary column that decode_media/"
+    "extract_features consume unchanged — the normalize-resolution step "
+    "composes with the rest of the media pipeline in ONE lazy plan "
+    "(generate -> resize -> decode -> features, three mapInPandas "
+    "stages, zero shuffles until the final checks). The oracle pins the "
+    "re-encoded header layout byte-exactly and the channel-mean feature "
+    "of the resampled pixels (nearest-neighbor of a solid image is the "
+    "same solid, so mean-R survives the resize).",
+    tags=("multimodal", "resize", "mapInPandas", "llm"),
+)
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = synthetic_media(spark, sf_dir).filter(F.col("kind") == "image")
+    resized = resize_media(imgs, out_h=9, out_w=13)
+    decoded = decode_media(resized, real=True).select(
+        "media_id", "width", "height", "payload_bytes"
+    )
+    feats = extract_features(resized, real=True).select(
+        "media_id", F.round(F.element_at("features", 1), 6).alias("mean_r")
+    )
+    return decoded.join(feats, "media_id")

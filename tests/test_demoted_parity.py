@@ -52,6 +52,8 @@ NEW_THIS_ROUND = (
     "q98_media_decode",
     "q99_sql_order_distribution",
     "q100_sql_small_qty_revenue",
+    "q101_frame_dedup",
+    "q102_media_resize",
 )
 
 

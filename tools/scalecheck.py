@@ -36,6 +36,10 @@ HEADLINE = (
     "q92_funnel_conversion",    # three chained windows, one user_id exchange
     "q95_bigram_logprob",       # bigram freq join + vocab broadcast
     "q97_kmv_sketch_merge",     # bounded-state sketch merge (k rows/group)
+    "q99_sql_order_distribution",  # shared-text SQL: outer join + 2-level agg
+    "q100_sql_small_qty_revenue",  # shared-text SQL: decorrelated scalar subquery
+    "q86_supplier_pagerank",    # iterative rank over the co-supply graph
+    "q48_kmeans_clusters",      # capped-codebook Lloyd's (driver state O(k·dim))
     # dedup-stress tier: sf1.0 plants 10-replica near-dup clusters, so
     # CANDIDATE volume grows ~(replicas²)x, not 10x — these rows measure
     # that deliberately superlinear regime, not a plan defect

@@ -74,6 +74,33 @@ def cm_estimate(
     )
 
 
+def _kmv_hash(key_col: str) -> Column:
+    """Uniform 56-bit key hash — md5 prefix, the portable construction
+    (functions/text.py); 56 bits so estimator numerators stay in BIGINT."""
+    return (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 14), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+
+
+def _kmv_sketch(df: DataFrame, group_col: str, key_col: str, k: int) -> DataFrame:
+    """Per-group KMV sketch rows: (g, h, rn) for the k smallest DISTINCT
+    hashes of ``key_col`` in each group. The groupBy(g, h) pre-aggregation
+    dedups map-side; the rank window's input is already distinct hashes."""
+    from pyspark.sql import Window
+
+    distinct_hashes = (
+        df.select(F.col(group_col).alias("g"), _kmv_hash(key_col))
+        .groupBy("g", "h")
+        .agg(F.lit(1).alias("_one"))
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    return distinct_hashes.select(
+        "g", "h", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= k)
+
+
 def kmv_distinct(
     df: DataFrame, group_col: str, key_col: str, k: int = 64
 ) -> DataFrame:
@@ -97,22 +124,9 @@ def kmv_distinct(
     division). Exactness-checkable approximation, like the count-min
     table (q51).
     """
-    from pyspark.sql import Window
-
     numerator = (k - 1) * (1 << 56)
     assert numerator < (1 << 63), "estimator numerator must fit BIGINT"
-    h = (
-        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 14), 16, 10)
-        .cast("bigint")
-        .alias("h")
-    )
-    distinct_hashes = df.select(F.col(group_col).alias("g"), h).groupBy("g", "h").agg(
-        F.lit(1).alias("_one")
-    )
-    w = Window.partitionBy("g").orderBy("h")
-    ranked = distinct_hashes.select(
-        "g", "h", F.row_number().over(w).alias("rn")
-    ).filter(F.col("rn") <= k)
+    ranked = _kmv_sketch(df, group_col, key_col, k)
     agg = ranked.groupBy("g").agg(
         F.count(F.lit(1)).alias("n_seen"),
         F.max(F.when(F.col("rn") == k, F.col("h"))).alias("h_k"),
@@ -148,11 +162,7 @@ def kmv_merge_distinct(
 
     numerator = (k - 1) * (1 << 56)
     assert numerator < (1 << 63), "estimator numerator must fit BIGINT"
-    h = (
-        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 14), 16, 10)
-        .cast("bigint")
-        .alias("h")
-    )
+    h = _kmv_hash(key_col)
     sub = (
         df.select(F.col(group_col).alias("g"), F.col(part_col).alias("p"), h)
         .groupBy("g", "p", "h")
@@ -184,4 +194,75 @@ def kmv_merge_distinct(
             .otherwise(F.expr(f"{numerator} div h_k"))
             .alias("est_distinct"),
         )
+    )
+
+
+def kmv_set_ops(
+    df: DataFrame, set_col: str, key_col: str, k: int = 64
+) -> DataFrame:
+    """Distinct-overlap estimation for every PAIR of sets from their KMV
+    sketches (Beyer et al., "On Synopses for Distinct Value Estimation
+    Under Multiset Operations", SIGMOD'07): union and intersection
+    cardinalities WITHOUT touching the raw keys twice — the audience-
+    overlap / cross-source-contamination primitive at 100 TB, where the
+    exact pairwise distinct-intersection is a fact-fact shuffle you
+    cannot afford.
+
+    Construction (all deterministic integer arithmetic, like
+    :func:`kmv_distinct` — the DuckDB oracle reproduces the ESTIMATES
+    bit-exactly):
+
+    1. per-set sketch: the k smallest distinct 56-bit md5 hashes;
+    2. per pair, the UNION sketch is the k smallest of the two sketches'
+       union (KMV's closure property — combining sketches of k values
+       yields the union's exact sketch);
+    3. ``est_union`` = the usual (k-1)*2^56 div h_k rule (exact count
+       when the union sketch saw everything);
+    4. ``est_inter`` = n_both * est_union div k, where n_both counts
+       union-sketch hashes present in BOTH input sketches (the Jaccard
+       estimator rho = n_both/k applied to the union estimate); exact
+       when the union sketch is complete.
+
+    Scale shape: step 1 is the only pass over data (map-side dedup, k
+    rows per set out); steps 2-4 operate on k-row sketches — pair count
+    is sets², but each pair costs O(k), independent of corpus size.
+    """
+    from pyspark.sql import Window
+
+    numerator = (k - 1) * (1 << 56)
+    assert numerator < (1 << 63), "estimator numerator must fit BIGINT"
+    sk = _kmv_sketch(df, set_col, key_col, k).select("g", "h")
+    sets = sk.select("g").distinct()
+    pairs = sets.select(F.col("g").alias("ga")).join(
+        sets.select(F.col("g").alias("gb")), F.col("ga") < F.col("gb")
+    )
+    side_a = sk.join(F.broadcast(pairs), F.col("g") == F.col("ga")).select(
+        "ga", "gb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    side_b = sk.join(F.broadcast(pairs), F.col("g") == F.col("gb")).select(
+        "ga", "gb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    comb = (
+        side_a.unionByName(side_b)
+        .groupBy("ga", "gb", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("ga", "gb").orderBy("h")
+    kept = comb.select(
+        "ga", "gb", "h", "in_a", "in_b", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= k)
+    agg = kept.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).alias("n_seen"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("h_k"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+    )
+    return agg.select(
+        F.col("ga").alias("set_a"),
+        F.col("gb").alias("set_b"),
+        F.when(F.col("n_seen") < k, F.col("n_seen").cast("bigint"))
+        .otherwise(F.expr(f"{numerator} div h_k"))
+        .alias("est_union"),
+        F.when(F.col("n_seen") < k, F.col("n_both").cast("bigint"))
+        .otherwise(F.expr(f"(n_both * ({numerator} div h_k)) div {k}"))
+        .alias("est_inter"),
     )

@@ -43,12 +43,15 @@ REGISTRY.merge(_sqltext)
 #   q46/q52) plus the five touched THIS round (q29 ivf centroids param,
 #   q48 seed_cap, q86 _pr_step refactor, q92 try_divide, q93 persist
 #   opt-out);
-# - 35 of the 40 r03-era greens (all except the five below).
-# Demoted: the 46 unmodified r04-green specs plus five r03-era greens
+# - 34 of the 40 r03-era greens (all except the six below).
+# Demoted: the 46 unmodified r04-green specs plus six r03-era greens
 # whose marginal driver value is lowest — q11b/q45 are tolerance-flag
 # forms (the exact-value twins q11/q38 are in-window), q36/q40/q47 are
 # compositions of operator families that keep in-window representatives,
-# and q41/q44's textstats family keeps q23/q25/q26/q30/q31 in-window.
+# q41/q44's textstats family keeps q23/q25/q26/q30/q31 in-window, and
+# q32's regexp-parse surface keeps q18 (full scalar-fn spec) in-window
+# to make room for q103 (new this round: KMV pairwise set-op estimates,
+# never driver-checked).
 DEMOTED = (
     # r04-green, code unchanged since their fresh r04 rows
     "q43_sessionize_events",
@@ -105,6 +108,7 @@ DEMOTED = (
     "q47_stratified_sample",
     "q41_top_terms",
     "q44_tfidf_keywords",
+    "q32_filename_parse",
 )
 REGISTRY.demote(DEMOTED)
 

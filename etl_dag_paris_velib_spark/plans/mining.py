@@ -25,6 +25,9 @@ not yet cover:
 - q97: hierarchical KMV merge (operators/sketch.py:kmv_merge_distinct)
   — per-day sub-sketches merged per event type; the oracle computes the
   ONE-SHOT sketch, so the differential gate proves the merge law.
+- q103: pairwise KMV set-operation estimates (operators/sketch.py:
+  kmv_set_ops) — |A∪B| and |A∩B| for every pair of event-type audience
+  sets from k-row sketches; one data scan, O(k) per pair afterwards.
 
 FP rule as repo-wide: any double that crosses engines is rounded in both
 (6 digits for unit-scale ratios, 4 for currency-scale sums).
@@ -37,7 +40,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens, word_shingles
 from ..operators.similarity import all_pairs_nn, containment_pairs
-from ..operators.sketch import kmv_merge_distinct
+from ..operators.sketch import kmv_merge_distinct, kmv_set_ops
 from ..sources.tpch import load_table
 from .spec import Registry
 
@@ -531,3 +534,74 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.to_date("ts").alias("day"), "user_id"
     )
     return kmv_merge_distinct(ev, "event_type", "day", "user_id", k=16)
+
+
+# ---------------------------------------------------------------------------
+# q103 — pairwise KMV set-operation estimates (union / intersection)
+# ---------------------------------------------------------------------------
+@M.add(
+    "q103_kmv_set_overlap",
+    oracle="""
+WITH dh AS (
+  SELECT DISTINCT event_type AS g,
+         (('0x' || substr(md5(user_id::VARCHAR || '_' || (ts::DATE)::VARCHAR), 1, 14))::UBIGINT)::BIGINT AS h
+  FROM events
+),
+sk AS (
+  SELECT g, h FROM (
+    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM dh
+  ) WHERE rn <= 64
+),
+gs AS (SELECT DISTINCT g FROM sk),
+pairs AS (
+  SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g
+),
+comb AS (
+  SELECT ga, gb, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+    SELECT p.ga, p.gb, s.h, 1 AS in_a, 0 AS in_b FROM sk s JOIN pairs p ON s.g = p.ga
+    UNION ALL
+    SELECT p.ga, p.gb, s.h, 0 AS in_a, 1 AS in_b FROM sk s JOIN pairs p ON s.g = p.gb
+  ) GROUP BY ga, gb, h
+),
+kept AS (
+  SELECT ga, gb, h, in_a, in_b,
+         row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+  FROM comb
+),
+a AS (
+  SELECT ga, gb, count(*)::BIGINT AS n_seen,
+         max(CASE WHEN rn = 64 THEN h END) AS h_k,
+         sum(in_a * in_b)::BIGINT AS n_both
+  FROM kept WHERE rn <= 64 GROUP BY ga, gb
+)
+SELECT ga AS set_a, gb AS set_b,
+       (CASE WHEN n_seen < 64 THEN n_seen
+             ELSE 4539628424389459968 // h_k END)::BIGINT AS est_union,
+       (CASE WHEN n_seen < 64 THEN n_both
+             ELSE (n_both * (4539628424389459968 // h_k)) // 64 END)::BIGINT AS est_inter
+FROM a
+""",
+    doc="Pairwise distinct-set overlap from KMV sketches "
+    "(operators/sketch.py:kmv_set_ops, k=64): sets are event types, "
+    "elements are (user_id, activity-day) pairs; estimates |A∪B| and "
+    "|A∩B| for every pair of event types from k-row sketches — the "
+    "audience-overlap primitive whose exact form is a fact×fact "
+    "distinct-intersection shuffle you cannot afford at 100 TB. One "
+    "scan builds all per-set sketches (map-side dedup); the pair stage "
+    "touches only k rows per set. Deterministic integer arithmetic "
+    "(md5-derived 56-bit hashes, BIGINT div), so the oracle reproduces "
+    "the ESTIMATES bit-exactly, proving the KMV closure law "
+    "(top-k(top-k(A) ∪ top-k(B)) == top-k(A∪B)) on real data rather "
+    "than within a tolerance. No reference counterpart (north-star "
+    "extension; reference has no aggregation beyond row counts, "
+    "etl_dag.py:409 scope).",
+    tags=("sketch", "approx", "mergeable", "setops"),
+)
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.concat_ws(
+            "_", F.col("user_id").cast("string"), F.to_date("ts").cast("string")
+        ).alias("ukey"),
+    )
+    return kmv_set_ops(ev, "event_type", "ukey", k=64)

@@ -165,3 +165,53 @@ def test_q97_sketch_merge_two_bounded_exchanges(spark):
     assert keys, plan[:500]
     for k in keys:
         assert "event_type" in k or k.startswith("g"), keys
+
+
+# ---------------------------------------------------------------------------
+# KMV set-op estimates (q103)
+# ---------------------------------------------------------------------------
+
+def test_kmv_set_ops_exact_branch(spark):
+    """When the union sketch sees every distinct hash (|A∪B| < k), the
+    estimates ARE the exact union and intersection cardinalities."""
+    from etl_dag_paris_velib_spark.operators.sketch import kmv_set_ops
+
+    rows = (
+        [("a", f"k{i}") for i in range(20)]
+        + [("b", f"k{i}") for i in range(10, 40)]   # |a∩b|=10, |a∪b|=40
+        + [("c", f"z{i}") for i in range(5)]        # disjoint from both
+        + [("a", "k3"), ("b", "k15")]               # duplicates: no effect
+    )
+    df = spark.createDataFrame(rows, "g string, k string")
+    got = {
+        (r["set_a"], r["set_b"]): (r["est_union"], r["est_inter"])
+        for r in kmv_set_ops(df, "g", "k", k=64).collect()
+    }
+    assert got[("a", "b")] == (40, 10)
+    assert got[("a", "c")] == (25, 0)
+    assert got[("b", "c")] == (35, 0)
+
+
+def test_kmv_set_ops_matches_flat_sketch_of_union(spark):
+    """KMV closure law on the estimator path: the pair's est_union must be
+    BIT-IDENTICAL to kmv_distinct run on the concatenated raw data —
+    combining two k-row sketches loses nothing vs. sketching the union."""
+    from etl_dag_paris_velib_spark.operators.sketch import (
+        kmv_distinct,
+        kmv_set_ops,
+    )
+
+    k = 16
+    rows = [("a", f"k{i}") for i in range(300)] + [
+        ("b", f"k{i}") for i in range(150, 450)
+    ]
+    df = spark.createDataFrame(rows, "g string, k string")
+    pair = kmv_set_ops(df, "g", "k", k=k).collect()[0]
+    flat = (
+        kmv_distinct(
+            df.withColumn("g", F.lit("u")), "g", "k", k=k
+        ).collect()[0]["est_distinct"]
+    )
+    assert pair["est_union"] == flat
+    # rho = n_both/k bounds: 0 <= est_inter <= est_union
+    assert 0 <= pair["est_inter"] <= pair["est_union"]

@@ -198,7 +198,11 @@ def kmv_merge_distinct(
 
 
 def kmv_set_ops(
-    df: DataFrame, set_col: str, key_col: str, k: int = 64
+    df: DataFrame,
+    set_col: str,
+    key_col: str,
+    k: int = 64,
+    persist_intermediate: bool = True,
 ) -> DataFrame:
     """Distinct-overlap estimation for every PAIR of sets from their KMV
     sketches (Beyer et al., "On Synopses for Distinct Value Estimation
@@ -223,38 +227,45 @@ def kmv_set_ops(
        estimator rho = n_both/k applied to the union estimate); exact
        when the union sketch is complete.
 
-    Scale shape: step 1 is the only pass over data (map-side dedup, k
-    rows per set out); steps 2-4 operate on k-row sketches — pair count
-    is sets², but each pair costs O(k), independent of corpus size.
+    Scale shape: step 1 is the ONLY pass over data (map-side dedup, k
+    rows per set out); the sketches collapse to one k-longs array row
+    per set, persisted (``persist_intermediate``) so the pair grid never
+    re-reads the input. Steps 2-4 are pure JVM array expressions over
+    sets² pair rows, each O(k log k), independent of corpus size. The
+    per-set array is bounded at k elements BEFORE collect_list (the rank
+    window filters rn <= k), so no group ever materializes an unbounded
+    array.
     """
-    from pyspark.sql import Window
-
     numerator = (k - 1) * (1 << 56)
     assert numerator < (1 << 63), "estimator numerator must fit BIGINT"
-    sk = _kmv_sketch(df, set_col, key_col, k).select("g", "h")
-    sets = sk.select("g").distinct()
-    pairs = sets.select(F.col("g").alias("ga")).join(
-        sets.select(F.col("g").alias("gb")), F.col("ga") < F.col("gb")
+    arrs = (
+        _kmv_sketch(df, set_col, key_col, k)
+        .groupBy("g")
+        .agg(F.array_sort(F.collect_list("h")).alias("hs"))
     )
-    side_a = sk.join(F.broadcast(pairs), F.col("g") == F.col("ga")).select(
-        "ga", "gb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    if persist_intermediate:
+        arrs = arrs.persist()
+    pairs = arrs.select(F.col("g").alias("ga"), F.col("hs").alias("ha")).join(
+        arrs.select(F.col("g").alias("gb"), F.col("hs").alias("hb")),
+        F.col("ga") < F.col("gb"),
     )
-    side_b = sk.join(F.broadcast(pairs), F.col("g") == F.col("gb")).select(
-        "ga", "gb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    # KMV closure: the union's exact sketch is the k smallest of the two
+    # sketches' (deduplicated) union.
+    merged = pairs.select(
+        "ga",
+        "gb",
+        "ha",
+        "hb",
+        F.slice(F.array_sort(F.array_union("ha", "hb")), 1, k).alias("m"),
     )
-    comb = (
-        side_a.unionByName(side_b)
-        .groupBy("ga", "gb", "h")
-        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
-    )
-    w = Window.partitionBy("ga", "gb").orderBy("h")
-    kept = comb.select(
-        "ga", "gb", "h", "in_a", "in_b", F.row_number().over(w).alias("rn")
-    ).filter(F.col("rn") <= k)
-    agg = kept.groupBy("ga", "gb").agg(
-        F.count(F.lit(1)).alias("n_seen"),
-        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("h_k"),
-        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+    agg = merged.select(
+        "ga",
+        "gb",
+        F.size("m").alias("n_seen"),
+        F.when(F.size("m") == k, F.element_at("m", k)).alias("h_k"),
+        F.size(F.array_intersect(F.array_intersect("m", "ha"), "hb"))
+        .cast("bigint")
+        .alias("n_both"),
     )
     return agg.select(
         F.col("ga").alias("set_a"),
@@ -262,7 +273,7 @@ def kmv_set_ops(
         F.when(F.col("n_seen") < k, F.col("n_seen").cast("bigint"))
         .otherwise(F.expr(f"{numerator} div h_k"))
         .alias("est_union"),
-        F.when(F.col("n_seen") < k, F.col("n_both").cast("bigint"))
+        F.when(F.col("n_seen") < k, F.col("n_both"))
         .otherwise(F.expr(f"(n_both * ({numerator} div h_k)) div {k}"))
         .alias("est_inter"),
     )

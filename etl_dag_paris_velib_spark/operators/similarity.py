@@ -360,6 +360,69 @@ def minhash_lsh_pairs(
     return verified
 
 
+def _prefix_filtered_jaccard(
+    hsh: DataFrame, threshold: float, max_df: int | None
+) -> DataFrame:
+    """AllPairs/PPJoin candidate generation + exact verify (see
+    :func:`ngram_jaccard_pairs` ``prefix_filter`` docs for the theory).
+    ``hsh`` is the (id, hs) hashed-shingle-set table; token order is the
+    60-bit hash value ascending (any fixed global order preserves
+    exactness; df-ascending would prune harder but costs an extra
+    df-join per token — hash order is free)."""
+    base = hsh.select(
+        "id",
+        F.array_sort("hs").alias("hs_sorted"),
+        F.size("hs").alias("n_sh"),
+    )
+    # prefix length |A| - ceil(t*|A|) + 1 (>= 1 for non-empty sets)
+    pref_len = (
+        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + F.lit(1)
+    ).cast("int")
+    inv = base.select(
+        "id",
+        "n_sh",
+        F.explode(F.slice("hs_sorted", 1, pref_len)).alias("s"),
+    )
+    if max_df is not None:
+        hubs = (
+            inv.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("s")
+        )
+        inv = inv.join(F.broadcast(hubs), "s", "left_anti")
+    a, b = inv.alias("a"), inv.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length filter: J <= min/max, so t*max <= min is necessary
+            & (
+                F.lit(threshold) * F.greatest("a.n_sh", "b.n_sh")
+                <= F.least("a.n_sh", "b.n_sh")
+            ),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = base.select(F.col("id").alias("id_a"), F.col("hs_sorted").alias("ha"))
+    sb = base.select(F.col("id").alias("id_b"), F.col("hs_sorted").alias("hb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("ha", "hb"))
+                / F.size(F.array_union("ha", "hb"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -368,6 +431,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     persist_intermediate: bool = True,
     max_df: int | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Exact n-gram-Jaccard join via shingle-inverted-index — the
     ground-truth companion to :func:`minhash_lsh_pairs` (used by tests to
@@ -391,10 +455,29 @@ def ngram_jaccard_pairs(
     and recall is unchanged whenever near-dup pairs share at least one
     sub-hub shingle (tests/test_llm_operators.py quantifies this on the
     planted pairs).
+
+    ``prefix_filter=True`` switches to the AllPairs/PPJoin prefix-index
+    construction (Bayardo et al. WWW'07; Xiao et al. ICDE'08), which is
+    EXACT — bit-identical output — while shrinking the inverted index
+    and its self-join quadratically: for Jaccard >= t, any qualifying
+    pair must share a token among the first ``|A| - ceil(t*|A|) + 1``
+    elements of each set under ANY fixed global token order (here: hash
+    value ascending), because J >= t implies ``|A∩B| >= ceil(t*|A|)``,
+    and missing the whole prefix caps the overlap at ``ceil(t*|A|)-1``.
+    Only prefixes are indexed (~(1-t) of all tokens), candidates must
+    collide on BOTH prefixes, and a length filter
+    (``t * max(|A|,|B|) <= min(|A|,|B|)``, since J <= min/max) prunes
+    before verification; survivors verify with one exact
+    array_intersect/array_union over the persisted hash sets. At t=0.5
+    the index self-join touches ~25% of the full-index pair volume; at
+    t=0.9, ~1% — the difference between a feasible and an infeasible
+    shuffle at 100 TB.
     """
     hsh = _hashed_shingle_sets(df, id_col, text_col, shingle_n)
     if persist_intermediate:
         hsh = hsh.persist()  # three consumers: sizes x2 + inverted index
+    if prefix_filter:
+        return _prefix_filtered_jaccard(hsh, threshold, max_df)
     sizes = hsh.select("id", F.size("hs").alias("n_sh"))
     inv = hsh.select("id", F.explode("hs").alias("s"))
     if max_df is not None:

@@ -533,3 +533,108 @@ def test_srp_quantized_codes_match_hof_reference(spark):
     got = {r["vec_id"]: list(r["c"]) for r in df.collect()}
     want = {r["vec_id"]: ref_codes(list(r["embedding"])) for r in rows}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered (AllPairs/PPJoin) exact Jaccard join
+# ---------------------------------------------------------------------------
+
+def test_prefix_filter_jaccard_is_exact(spark):
+    """The prefix-index path must return BIT-IDENTICAL pairs to the full
+    inverted index at the driver's sf0.01 operating point (the full path
+    is oracle-checked, so equality transfers the differential evidence),
+    and on planted near-dup pairs whose Jaccard straddles the threshold."""
+    from etl_dag_paris_velib_spark.operators.similarity import (
+        ngram_jaccard_pairs,
+    )
+    from tests.conftest import SF_ORACLE
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    full = sorted(
+        map(
+            tuple,
+            ngram_jaccard_pairs(
+                docs, threshold=0.5, persist_intermediate=False
+            ).collect(),
+        )
+    )
+    pref = sorted(
+        map(
+            tuple,
+            ngram_jaccard_pairs(
+                docs,
+                threshold=0.5,
+                persist_intermediate=False,
+                prefix_filter=True,
+            ).collect(),
+        )
+    )
+    assert full == pref and len(full) > 0
+
+    # threshold-straddling planted pairs: 9/11 common -> J ~ 0.59 (in),
+    # 5/15 -> J = 0.25 (out); plus an identical pair (J = 1.0)
+    w = [f"tok{i:02d}" for i in range(30)]
+    docs2 = spark.createDataFrame(
+        [
+            (1, " ".join(w[0:12])),          # shingles over 12 words
+            (2, " ".join(w[0:10] + w[20:22])),
+            (3, " ".join(w[0:12])),           # == doc 1
+            (4, " ".join(w[15:27])),          # disjoint-ish
+        ],
+        "doc_id bigint, text string",
+    )
+    for t in (0.3, 0.5, 0.9):
+        f2 = sorted(
+            map(
+                tuple,
+                ngram_jaccard_pairs(
+                    docs2, threshold=t, persist_intermediate=False
+                ).collect(),
+            )
+        )
+        p2 = sorted(
+            map(
+                tuple,
+                ngram_jaccard_pairs(
+                    docs2,
+                    threshold=t,
+                    persist_intermediate=False,
+                    prefix_filter=True,
+                ).collect(),
+            )
+        )
+        assert f2 == p2, f"threshold {t}: prefix path diverged"
+        assert any(r[:2] == (1, 3) for r in f2)  # exact dup always found
+
+
+def test_prefix_filter_indexes_fewer_tokens(spark):
+    """The scale claim behind prefix_filter: only |A| - ceil(t|A|) + 1
+    tokens per set enter the inverted index (~(1-t) of the full explode),
+    so the index self-join volume shrinks ~quadratically in (1-t)."""
+    from pyspark.sql import functions as F
+
+    from etl_dag_paris_velib_spark.functions.text import (
+        shingle_hashes60,
+        shingles,
+    )
+    from tests.conftest import SF_ORACLE
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    hs = docs.select(shingle_hashes60(shingles(F.col("text"), 3)).alias("hs"))
+    t = 0.8
+    full_tokens, prefix_tokens = hs.select(
+        F.sum(F.size("hs")).alias("full"),
+        F.sum(
+            F.least(
+                F.size("hs"),
+                (
+                    F.size("hs")
+                    - F.ceil(F.lit(t) * F.size("hs"))
+                    + F.lit(1)
+                ).cast("int"),
+            )
+        ).alias("pref"),
+    ).first()
+    assert prefix_tokens < 0.35 * full_tokens, (
+        f"prefix index should be ~(1-t) of full: {prefix_tokens} vs {full_tokens}"
+    )

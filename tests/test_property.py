@@ -188,3 +188,40 @@ def test_wav_decoder_rejects_garbage_cleanly(payload):
     except NotImplementedError:
         return
     assert rate >= 0 and ch >= 1 and samples.ndim == 2
+
+
+# ---------------------------------------------------------------------------
+# KMV set-op estimator properties (operators/sketch.py:kmv_set_ops)
+# ---------------------------------------------------------------------------
+
+_setpair = st.tuples(
+    st.sets(st.integers(0, 200), min_size=0, max_size=25),
+    st.sets(st.integers(0, 200), min_size=1, max_size=25),
+)
+
+
+@given(pair=_setpair)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_kmv_set_ops_exact_when_union_under_k(spark, pair):
+    """Whenever |A∪B| < k the sketch sees everything and the "estimates"
+    must equal the true union/intersection cardinalities exactly, for
+    arbitrary (including empty-overlap and subset) set pairs."""
+    from etl_dag_paris_velib_spark.operators.sketch import kmv_set_ops
+
+    sa, sb = pair
+    rows = [("a", f"v{x}") for x in sa] + [("b", f"v{x}") for x in sb]
+    if not sa:
+        rows.append(("a", "only"))
+        sa = {"only"}
+    df = spark.createDataFrame(rows, "g string, k string")
+    got = kmv_set_ops(df, "g", "k", k=64, persist_intermediate=False).collect()
+    assert len(got) == 1
+    r = got[0]
+    sa2 = {f"v{x}" for x in sa} if sa != {"only"} else sa
+    sb2 = {f"v{x}" for x in sb}
+    assert r["est_union"] == len(sa2 | sb2)
+    assert r["est_inter"] == len(sa2 & sb2)

@@ -36,6 +36,7 @@ HEADLINE = (
     "q92_funnel_conversion",    # three chained windows, one user_id exchange
     "q95_bigram_logprob",       # bigram freq join + vocab broadcast
     "q97_kmv_sketch_merge",     # bounded-state sketch merge (k rows/group)
+    "q103_kmv_set_overlap",     # pairwise set-op estimates from k-row sketches
     "q99_sql_order_distribution",  # shared-text SQL: outer join + 2-level agg
     "q100_sql_small_qty_revenue",  # shared-text SQL: decorrelated scalar subquery
     "q86_supplier_pagerank",    # iterative rank over the co-supply graph

@@ -49,9 +49,11 @@ REGISTRY.merge(_sqltext)
 # forms (the exact-value twins q11/q38 are in-window), q36/q40/q47 are
 # compositions of operator families that keep in-window representatives,
 # q41/q44's textstats family keeps q23/q25/q26/q30/q31 in-window, and
-# q32's regexp-parse surface keeps q18 (full scalar-fn spec) in-window
-# to make room for q103 (new this round: KMV pairwise set-op estimates,
-# never driver-checked).
+# q32 (regexp parse; q18's scalar surface stays) + q34 (right outer;
+# q24 full-outer/q87 CDC keep the outer-join family parity-covered)
+# make room for the two specs NEW this round — q103 (KMV pairwise
+# set-op estimates) and q104 (deterministic shard shuffle) — which have
+# never been driver-checked.
 DEMOTED = (
     # r04-green, code unchanged since their fresh r04 rows
     "q43_sessionize_events",
@@ -109,6 +111,7 @@ DEMOTED = (
     "q41_top_terms",
     "q44_tfidf_keywords",
     "q32_filename_parse",
+    "q34_right_outer",
 )
 REGISTRY.demote(DEMOTED)
 

@@ -974,3 +974,53 @@ def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("events_with_runs"),
         F.min(redacted).alias("sample_redacted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q104 — deterministic corpus shard shuffle (training-data epoch-0 order)
+# ---------------------------------------------------------------------------
+@C.add(
+    "q104_shard_shuffle",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         md5('shuffle:' || doc_id::VARCHAR) AS skey,
+         (('0x' || substr(md5('shuffle:' || doc_id::VARCHAR), 1, 15))::UBIGINT
+          % 16)::BIGINT AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)::BIGINT
+         AS position
+FROM s
+""",
+    doc="Deterministic corpus shuffle into balanced training shards: each "
+    "document's shard and within-shard position are pure functions of its "
+    "identity (salted md5 order), so the epoch-0 data order a trainer "
+    "reads is REPRODUCIBLE — rerunning the pipeline on the same corpus "
+    "yields byte-identical shards, the property loss-curve debugging "
+    "needs and random()/rand-based shuffles destroy. One hash Exchange "
+    "on shard (which IS the shard writer's partitioning — no second "
+    "shuffle to write), then a per-shard sort; at 100 TB n_shards is "
+    "sized to corpus/target-shard-size (thousands), keeping every "
+    "per-task sort bounded, and the md5 key distributes uniformly so "
+    "shards stay balanced without sampling. doc_id tiebreak makes the "
+    "order total even under (astronomically unlikely) md5 ties. No "
+    "reference counterpart (north-star extension).",
+    tags=("curation", "llm", "shuffle"),
+)
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    skey = F.md5(F.concat_ws(":", F.lit("shuffle"), F.col("doc_id").cast("string")))
+    shard = (
+        F.conv(F.substring(skey, 1, 15), 16, 10).cast("bigint") % 16
+    ).alias("shard")
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", skey.alias("skey"), shard)
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("bigint").alias("position"),
+        )
+    )

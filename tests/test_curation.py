@@ -183,3 +183,32 @@ def test_q61_has_no_shingle_self_join(spark):
     # appear as a SortMergeJoin over g.
     plan = _plan(spark, "q61_source_overlap")
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# q104 shard shuffle invariants
+# ---------------------------------------------------------------------------
+
+def test_shard_shuffle_reproducible_balanced_contiguous(spark):
+    """Identity-hash shuffle: (a) rerun is byte-identical, (b) shards are
+    balanced without sampling, (c) positions are contiguous 1..|shard| —
+    the reproducible epoch-0 order contract."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_ORACLE
+
+    fn = entrymod.queries()["q104_shard_shuffle"]
+    a = sorted(map(tuple, fn(spark, SF_ORACLE).collect()))
+    b = sorted(map(tuple, fn(spark, SF_ORACLE).collect()))
+    assert a == b and len(a) == 500
+
+    from collections import Counter, defaultdict
+
+    by_shard = Counter(r[1] for r in a)
+    assert set(by_shard) == set(range(16))
+    # md5 uniformity: 500 docs / 16 shards = 31.25 expected; generous bound
+    assert max(by_shard.values()) - min(by_shard.values()) < 60
+    pos = defaultdict(list)
+    for _, shard, p in a:
+        pos[shard].append(p)
+    for shard, ps in pos.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), f"shard {shard} gap"

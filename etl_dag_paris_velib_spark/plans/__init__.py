@@ -112,6 +112,9 @@ DEMOTED = (
     "q44_tfidf_keywords",
     "q32_filename_parse",
     "q34_right_outer",
+    # born-demoted (added after the round-5 window was fixed at 50):
+    # parity-tested at sf0.01 every pytest run like the rest of the tail
+    "q105_mixture_resample",
 )
 REGISTRY.demote(DEMOTED)
 

@@ -1024,3 +1024,68 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("bigint").alias("position"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q105 — deterministic mixture resampling (apply per-source epoch rates)
+# ---------------------------------------------------------------------------
+@C.add(
+    "q105_mixture_resample",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN (substr(source, 4)::INT % 2) = 0 THEN 0 ELSE 1 END
+         + CASE WHEN (('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 15))::UBIGINT
+                      % 1000000)
+                     < CASE WHEN (substr(source, 4)::INT % 2) = 0
+                            THEN 400000 ELSE 700000 END
+                THEN 1 ELSE 0 END AS n_copies
+  FROM documents
+)
+SELECT doc_id, source,
+       unnest(range(1, n_copies + 1))::BIGINT AS copy_id
+FROM t
+WHERE n_copies > 0
+""",
+    doc="Apply per-source mixture rates to the corpus: source rate r "
+    "(here 0.4 for even-numbered sources — downsample — and 1.7 for odd "
+    "— ~1.7 training epochs) becomes floor(r) guaranteed copies plus one "
+    "more with probability frac(r), decided by a salted identity hash "
+    "rather than rand() — so the resampled corpus is REPRODUCIBLE and "
+    "append-stable (a document's copy count never changes when the "
+    "corpus grows), and realized rates concentrate at r by md5 "
+    "uniformity. This is the operator that APPLIES q58's computed "
+    "mixture weights; composing them is a join on source. One scan, "
+    "zero shuffles: the copy fan-out is a narrow explode(sequence()), "
+    "embarrassingly parallel at 100 TB. No reference counterpart "
+    "(north-star extension).",
+    tags=("curation", "llm", "sampling"),
+)
+def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = F.substring("source", 4, 10).cast("int")
+    base = F.when(idx % 2 == 0, F.lit(0)).otherwise(F.lit(1))
+    thr = F.when(idx % 2 == 0, F.lit(400000)).otherwise(F.lit(700000))
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("mix"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    )
+    n_copies = (base + (h < thr).cast("int")).alias("n_copies")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", n_copies)
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("_c"),
+        )
+        .select("doc_id", "source", F.col("_c").cast("bigint").alias("copy_id"))
+    )

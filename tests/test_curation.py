@@ -212,3 +212,34 @@ def test_shard_shuffle_reproducible_balanced_contiguous(spark):
         pos[shard].append(p)
     for shard, ps in pos.items():
         assert sorted(ps) == list(range(1, len(ps) + 1)), f"shard {shard} gap"
+
+
+def test_mixture_resample_rates_and_determinism(spark):
+    """Realized copy rates concentrate at the target (0.4 even / 1.7 odd
+    sources), every document keeps >= floor(r) copies, and the fan-out is
+    a pure function of identity (rerun-identical)."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_ORACLE
+
+    fn = entrymod.queries()["q105_mixture_resample"]
+    rows = fn(spark, SF_ORACLE).collect()
+    assert sorted(map(tuple, rows)) == sorted(
+        map(tuple, fn(spark, SF_ORACLE).collect())
+    )
+    from collections import Counter
+
+    n_docs = Counter()   # (parity -> docs), from the source table
+    n_copies = Counter()
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").collect()
+    for d in docs:
+        n_docs[int(d["source"][3:]) % 2] += 1
+    per_doc = Counter()
+    for r in rows:
+        parity = int(r["source"][3:]) % 2
+        n_copies[parity] += 1
+        per_doc[r["doc_id"]] += 1
+    assert abs(n_copies[0] / n_docs[0] - 0.4) < 0.1
+    assert abs(n_copies[1] / n_docs[1] - 1.7) < 0.1
+    # odd sources guarantee floor(1.7) = 1 copy; max is 2
+    for r in rows:
+        assert 1 <= per_doc[r["doc_id"]] <= 2

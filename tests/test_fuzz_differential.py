@@ -1,0 +1,154 @@
+"""Seeded differential fuzzing of the SQL entry path (SQLancer-lite).
+
+Generates a few dozen random-but-deterministic filter/aggregate/join
+queries from a small grammar, runs the IDENTICAL SQL text through Spark
+(temp views over the testdata parquet, sources/tpch.py:register_views)
+and through DuckDB, and compares row count + sorted-column value hash
+with the same canonicalization the driver's correctness gate uses
+(tools/diffcheck.py:canon_hash). The hand-written specs pin 100+ chosen
+plans; this sweeps the combinatorial neighborhood AROUND them — dialect
+divergence in predicate semantics, null handling, grouping, or numeric
+widening shows up as a hash mismatch on some generated query.
+
+Determinism rules the grammar follows:
+- aggregates restricted to count/min/max plus sum over integral values
+  (sums of doubles depend on reduction order; integral sums are exact),
+- every aggregate/computed column aliased identically in both engines
+  (they share one text), BIGINT-cast to dodge DuckDB's HUGEINT widening
+  (tests/test_plan_lint.py documents that trap),
+- no ORDER BY / LIMIT (the hash is order-insensitive; LIMIT without a
+  total order is nondeterministic by definition).
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_ORACLE
+from tools.diffcheck import canon_hash
+
+TABLES = {
+    "lineitem": {
+        "int_cols": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        "num_cols": ["l_quantity", "l_extendedprice", "l_discount"],
+        "str_cols": ["l_returnflag", "l_linestatus"],
+        "group_cols": ["l_returnflag", "l_linestatus"],
+    },
+    "orders": {
+        "int_cols": ["o_orderkey", "o_custkey"],
+        "num_cols": ["o_totalprice"],
+        "str_cols": ["o_orderstatus", "o_orderpriority"],
+        "group_cols": ["o_orderstatus", "o_orderpriority"],
+    },
+    "events": {
+        "int_cols": ["event_id", "user_id"],
+        "num_cols": ["value"],
+        "str_cols": ["event_type"],
+        "group_cols": ["event_type"],
+    },
+}
+
+#: literal pools — approximate quantiles of the sf0.01 data, chosen so
+#: predicates are selective but rarely empty
+INT_LITS = [1, 7, 50, 400, 3000, 20000]
+NUM_LITS = [0.02, 0.5, 5.0, 100.0, 900.0, 20000.0]
+STR_LITS = {
+    "l_returnflag": ["A", "N", "R"],
+    "l_linestatus": ["F", "O"],
+    "o_orderstatus": ["F", "O", "P"],
+    "o_orderpriority": ["1-URGENT", "3-MEDIUM", "5-LOW"],
+    "event_type": ["view", "click", "purchase", "signup", "error"],
+}
+
+
+def _predicate(rng: random.Random, t: dict) -> str:
+    kind = rng.choice(["int_cmp", "num_cmp", "str_eq", "str_in", "null", "between"])
+    if kind == "int_cmp":
+        c = rng.choice(t["int_cols"])
+        return f"{c} {rng.choice(['<', '<=', '>', '>=', '=', '<>'])} {rng.choice(INT_LITS)}"
+    if kind == "num_cmp":
+        c = rng.choice(t["num_cols"])
+        return f"{c} {rng.choice(['<', '>'])} {rng.choice(NUM_LITS)}"
+    if kind == "str_eq":
+        c = rng.choice(t["str_cols"])
+        return f"{c} = '{rng.choice(STR_LITS[c])}'"
+    if kind == "str_in":
+        c = rng.choice(t["str_cols"])
+        lits = rng.sample(STR_LITS[c], k=min(2, len(STR_LITS[c])))
+        quoted = ", ".join(f"'{v}'" for v in lits)
+        neg = rng.choice(["", "NOT "])
+        return f"{c} {neg}IN ({quoted})"
+    if kind == "null":
+        c = rng.choice(t["int_cols"] + t["str_cols"])
+        return f"{c} IS {rng.choice(['NOT NULL', 'NULL'])}"
+    c = rng.choice(t["int_cols"])
+    lo = rng.choice(INT_LITS)
+    return f"{c} BETWEEN {lo} AND {lo * rng.choice([2, 10, 100])}"
+
+
+def _gen_query(rng: random.Random) -> str:
+    name = rng.choice(list(TABLES))
+    t = TABLES[name]
+    preds = [_predicate(rng, t) for _ in range(rng.randint(0, 3))]
+    where = (" WHERE " + f" {rng.choice(['AND', 'OR'])} ".join(preds)) if preds else ""
+    if rng.random() < 0.25:  # plain aggregate-free projection, hashed whole
+        cols = ", ".join(
+            rng.sample(t["int_cols"] + t["str_cols"], k=rng.randint(1, 3))
+        )
+        return f"SELECT {cols} FROM {name}{where}"
+    gcols = rng.sample(t["group_cols"], k=rng.randint(0, min(2, len(t["group_cols"]))))
+    aggs = ["count(*) AS n"]
+    for i in range(rng.randint(0, 2)):
+        fn = rng.choice(["min", "max", "sum", "count"])
+        c = rng.choice(t["int_cols"])
+        aggs.append(f"CAST({fn}({c}) AS BIGINT) AS a{i}")
+    if rng.random() < 0.4:
+        c = rng.choice(t["str_cols"])
+        aggs.append(f"count(DISTINCT {c}) AS nd")
+    select = ", ".join(gcols + aggs)
+    group = f" GROUP BY {', '.join(gcols)}" if gcols else ""
+    having = ""
+    if gcols and rng.random() < 0.3:
+        having = f" HAVING count(*) > {rng.choice([1, 5, 20])}"
+    return f"SELECT {select} FROM {name}{group}{having}".replace(
+        f"FROM {name}", f"FROM {name}{where}", 1
+    )
+
+
+@pytest.fixture(scope="module")
+def engines(spark):
+    from etl_dag_paris_velib_spark.sources.tpch import register_views
+
+    register_views(spark, SF_ORACLE)
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{SF_ORACLE}/{name}.parquet'"
+        )
+    # Spark reads events.ts as TIMESTAMP_NTZ micro-truncated; none of the
+    # grammar's columns touch ts, so no normalization is needed here.
+    return spark, con
+
+
+SEEDS = list(range(40))
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_fuzzed_query_matches_duckdb(engines, seed):
+    spark, con = engines
+    rng = random.Random(9000 + seed)
+    sql = _gen_query(rng)
+    sdf = spark.sql(sql)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    dd = con.execute(sql)
+    dcols = [d[0] for d in dd.description]
+    drows = dd.fetchall()
+    assert sorted(scols) == sorted(dcols), f"schema diverged for: {sql}"
+    assert len(srows) == len(drows), f"row count diverged for: {sql}"
+    assert canon_hash(scols, srows) == canon_hash(dcols, drows), (
+        f"value hash diverged for: {sql}"
+    )

@@ -118,6 +118,57 @@ def _gen_query(rng: random.Random) -> str:
     )
 
 
+#: dialect-shared scalar expressions over a string column (must parse AND
+#: agree in both engines — the common ANSI subset)
+def _scalar_expr(rng: random.Random, c: str) -> str:
+    return rng.choice(
+        [
+            f"upper({c})",
+            f"lower({c})",
+            f"substr({c}, 1, 2)",
+            f"length({c})",
+            f"coalesce({c}, 'x')",
+            f"CASE WHEN length({c}) > 4 THEN 'long' ELSE 'short' END",
+            f"{c} || '_sfx'",
+        ]
+    )
+
+
+def _gen_join_query(rng: random.Random) -> str:
+    """lineitem ⋈ orders on the order key — filters on both sides, integral
+    aggregates, optional group on either side's low-card columns."""
+    lt, ot = TABLES["lineitem"], TABLES["orders"]
+    preds = []
+    if rng.random() < 0.8:
+        preds.append(_predicate(rng, lt))
+    if rng.random() < 0.8:
+        preds.append(_predicate(rng, ot))
+    where = (" WHERE " + " AND ".join(preds)) if preds else ""
+    gcols = rng.sample(lt["group_cols"] + ot["group_cols"], k=rng.randint(0, 2))
+    aggs = ["count(*) AS n"]
+    if rng.random() < 0.7:
+        aggs.append("CAST(sum(l_linenumber) AS BIGINT) AS a0")
+    if rng.random() < 0.5:
+        aggs.append("CAST(min(o_orderkey) AS BIGINT) AS a1")
+    select = ", ".join(gcols + aggs)
+    group = f" GROUP BY {', '.join(gcols)}" if gcols else ""
+    return (
+        f"SELECT {select} FROM lineitem JOIN orders"
+        f" ON l_orderkey = o_orderkey{where}{group}"
+    )
+
+
+def _gen_scalar_query(rng: random.Random) -> str:
+    name = rng.choice(list(TABLES))
+    t = TABLES[name]
+    c = rng.choice(t["str_cols"])
+    exprs = [f"{_scalar_expr(rng, c)} AS e{i}" for i in range(rng.randint(1, 3))]
+    preds = [_predicate(rng, t) for _ in range(rng.randint(0, 2))]
+    where = (" WHERE " + " AND ".join(preds)) if preds else ""
+    key = rng.choice(t["int_cols"])
+    return f"SELECT {key}, {', '.join(exprs)} FROM {name}{where}"
+
+
 @pytest.fixture(scope="module")
 def engines(spark):
     from etl_dag_paris_velib_spark.sources.tpch import register_views
@@ -134,6 +185,31 @@ def engines(spark):
 
 
 SEEDS = list(range(40))
+
+
+def _compare(engines, sql: str) -> None:
+    spark, con = engines
+    sdf = spark.sql(sql)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    dd = con.execute(sql)
+    dcols = [d[0] for d in dd.description]
+    drows = dd.fetchall()
+    assert sorted(scols) == sorted(dcols), f"schema diverged for: {sql}"
+    assert len(srows) == len(drows), f"row count diverged for: {sql}"
+    assert canon_hash(scols, srows) == canon_hash(dcols, drows), (
+        f"value hash diverged for: {sql}"
+    )
+
+
+@pytest.mark.parametrize("seed", list(range(15)))
+def test_fuzzed_join_matches_duckdb(engines, seed):
+    _compare(engines, _gen_join_query(random.Random(7000 + seed)))
+
+
+@pytest.mark.parametrize("seed", list(range(15)))
+def test_fuzzed_scalar_matches_duckdb(engines, seed):
+    _compare(engines, _gen_scalar_query(random.Random(8000 + seed)))
 
 
 @pytest.mark.parametrize("seed", SEEDS)

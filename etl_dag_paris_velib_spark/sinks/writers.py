@@ -125,3 +125,86 @@ def append_jdbc(
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def compact_partitions(
+    spark,
+    path: str,
+    partition_cols: tuple[str, ...] = ("ingest_date", "ingest_hour"),
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction for a partitioned parquet table — the
+    maintenance op every long-running ingest layout needs (an hourly
+    writer like the reference's produces 24 × 365 tiny files/year/branch;
+    at 100 TB, scan-task count and object-store LIST/GET amplification
+    from small files dominate read cost long before data volume does).
+
+    Plan-then-rewrite, touching ONLY partitions that need it:
+
+    1. list leaf files per partition directory via the Hadoop FS API
+       (works identically on file:// and s3a://),
+    2. a partition needs compaction iff ``n_files > ceil(bytes/target)``,
+    3. each such partition is rewritten with exactly that many output
+       files (``repartition(n_out)`` scoped to the partition's rows) into
+       a HIDDEN staging dir under the table root (dot-prefixed — Spark's
+       file index ignores it, so concurrent readers never see partials),
+    4. staged partition dirs replace the originals by FS rename — no
+       read-while-overwrite hazard (Spark cannot safely overwrite a path
+       it is lazily reading), no full-table rewrite, and untouched
+       partitions are never read, listed, or replaced.
+
+    Returns ``{partition_rel_path: (bytes, files_before, files_after)}``
+    for the rewritten partitions. The swap is per-partition, not
+    transactional across partitions — the ACID version of this operator
+    is a table format's OPTIMIZE (Delta/Iceberg); the dataflow is
+    identical. Reference counterpart: none (the reference appends
+    one-file-per-hour CSVs and never compacts, etl_dag.py:248-255).
+    """
+    import math
+    import uuid
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(hconf)
+    qroot = fs.makeQualified(root).toString()
+
+    sizes: dict[str, tuple[int, int]] = {}
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        f = it.next()
+        fp = f.getPath().toString()
+        rel = fp[len(qroot) + 1 :]
+        parts = rel.split("/")
+        if any(seg.startswith((".", "_")) for seg in parts):
+            continue  # hidden/staging/_SUCCESS
+        d = "/".join(parts[:-1])
+        b, n = sizes.get(d, (0, 0))
+        sizes[d] = (b + f.getLen(), n + 1)
+
+    plan = {
+        d: (b, n, max(1, math.ceil(b / target_file_bytes)))
+        for d, (b, n) in sizes.items()
+        if n > max(1, math.ceil(b / target_file_bytes))
+    }
+    if not plan:
+        return {}
+
+    staging = f"{path}/.compact-{uuid.uuid4().hex[:12]}"
+    report: dict[str, tuple[int, int, int]] = {}
+    for d, (b, n_before, n_out) in plan.items():
+        part_df = spark.read.parquet(f"{path}/{d}")
+        part_df.repartition(n_out).write.mode("overwrite").parquet(
+            f"{staging}/{d}"
+        )
+        report[d] = (b, n_before, n_out)
+    for d in plan:
+        dst = jvm.org.apache.hadoop.fs.Path(f"{path}/{d}")
+        src = jvm.org.apache.hadoop.fs.Path(f"{staging}/{d}")
+        fs.delete(dst, True)
+        if not fs.rename(src, dst):
+            raise IOError(f"compaction rename failed for partition {d}")
+        # drop the per-partition _SUCCESS marker the staged write left
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{d}/_SUCCESS"), False)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+    return report

@@ -224,3 +224,57 @@ def test_lenient_json_read_quarantines_corrupt_lines(spark, tmp_path):
         "total garbage line",
     }
     assert all(r.source_file.endswith("mixed.jsonl") for r in bad_rows)
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction (sinks/writers.py:compact_partitions)
+# ---------------------------------------------------------------------------
+
+def test_compact_partitions_merges_files_preserves_data(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_dag_paris_velib_spark.sinks.writers import compact_partitions
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(2000).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("pt"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    # fragment pt=0 into 8 files; write pt=1 as a single file (already compact)
+    df.filter("pt = '0'").repartition(8).write.partitionBy("pt").mode(
+        "overwrite"
+    ).parquet(path)
+    df.filter("pt = '1'").coalesce(1).write.partitionBy("pt").mode(
+        "append"
+    ).parquet(path)
+
+    def files(p):
+        return sorted(
+            f for f in os.listdir(f"{path}/pt={p}") if f.endswith(".parquet")
+        )
+
+    assert len(files(0)) == 8 and len(files(1)) == 1
+    untouched_before = [
+        (f, os.path.getmtime(f"{path}/pt=1/{f}")) for f in files(1)
+    ]
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    report = compact_partitions(
+        spark, path, partition_cols=("pt",), target_file_bytes=1 << 30
+    )
+    assert set(report) == {"pt=0"}
+    assert report["pt=0"][1] == 8 and report["pt=0"][2] == 1
+    assert len(files(0)) == 1
+    # pt=1 was never read or replaced: same files, same mtimes
+    assert [
+        (f, os.path.getmtime(f"{path}/pt=1/{f}")) for f in files(1)
+    ] == untouched_before
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after == before
+    # second run is a no-op
+    assert compact_partitions(
+        spark, path, partition_cols=("pt",), target_file_bytes=1 << 30
+    ) == {}

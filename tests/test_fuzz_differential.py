@@ -49,6 +49,12 @@ TABLES = {
         "str_cols": ["event_type"],
         "group_cols": ["event_type"],
     },
+    "customer": {
+        "int_cols": ["c_custkey", "c_nationkey"],
+        "num_cols": ["c_acctbal"],
+        "str_cols": ["c_mktsegment"],
+        "group_cols": ["c_mktsegment"],
+    },
 }
 
 #: literal pools — approximate quantiles of the sf0.01 data, chosen so
@@ -61,6 +67,7 @@ STR_LITS = {
     "o_orderstatus": ["F", "O", "P"],
     "o_orderpriority": ["1-URGENT", "3-MEDIUM", "5-LOW"],
     "event_type": ["view", "click", "purchase", "signup", "error"],
+    "c_mktsegment": ["AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY"],
 }
 
 
@@ -169,6 +176,43 @@ def _gen_scalar_query(rng: random.Random) -> str:
     return f"SELECT {key}, {', '.join(exprs)} FROM {name}{where}"
 
 
+def _gen_subquery_query(rng: random.Random) -> str:
+    """IN / NOT IN / correlated EXISTS / scalar subqueries — the
+    decorrelation surface (Catalyst rewrites each into a join; the specs
+    pin four chosen shapes, this sweeps around them)."""
+    form = rng.choice(["in", "not_in", "exists", "scalar"])
+    if form in ("in", "not_in"):
+        neg = "NOT " if form == "not_in" else ""
+        sub_pred = _predicate(rng, TABLES["customer"])
+        outer_pred = (
+            f" AND {_predicate(rng, TABLES['orders'])}"
+            if rng.random() < 0.5
+            else ""
+        )
+        return (
+            "SELECT o_orderstatus, count(*) AS n FROM orders"
+            f" WHERE o_custkey {neg}IN"
+            f" (SELECT c_custkey FROM customer WHERE {sub_pred})"
+            f"{outer_pred} GROUP BY o_orderstatus"
+        )
+    if form == "exists":
+        neg = rng.choice(["", "NOT "])
+        sub_pred = _predicate(rng, TABLES["lineitem"])
+        return (
+            "SELECT o_orderpriority, count(*) AS n FROM orders"
+            f" WHERE {neg}EXISTS (SELECT 1 FROM lineitem"
+            f" WHERE l_orderkey = o_orderkey AND {sub_pred})"
+            " GROUP BY o_orderpriority"
+        )
+    cmp = rng.choice(["<", ">"])
+    agg = rng.choice(["avg", "min", "max"])
+    return (
+        "SELECT count(*) AS n, CAST(min(o_orderkey) AS BIGINT) AS a0"
+        f" FROM orders WHERE o_totalprice {cmp}"
+        f" (SELECT {agg}(o_totalprice) FROM orders)"
+    )
+
+
 @pytest.fixture(scope="module")
 def engines(spark):
     from etl_dag_paris_velib_spark.sources.tpch import register_views
@@ -210,6 +254,11 @@ def test_fuzzed_join_matches_duckdb(engines, seed):
 @pytest.mark.parametrize("seed", list(range(15)))
 def test_fuzzed_scalar_matches_duckdb(engines, seed):
     _compare(engines, _gen_scalar_query(random.Random(8000 + seed)))
+
+
+@pytest.mark.parametrize("seed", list(range(15)))
+def test_fuzzed_subquery_matches_duckdb(engines, seed):
+    _compare(engines, _gen_subquery_query(random.Random(6000 + seed)))
 
 
 @pytest.mark.parametrize("seed", SEEDS)

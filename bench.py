@@ -164,7 +164,11 @@ def main():
                 "queries": short,
                 "sf": sf,
                 "regressions": sorted(regressions),
-            }
+            },
+            # compact separators: the driver parses this line out of a
+            # ~2000-char output tail; at 106 specs the default ", "
+            # rendering overflows it (tests/test_bench_budget.py guard)
+            separators=(",", ":"),
         ),
         flush=True,
     )

@@ -70,7 +70,8 @@ def test_bench_json_line_fits_driver_tail_window():
             "queries": short,
             "sf": 0.1,
             "regressions": sorted(names[:5]),
-        }
+        },
+        separators=(",", ":"),  # as bench.py prints it
     )
     assert len(line) <= 1800, (
         f"bench JSON line is {len(line)} chars — the driver's ~2000-char "

@@ -115,6 +115,7 @@ DEMOTED = (
     # born-demoted (added after the round-5 window was fixed at 50):
     # parity-tested at sf0.01 every pytest run like the rest of the tail
     "q105_mixture_resample",
+    "q106_content_checksum",
 )
 REGISTRY.demote(DEMOTED)
 

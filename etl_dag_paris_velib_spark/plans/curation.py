@@ -1089,3 +1089,65 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", F.col("_c").cast("bigint").alias("copy_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q106 — per-source content checksum (anti-entropy / migration parity)
+# ---------------------------------------------------------------------------
+@C.add(
+    "q106_content_checksum",
+    oracle="""
+SELECT source,
+       count(*)::BIGINT AS n_rows,
+       bit_xor((('0x' || substr(md5(
+           doc_id::VARCHAR || ':' || n_chars::VARCHAR || ':' || md5(text)
+         ), 1, 14))::UBIGINT)::BIGINT) AS checksum
+FROM documents
+GROUP BY source
+""",
+    doc="Order-insensitive per-source content fingerprint: XOR of a "
+    "56-bit md5 over each row's canonical form (id : n_chars : md5(text)) "
+    "plus the row count — the anti-entropy primitive for verifying two "
+    "copies of a 100 TB table agree WITHOUT moving data (each side "
+    "computes its own 1-row-per-group summary; compare summaries). XOR "
+    "is commutative/associative, so the aggregate is partial-merge "
+    "friendly (map-side combine, one tiny shuffle) and insensitive to "
+    "row order and partitioning; identical duplicate ROWS would cancel, "
+    "but rows here are unique by doc_id inside the hash preimage. The "
+    "DuckDB oracle reproduces the checksum bit-exactly — which is "
+    "itself the operator's use case, demonstrated cross-engine. "
+    "Reference counterpart: none (the reference trusts its appends, "
+    "s3_to_postgres.py:80; this is the op that would catch its silent "
+    "double-insert on retry).",
+    tags=("curation", "quality", "checksum"),
+)
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("doc_id").cast("string"),
+                        F.col("n_chars").cast("string"),
+                        F.md5("text"),
+                    )
+                ),
+                1,
+                14,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("source", h)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(h)").alias("checksum"),
+        )
+    )

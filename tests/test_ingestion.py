@@ -278,3 +278,29 @@ def test_compact_partitions_merges_files_preserves_data(spark, tmp_path):
     assert compact_partitions(
         spark, path, partition_cols=("pt",), target_file_bytes=1 << 30
     ) == {}
+
+
+def test_gold_table_partition_pruning(spark, tmp_path):
+    """A date-filtered read of the ingest-partitioned gold layout must
+    prune at the FILE INDEX level (PartitionFilters, not a post-scan
+    Filter) — at 100 TB this is the difference between listing one hour
+    and listing a year."""
+    from pyspark.sql import functions as F
+
+    from etl_dag_paris_velib_spark.sinks.writers import write_partitioned_table
+
+    path = str(tmp_path / "gold")
+    df = spark.range(100).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, "2026-01-01")
+        .otherwise("2026-01-02")
+        .alias("ingest_date"),
+        (F.col("id") % 4).alias("ingest_hour"),
+    )
+    write_partitioned_table(df, path)
+    rd = spark.read.parquet(path).filter(F.col("ingest_date") == "2026-01-01")
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ingest_date" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], "date predicate must reach the file index"
+    assert rd.count() == 50

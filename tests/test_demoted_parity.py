@@ -54,6 +54,8 @@ NEW_THIS_ROUND = (
     "q100_sql_small_qty_revenue",
     "q101_frame_dedup",
     "q102_media_resize",
+    "q103_kmv_set_overlap",
+    "q104_shard_shuffle",
 )
 
 

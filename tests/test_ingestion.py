@@ -304,3 +304,34 @@ def test_gold_table_partition_pruning(spark, tmp_path):
         "PartitionFilters"
     )[1].split("]")[0], "date predicate must reach the file index"
     assert rd.count() == 50
+
+
+def test_compact_partitions_two_level_layout(spark, tmp_path):
+    """Compaction on the real ingest layout (date/hour): leaf-dir rename
+    must land under the surviving date dir, and sibling hours stay put."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_dag_paris_velib_spark.sinks.writers import compact_partitions
+
+    path = str(tmp_path / "gold")
+    df = spark.range(400).select(
+        F.col("id"),
+        F.lit("2026-01-01").alias("ingest_date"),
+        (F.col("id") % 2).alias("ingest_hour"),
+    )
+    df.filter("ingest_hour = 0").repartition(5).write.partitionBy(
+        "ingest_date", "ingest_hour"
+    ).mode("overwrite").parquet(path)
+    df.filter("ingest_hour = 1").coalesce(1).write.partitionBy(
+        "ingest_date", "ingest_hour"
+    ).mode("append").parquet(path)
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    report = compact_partitions(
+        spark, path, target_file_bytes=1 << 30
+    )
+    assert set(report) == {"ingest_date=2026-01-01/ingest_hour=0"}
+    h0 = f"{path}/ingest_date=2026-01-01/ingest_hour=0"
+    assert len([f for f in os.listdir(h0) if f.endswith(".parquet")]) == 1
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before

@@ -213,6 +213,42 @@ def _gen_subquery_query(rng: random.Random) -> str:
     )
 
 
+#: unique-key column lists per table — appended to window ORDER BY so the
+#: ordering is total and row_number is deterministic in both engines
+UNIQUE_KEY = {
+    "lineitem": "l_orderkey, l_linenumber",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "customer": "c_custkey",
+}
+
+
+def _gen_window_query(rng: random.Random) -> str:
+    name = rng.choice(list(TABLES))
+    t = TABLES[name]
+    g = rng.choice(t["group_cols"])
+    order_col = rng.choice(t["int_cols"] + t["num_cols"])
+    desc = rng.choice(["", " DESC"])
+    fn = rng.choice(
+        [
+            "row_number()",
+            f"rank() OVER (PARTITION BY {g} ORDER BY {order_col}{desc})",
+        ]
+    )
+    if fn == "row_number()":
+        fn = (
+            f"row_number() OVER (PARTITION BY {g}"
+            f" ORDER BY {order_col}{desc}, {UNIQUE_KEY[name]})"
+        )
+    pred = _predicate(rng, t)
+    n = rng.choice([1, 3, 10])
+    key0 = UNIQUE_KEY[name].split(",")[0].strip()
+    return (
+        f"SELECT g, k, rn FROM (SELECT {g} AS g, {key0} AS k,"
+        f" {fn} AS rn FROM {name} WHERE {pred}) sub WHERE rn <= {n}"
+    )
+
+
 @pytest.fixture(scope="module")
 def engines(spark):
     from etl_dag_paris_velib_spark.sources.tpch import register_views
@@ -259,6 +295,11 @@ def test_fuzzed_scalar_matches_duckdb(engines, seed):
 @pytest.mark.parametrize("seed", list(range(15)))
 def test_fuzzed_subquery_matches_duckdb(engines, seed):
     _compare(engines, _gen_subquery_query(random.Random(6000 + seed)))
+
+
+@pytest.mark.parametrize("seed", list(range(15)))
+def test_fuzzed_window_matches_duckdb(engines, seed):
+    _compare(engines, _gen_window_query(random.Random(5000 + seed)))
 
 
 @pytest.mark.parametrize("seed", SEEDS)

@@ -335,3 +335,30 @@ def test_compact_partitions_two_level_layout(spark, tmp_path):
     h0 = f"{path}/ingest_date=2026-01-01/ingest_hour=0"
     assert len([f for f in os.listdir(h0) if f.endswith(".parquet")]) == 1
     assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+
+
+def test_schema_evolution_across_partitions(spark, tmp_path):
+    """An ingest layout where a later hour gained a column: the default
+    read keeps the FIRST schema (no silent drift — the reference's
+    Postgres coerces silently, SURVEY §1.4); an explicit mergeSchema read
+    unions the schemas with nulls for the old partitions. Evolution is a
+    stated decision, never an accident."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolving")
+    v1 = spark.range(5).select(
+        F.col("id"), F.lit("2026-01-01").alias("ingest_date")
+    )
+    v2 = spark.range(5, 10).select(
+        F.col("id"),
+        F.lit(7.5).alias("battery_level"),  # column added in a later run
+        F.lit("2026-01-02").alias("ingest_date"),
+    )
+    v1.write.partitionBy("ingest_date").mode("overwrite").parquet(path)
+    v2.write.partitionBy("ingest_date").mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "battery_level", "ingest_date"}
+    rows = {r["id"]: r["battery_level"] for r in merged.collect()}
+    assert rows[0] is None and rows[7] == 7.5
+    assert merged.count() == 10

@@ -249,16 +249,64 @@ def _gen_window_query(rng: random.Random) -> str:
     )
 
 
+def _gen_nulls_query(rng: random.Random) -> str:
+    """Null-semantics sweep over the synthetic `nulls` table — the parquet
+    testdata is NULL-free, so three-valued-logic divergence (NOT IN with
+    NULLs, NULL groups, count vs count(col)) would otherwise go unswept."""
+    preds = [
+        "v_int IS NULL",
+        "v_int IS NOT NULL",
+        f"v_int = {rng.randint(0, 49)}",
+        f"v_int <> {rng.randint(0, 49)}",
+        f"v_int IN ({rng.randint(0, 20)}, {rng.randint(21, 49)})",
+        f"v_int NOT IN ({rng.randint(0, 20)}, {rng.randint(21, 49)})",
+        f"coalesce(v_int, -1) < {rng.randint(-1, 30)}",
+        "v_str IS NULL",
+        f"v_str = 's{rng.randint(0, 4)}'",
+        # ANSI trap: NULL in the subquery makes NOT IN empty — both
+        # engines must agree on the three-valued logic
+        "id NOT IN (SELECT v_int FROM nulls)",
+        "id IN (SELECT v_int FROM nulls)",
+    ]
+    where = " AND ".join(rng.sample(preds[:-2], k=rng.randint(1, 2)))
+    if rng.random() < 0.3:
+        where = rng.choice(preds[-2:])
+    aggs = [
+        "count(*) AS n",
+        "count(v_int) AS n_nonnull",
+        "count(DISTINCT v_str) AS nd",
+        "CAST(sum(v_int) AS BIGINT) AS s",
+    ]
+    sel = ", ".join(rng.sample(aggs, k=rng.randint(2, 4)))
+    if rng.random() < 0.5:  # NULL group included by GROUP BY in both
+        return f"SELECT v_str, {sel} FROM nulls WHERE {where} GROUP BY v_str"
+    return f"SELECT {sel} FROM nulls WHERE {where}"
+
+
 @pytest.fixture(scope="module")
 def engines(spark):
     from etl_dag_paris_velib_spark.sources.tpch import register_views
 
     register_views(spark, SF_ORACLE)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW nulls AS SELECT id,"
+        " CASE WHEN id % 7 = 0 THEN NULL ELSE id % 50 END AS v_int,"
+        " CASE WHEN id % 11 = 0 THEN NULL"
+        "      ELSE concat('s', CAST(id % 5 AS STRING)) END AS v_str"
+        " FROM range(1000)"
+    )
     con = duckdb.connect()
     for name in TABLES:
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM '{SF_ORACLE}/{name}.parquet'"
         )
+    con.execute(
+        "CREATE VIEW nulls AS SELECT i AS id,"
+        " CASE WHEN i % 7 = 0 THEN NULL ELSE i % 50 END AS v_int,"
+        " CASE WHEN i % 11 = 0 THEN NULL"
+        "      ELSE 's' || CAST(i % 5 AS VARCHAR) END AS v_str"
+        " FROM generate_series(0, 999) t(i)"
+    )
     # Spark reads events.ts as TIMESTAMP_NTZ micro-truncated; none of the
     # grammar's columns touch ts, so no normalization is needed here.
     return spark, con
@@ -300,6 +348,11 @@ def test_fuzzed_subquery_matches_duckdb(engines, seed):
 @pytest.mark.parametrize("seed", list(range(15)))
 def test_fuzzed_window_matches_duckdb(engines, seed):
     _compare(engines, _gen_window_query(random.Random(5000 + seed)))
+
+
+@pytest.mark.parametrize("seed", list(range(15)))
+def test_fuzzed_nulls_matches_duckdb(engines, seed):
+    _compare(engines, _gen_nulls_query(random.Random(4000 + seed)))
 
 
 @pytest.mark.parametrize("seed", SEEDS)

@@ -116,6 +116,7 @@ DEMOTED = (
     # parity-tested at sf0.01 every pytest run like the rest of the tail
     "q105_mixture_resample",
     "q106_content_checksum",
+    "q107_association_rules",
 )
 REGISTRY.demote(DEMOTED)
 

@@ -366,3 +366,94 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
         | F.col("c.o_orderkey").isNull()
         | (F.col("b.price") != F.col("c.price"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q107 — association rules (support / confidence / lift) over co-purchases
+# ---------------------------------------------------------------------------
+@G.add(
+    "q107_association_rules",
+    oracle="""
+WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_total FROM basket),
+item AS (
+  SELECT l_partkey, count(*)::BIGINT AS n_item FROM basket GROUP BY l_partkey
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*)::BIGINT AS n_ab
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, n_ab,
+       round(n_ab / n_total, 6) AS support,
+       round(n_ab / ia.n_item, 6) AS conf_a_to_b,
+       round((n_ab * n_total) / (ia.n_item * ib.n_item), 6) AS lift
+FROM pairs
+CROSS JOIN n
+JOIN item ia ON ia.l_partkey = part_a
+JOIN item ib ON ib.l_partkey = part_b
+WHERE n_ab >= 2
+ORDER BY round((n_ab * n_total) / (ia.n_item * ib.n_item), 6) DESC,
+         part_a, part_b
+LIMIT 25
+""",
+    doc="A-priori step two on q84's pair counts: support n_ab/N, "
+    "confidence n_ab/n_a, and lift (n_ab*N)/(n_a*n_b) for every "
+    "co-purchased part pair above min-support, top-25 by lift. The pair "
+    "fan-out is q84's orderkey-bounded self-join (never a cross join); "
+    "item counts are |parts| rows and broadcast to the pair table; the "
+    "1-row basket total joins by a whitelisted single-row broadcast "
+    "(q50's bounds pattern). Ordering uses the ROUNDED lift so the "
+    "top-25 cutoff is cross-engine deterministic; ties break on the "
+    "pair key. At 100 TB nothing changes shape: pairs shuffle once on "
+    "the pair key, dims broadcast, top-25 is TakeOrderedAndProject. "
+    "Reference counterpart: none (north-star extension).",
+    tags=("basket", "graph", "rules"),
+)
+def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    basket = (
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    total = basket.agg(
+        F.count_distinct("l_orderkey").cast("bigint").alias("n_total")
+    )
+    item = basket.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    a, b = basket.alias("a"), basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    ia = item.select(F.col("pk").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("pk").alias("part_b"), F.col("n_item").alias("n_b"))
+    lift = F.round(
+        (F.col("n_ab") * F.col("n_total")) / (F.col("n_a") * F.col("n_b")), 6
+    )
+    return (
+        pairs.crossJoin(F.broadcast(total))
+        .join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(F.col("n_ab") / F.col("n_total"), 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("n_a"), 6).alias("conf_a_to_b"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(25)
+    )

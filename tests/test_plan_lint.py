@@ -39,6 +39,8 @@ BNLJ_WHITELIST = {
     "q96_mutual_nn_pairs": "q33's block/shard id grid broadcast (all_pairs_nn)",
     "q103_kmv_set_overlap": "distinct set-id grid (ga < gb pairs) broadcast; "
     "bounded by #sets, independent of corpus size",
+    "q107_association_rules": "1-row basket-total broadcast cross join "
+    "(q50's bounds pattern)",
 }
 
 

@@ -972,7 +972,9 @@ def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q74_correlated_subquery",
     oracle="""
 SELECT p.p_partkey, p.p_name,
-       (SELECT round(max(l.l_extendedprice * (1 - l.l_discount)), 2)
+       (SELECT CAST(round(max(CAST(l.l_extendedprice AS DECIMAL(15,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(15,4)))), 2)
+               AS DOUBLE)
         FROM lineitem l WHERE l.l_partkey = p.p_partkey) AS max_line_rev
 FROM part p
 WHERE p.p_size >= 48
@@ -986,7 +988,11 @@ WHERE p.p_size >= 48
     "automatically from the declarative form; parts with no lineitem "
     "rows surface as NULL, exactly the subquery semantics. At 100 TB the "
     "aggregate shuffles on l_partkey once and the filtered dim side "
-    "broadcasts.",
+    "broadcasts. The revenue product runs in DECIMAL, not DOUBLE: at "
+    "sf0.1 a max value landed on a round-half boundary where Spark "
+    "(exact-BigDecimal HALF_UP) and DuckDB (scaled-double rounding) "
+    "disagree by a cent — decimal arithmetic is exact and identical in "
+    "both engines, then casts back to DOUBLE for rendering.",
     tags=("subquery", "sql", "relational"),
 )
 def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -995,7 +1001,9 @@ def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT p.p_partkey, p.p_name,
-               (SELECT round(max(l.l_extendedprice * (1 - l.l_discount)), 2)
+               (SELECT CAST(round(max(CAST(l.l_extendedprice AS DECIMAL(15,2))
+                                      * (1 - CAST(l.l_discount AS DECIMAL(15,4)))), 2)
+                       AS DOUBLE)
                 FROM q74_lineitem l WHERE l.l_partkey = p.p_partkey) AS max_line_rev
         FROM q74_part p
         WHERE p.p_size >= 48

@@ -54,6 +54,15 @@ REGISTRY.merge(_sqltext)
 # make room for the two specs NEW this round — q103 (KMV pairwise
 # set-op estimates) and q104 (deterministic shard shuffle) — which have
 # never been driver-checked.
+#
+# Late-round amendment: q105/q106/q107 were authored AFTER the window
+# above was fixed, so they'd have reached round 6 with no driver row at
+# all. Never-driver-checked specs outrank r03-era greens whose families
+# keep in-window representatives, so three more rotate to the tail to
+# make room: q05 (inner multi-way join — q03 stays in-window), q06
+# (latest-per-key row_number — q16's top-k window mechanism stays), and
+# q10 (CUBE — q09 ROLLUP and q39 GROUPING SETS stay). All three remain
+# oracle-checked at sf0.01 on every pytest run like the rest of the tail.
 DEMOTED = (
     # r04-green, code unchanged since their fresh r04 rows
     "q43_sessionize_events",
@@ -112,11 +121,11 @@ DEMOTED = (
     "q44_tfidf_keywords",
     "q32_filename_parse",
     "q34_right_outer",
-    # born-demoted (added after the round-5 window was fixed at 50):
-    # parity-tested at sf0.01 every pytest run like the rest of the tail
-    "q105_mixture_resample",
-    "q106_content_checksum",
-    "q107_association_rules",
+    # rotated out late in round 5 to give q105/q106/q107 their first
+    # driver rows (see the amendment note above); families stay covered
+    "q05_region_revenue",
+    "q06_latest_order_per_customer",
+    "q10_events_cube",
 )
 REGISTRY.demote(DEMOTED)
 

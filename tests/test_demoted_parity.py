@@ -56,6 +56,9 @@ NEW_THIS_ROUND = (
     "q102_media_resize",
     "q103_kmv_set_overlap",
     "q104_shard_shuffle",
+    "q105_mixture_resample",
+    "q106_content_checksum",
+    "q107_association_rules",
 )
 
 

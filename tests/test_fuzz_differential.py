@@ -249,6 +249,56 @@ def _gen_window_query(rng: random.Random) -> str:
     )
 
 
+def _gen_grouping_query(rng: random.Random) -> str:
+    """ROLLUP / CUBE / GROUPING SETS sweep — super-aggregate rows carry
+    NULL group keys and the GROUPING() marker, a surface where dialects
+    classically diverge (which sets are emitted, how grouping bits are
+    numbered). The hand-written specs pin one shape each (q09/q10/q39);
+    this sweeps the neighborhood: random set lists, filters below the
+    rollup, HAVING above the super-aggregate rows."""
+    name = rng.choice(["lineitem", "orders"])  # tables with 2 group cols
+    t = TABLES[name]
+    a, b = t["group_cols"]
+    form = rng.choice(["rollup", "cube", "sets"])
+    if form == "rollup":
+        group = f"ROLLUP ({a}, {b})"
+    elif form == "cube":
+        group = f"CUBE ({a}, {b})"
+    else:
+        # the full (a, b) set is always present so every selected column
+        # and grouping() marker is covered: Spark's analyzer rejects
+        # grouping(c) when c appears in NO chosen set
+        # ([GROUPING_COLUMN_MISMATCH]) while DuckDB accepts it — an
+        # analyzer-strictness gap, not a silent data divergence, so the
+        # grammar stays inside the standard-valid intersection
+        extra = rng.sample([f"({a})", f"({b})", "()"], k=rng.randint(1, 3))
+        group = f"GROUPING SETS ({', '.join([f'({a}, {b})'] + extra)})"
+    aggs = ["count(*) AS n"]
+    if rng.random() < 0.7:
+        c = rng.choice(t["int_cols"])
+        aggs.append(f"CAST(sum({c}) AS BIGINT) AS s0")
+    # the grouping marker disambiguates super-aggregate NULLs from data
+    # NULLs; cast so Spark's TINYINT and DuckDB's BIGINT hash identically
+    aggs.append(f"CAST(grouping({a}) AS BIGINT) AS ga")
+    if rng.random() < 0.5:
+        aggs.append(f"CAST(grouping({b}) AS BIGINT) AS gb")
+    preds = [_predicate(rng, t) for _ in range(rng.randint(0, 2))]
+    where = (" WHERE " + " AND ".join(preds)) if preds else ""
+    # HAVING count(*) > 0 is mandatory, not stylistic: when the WHERE
+    # empties the input, engines genuinely diverge on grouping sets that
+    # include () — DuckDB (per the standard, like PostgreSQL) emits the
+    # grand-total row with count 0, Spark emits no rows at all (it only
+    # keeps the one-row behavior for a plain global aggregate). The
+    # divergence is pinned in test_empty_input_super_aggregate_divergence
+    # below; the floor drops exactly that n=0 row in both engines and
+    # nothing else, so the sweep compares the agreed non-empty surface.
+    having = f" HAVING count(*) > {rng.choice([0, 0, 5, 50])}"
+    return (
+        f"SELECT {a}, {b}, {', '.join(aggs)} FROM {name}{where}"
+        f" GROUP BY {group}{having}"
+    )
+
+
 def _gen_nulls_query(rng: random.Random) -> str:
     """Null-semantics sweep over the synthetic `nulls` table — the parquet
     testdata is NULL-free, so three-valued-logic divergence (NOT IN with
@@ -353,6 +403,36 @@ def test_fuzzed_window_matches_duckdb(engines, seed):
 @pytest.mark.parametrize("seed", list(range(15)))
 def test_fuzzed_nulls_matches_duckdb(engines, seed):
     _compare(engines, _gen_nulls_query(random.Random(4000 + seed)))
+
+
+@pytest.mark.parametrize("seed", list(range(15)))
+def test_fuzzed_grouping_matches_duckdb(engines, seed):
+    _compare(engines, _gen_grouping_query(random.Random(3000 + seed)))
+
+
+def test_empty_input_super_aggregate_divergence(engines):
+    """Pins a REAL cross-engine divergence this fuzzer found (round 5):
+    over an EMPTY input, any GROUP BY whose grouping sets include ()
+    — ROLLUP, CUBE, or explicit GROUPING SETS (..., ()) — emits the
+    grand-total row with count 0 in DuckDB (standard behavior, matches
+    PostgreSQL), while Spark 4.1.2 emits zero rows. Spark keeps the
+    one-row answer only for a plain ungrouped aggregate. Registered
+    rollup/cube specs (q09/q10/q39) run over provably non-empty inputs,
+    and the fuzz grammar floors with HAVING count(*) > 0, so the engine
+    difference can't silently leak into an oracle comparison; if a
+    future spec filters a rollup input that can be empty at some sf,
+    this is the trap to check first."""
+    spark, con = engines
+    sql = (
+        "SELECT o_orderstatus, count(*) AS n FROM orders"
+        " WHERE o_orderkey < 0 GROUP BY ROLLUP (o_orderstatus)"
+    )
+    assert spark.sql(sql).count() == 0  # Spark: no grand-total row
+    assert con.execute(sql).fetchall() == [(None, 0)]  # DuckDB: standard
+    # both agree on the plain global aggregate over empty input
+    plain = "SELECT count(*) AS n FROM orders WHERE o_orderkey < 0"
+    assert [tuple(r) for r in spark.sql(plain).collect()] == [(0,)]
+    assert con.execute(plain).fetchall() == [(0,)]
 
 
 @pytest.mark.parametrize("seed", SEEDS)

@@ -54,6 +54,15 @@ BNLJ_WHITELIST = {
 # 57 rounding oracles are verified at sf0.001/0.01/0.1 (full sweeps)
 # and sf1.0 (targeted probe); apply the pattern on any new divergence
 # rather than widening tolerances.
+#
+# Second documented trap (found by the round-5 grouping-sets fuzz
+# grammar, pinned in test_fuzz_differential.py::
+# test_empty_input_super_aggregate_divergence): over an EMPTY input,
+# ROLLUP/CUBE/GROUPING SETS that include the () set emit a count-0
+# grand-total row in DuckDB (standard, = PostgreSQL) but ZERO rows in
+# Spark 4.1.2. Any rollup spec whose WHERE could empty the input at
+# some sf must either guarantee non-emptiness or floor with
+# HAVING count(*) > 0 in BOTH texts.
 
 
 def test_no_oracle_emits_hugeint():

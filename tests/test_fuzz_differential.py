@@ -299,6 +299,43 @@ def _gen_grouping_query(rng: random.Random) -> str:
     )
 
 
+def _gen_orderby_query(rng: random.Random) -> str:
+    """ORDER BY + LIMIT sweep (TakeOrderedAndProject's semantic surface).
+    The hash comparison is order-insensitive, so what this actually
+    checks is that both engines select the SAME top-n ROW SET — which
+    requires a total order: every ORDER BY ends with the table's unique
+    key as tiebreaker. Null placement is always EXPLICIT (NULLS FIRST /
+    NULLS LAST): the engines' defaults genuinely differ — Spark sorts
+    ascending NULLS FIRST, DuckDB ascending NULLS LAST (both flip for
+    DESC) — so an implicit ordering over a nullable column picks
+    DIFFERENT top-n sets. Pinned in test_null_ordering_default_divergence
+    below; the grammar stays on the agreed explicit surface."""
+    if rng.random() < 0.5:  # nullable sort key: the interesting half
+        ocol = rng.choice(["v_int", "v_str"])
+        direction = rng.choice(["ASC", "DESC"])
+        nulls = rng.choice(["NULLS FIRST", "NULLS LAST"])
+        pred = rng.choice(
+            ["id >= 0", f"id % {rng.choice([2, 3, 5])} = 0", "v_int IS NOT NULL"]
+        )
+        n = rng.choice([5, 20, 100])
+        return (
+            f"SELECT id, v_int, v_str FROM nulls WHERE {pred}"
+            f" ORDER BY {ocol} {direction} {nulls}, id LIMIT {n}"
+        )
+    name = rng.choice(list(TABLES))
+    t = TABLES[name]
+    ocol = rng.choice(t["int_cols"] + t["num_cols"] + t["str_cols"])
+    direction = rng.choice(["ASC", "DESC"])
+    pred = _predicate(rng, t)
+    n = rng.choice([1, 10, 50])
+    key0 = UNIQUE_KEY[name]
+    cols = ", ".join(dict.fromkeys([key0.split(",")[0].strip(), ocol]))
+    return (
+        f"SELECT {cols} FROM {name} WHERE {pred}"
+        f" ORDER BY {ocol} {direction}, {key0} LIMIT {n}"
+    )
+
+
 def _gen_nulls_query(rng: random.Random) -> str:
     """Null-semantics sweep over the synthetic `nulls` table — the parquet
     testdata is NULL-free, so three-valued-logic divergence (NOT IN with
@@ -408,6 +445,36 @@ def test_fuzzed_nulls_matches_duckdb(engines, seed):
 @pytest.mark.parametrize("seed", list(range(15)))
 def test_fuzzed_grouping_matches_duckdb(engines, seed):
     _compare(engines, _gen_grouping_query(random.Random(3000 + seed)))
+
+
+@pytest.mark.parametrize("seed", list(range(15)))
+def test_fuzzed_orderby_matches_duckdb(engines, seed):
+    _compare(engines, _gen_orderby_query(random.Random(2000 + seed)))
+
+
+def test_null_ordering_default_divergence(engines):
+    """Pins the second real divergence the round-5 grammars surfaced:
+    the engines' DEFAULT null placement in ORDER BY differs — Spark
+    sorts ascending NULLS FIRST, DuckDB (like PostgreSQL) ascending
+    NULLS LAST — so `ORDER BY nullable LIMIT n` without an explicit
+    NULLS clause selects DIFFERENT row sets. Registered specs always
+    order by non-null keys or spell the placement; the fuzz grammar
+    makes NULLS FIRST/LAST explicit. If a future spec orders by a
+    nullable column, the explicit clause is mandatory in BOTH texts."""
+    spark, con = engines
+    sql = "SELECT id FROM nulls ORDER BY v_int LIMIT 3"
+    srows = [r[0] for r in spark.sql(sql).collect()]
+    drows = [r[0] for r in con.execute(sql).fetchall()]
+    # Spark's implicit ASC = NULLS FIRST: the v_int IS NULL ids (id%7=0)
+    assert all(i % 7 == 0 for i in srows), srows
+    # DuckDB's implicit ASC = NULLS LAST: the smallest non-null values
+    assert all(i % 7 != 0 for i in drows), drows
+    # with the placement explicit, the engines agree on both forms
+    for nulls in ("NULLS FIRST", "NULLS LAST"):
+        esql = f"SELECT id FROM nulls ORDER BY v_int {nulls}, id LIMIT 5"
+        s = [r[0] for r in spark.sql(esql).collect()]
+        d = [r[0] for r in con.execute(esql).fetchall()]
+        assert s == d, (nulls, s, d)
 
 
 def test_empty_input_super_aggregate_divergence(engines):

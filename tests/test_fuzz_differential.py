@@ -336,6 +336,31 @@ def _gen_orderby_query(rng: random.Random) -> str:
     )
 
 
+def _gen_setop_query(rng: random.Random) -> str:
+    """UNION / INTERSECT / EXCEPT sweep ([ALL] and DISTINCT forms),
+    optionally through a WITH clause — bag vs set semantics and CTE
+    scoping around the q12 spec. Branches project the same typed column
+    list from one table under different predicates, so the set algebra
+    is the only thing varying."""
+    name = rng.choice(list(TABLES))
+    t = TABLES[name]
+    cols = ", ".join(
+        rng.sample(t["int_cols"] + t["str_cols"], k=rng.randint(1, 2))
+    )
+    p1, p2 = _predicate(rng, t), _predicate(rng, t)
+    op = rng.choice(
+        ["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL", "EXCEPT", "EXCEPT ALL"]
+    )
+    b1 = f"SELECT {cols} FROM {name} WHERE {p1}"
+    b2 = f"SELECT {cols} FROM {name} WHERE {p2}"
+    body = f"{b1} {op} {b2}"
+    if rng.random() < 0.4:  # route one branch through a CTE
+        return f"WITH s1 AS ({b1}) SELECT * FROM s1 {op} {b2}"
+    if rng.random() < 0.3:  # aggregate above the set op
+        return f"SELECT count(*) AS n FROM ({body}) u"
+    return body
+
+
 def _gen_nulls_query(rng: random.Random) -> str:
     """Null-semantics sweep over the synthetic `nulls` table — the parquet
     testdata is NULL-free, so three-valued-logic divergence (NOT IN with
@@ -450,6 +475,11 @@ def test_fuzzed_grouping_matches_duckdb(engines, seed):
 @pytest.mark.parametrize("seed", list(range(15)))
 def test_fuzzed_orderby_matches_duckdb(engines, seed):
     _compare(engines, _gen_orderby_query(random.Random(2000 + seed)))
+
+
+@pytest.mark.parametrize("seed", list(range(15)))
+def test_fuzzed_setop_matches_duckdb(engines, seed):
+    _compare(engines, _gen_setop_query(random.Random(1000 + seed)))
 
 
 def test_null_ordering_default_divergence(engines):

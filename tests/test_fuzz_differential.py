@@ -336,6 +336,58 @@ def _gen_orderby_query(rng: random.Random) -> str:
     )
 
 
+#: timestamp literals inside the events table's Jan-2024 span
+TS_LITS = [
+    "TIMESTAMP '2024-01-05 06:00:00'",
+    "TIMESTAMP '2024-01-15 12:30:00'",
+    "TIMESTAMP '2024-01-25 23:59:59'",
+]
+
+
+def _gen_temporal_query(rng: random.Random) -> str:
+    """Date/time function sweep over events.ts — the dialect surface the
+    time-bucketed specs (q13/q50/q82) build on: date_trunc buckets,
+    EXTRACT fields, DATE casts, timestamp-literal ranges, and the
+    shared-syntax INTERVAL form (`INTERVAL 1 HOUR` parses in both
+    engines; the quoted forms differ per engine and stay out). Spark
+    reads ts as TIMESTAMP_NTZ, DuckDB as naive TIMESTAMP — micros
+    round-trip bit-exactly (verified), so values hash directly.
+
+    Dialect trap this grammar surfaced (type-level, not semantic):
+    DuckDB's date_trunc returns DATE for units of day and coarser
+    while Spark always returns TIMESTAMP — same instant, different
+    rendering, so a shared-text bucket column hash-diverges unless
+    both sides go through CAST(... AS TIMESTAMP). The time-bucketed
+    specs already normalize this way; the grammar does the same."""
+    unit = rng.choice(["minute", "hour", "day", "week", "month"])
+    field = rng.choice(["year", "month", "day", "hour", "minute"])
+    pred = rng.choice(
+        [
+            f"ts < {rng.choice(TS_LITS)}",
+            f"ts BETWEEN {TS_LITS[0]} AND {rng.choice(TS_LITS[1:])}",
+            f"CAST(ts AS DATE) = DATE '2024-01-{rng.randint(10, 20)}'",
+            f"ts + INTERVAL {rng.randint(1, 48)} HOUR < {rng.choice(TS_LITS)}",
+            f"event_type = '{rng.choice(STR_LITS['event_type'])}'",
+        ]
+    )
+    if rng.random() < 0.5:  # bucketed aggregate (the q13 shape)
+        aggs = ["count(*) AS n"]
+        if rng.random() < 0.6:
+            aggs.append("CAST(sum(user_id) AS BIGINT) AS s0")
+        return (
+            f"SELECT CAST(date_trunc('{unit}', ts) AS TIMESTAMP) AS bucket,"
+            f" {', '.join(aggs)}"
+            f" FROM events WHERE {pred} GROUP BY date_trunc('{unit}', ts)"
+        )
+    exprs = [
+        f"CAST(date_trunc('{unit}', ts) AS TIMESTAMP) AS b",
+        f"CAST(extract({field} FROM ts) AS BIGINT) AS e",
+    ]
+    if rng.random() < 0.4:
+        exprs.append("CAST(ts AS DATE) AS d")
+    return f"SELECT event_id, {', '.join(exprs)} FROM events WHERE {pred}"
+
+
 def _gen_setop_query(rng: random.Random) -> str:
     """UNION / INTERSECT / EXCEPT sweep ([ALL] and DISTINCT forms),
     optionally through a WITH clause — bag vs set semantics and CTE
@@ -480,6 +532,11 @@ def test_fuzzed_orderby_matches_duckdb(engines, seed):
 @pytest.mark.parametrize("seed", list(range(15)))
 def test_fuzzed_setop_matches_duckdb(engines, seed):
     _compare(engines, _gen_setop_query(random.Random(1000 + seed)))
+
+
+@pytest.mark.parametrize("seed", list(range(15)))
+def test_fuzzed_temporal_matches_duckdb(engines, seed):
+    _compare(engines, _gen_temporal_query(random.Random(12000 + seed)))
 
 
 def test_null_ordering_default_divergence(engines):

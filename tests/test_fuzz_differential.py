@@ -137,6 +137,20 @@ def _scalar_expr(rng: random.Random, c: str) -> str:
             f"coalesce({c}, 'x')",
             f"CASE WHEN length({c}) > 4 THEN 'long' ELSE 'short' END",
             f"{c} || '_sfx'",
+            f"trim({c})",
+            f"replace({c}, 'A', 'z')",
+            f"lpad({c}, 12, '.')",
+            f"rpad({c}, 12, '.')",
+            f"reverse({c})",
+            f"repeat(substr({c}, 1, 1), 3)",
+            f"concat_ws('-', {c}, {c})",
+            f"left({c}, 3)",
+            f"right({c}, 3)",
+            f"contains({c}, 'A')",
+            # starts_with is DuckDB-only (Spark spells it startswith);
+            # LIKE is the shared-text prefix test
+            f"({c} LIKE 'A%')",
+            f"instr({c}, 'U')",
         ]
     )
 

@@ -402,6 +402,36 @@ def _gen_temporal_query(rng: random.Random) -> str:
     return f"SELECT event_id, {', '.join(exprs)} FROM events WHERE {pred}"
 
 
+def _gen_numeric_query(rng: random.Random) -> str:
+    """Integer-safe numeric function sweep — arithmetic, abs/mod,
+    greatest/least, floor/ceil, sign, CASE math. Stays off round(x, n)
+    over doubles deliberately: that's the documented FP boundary trap
+    (tests/test_plan_lint.py), fixed per-spec with DECIMAL, not fuzzed.
+    floor/ceil feed a BIGINT cast because Spark returns BIGINT where
+    DuckDB returns DOUBLE — same value, different type."""
+    name = rng.choice(list(TABLES))
+    t = TABLES[name]
+    c1, c2 = rng.choice(t["int_cols"]), rng.choice(t["int_cols"])
+    lit = rng.choice(INT_LITS)
+    exprs = rng.sample(
+        [
+            f"abs({c1} - {lit}) AS e0",
+            f"mod({c1}, {rng.choice([3, 7, 13])}) AS e1",
+            f"greatest({c1}, {c2}, {lit}) AS e2",
+            f"least({c1}, {c2}) AS e3",
+            f"CAST(floor({c1} / 7.0) AS BIGINT) AS e4",
+            f"CAST(ceil({c1} / 7.0) AS BIGINT) AS e5",
+            f"sign({c1} - {lit}) AS e6",
+            f"({c1} * 3 + {c2}) AS e7",
+            f"CASE WHEN {c1} % 2 = 0 THEN {c1} ELSE -{c1} END AS e8",
+        ],
+        k=rng.randint(2, 4),
+    )
+    pred = _predicate(rng, t)
+    key0 = UNIQUE_KEY[name].split(",")[0].strip()
+    return f"SELECT {key0}, {', '.join(exprs)} FROM {name} WHERE {pred}"
+
+
 def _gen_setop_query(rng: random.Random) -> str:
     """UNION / INTERSECT / EXCEPT sweep ([ALL] and DISTINCT forms),
     optionally through a WITH clause — bag vs set semantics and CTE
@@ -551,6 +581,11 @@ def test_fuzzed_setop_matches_duckdb(engines, seed):
 @pytest.mark.parametrize("seed", list(range(15)))
 def test_fuzzed_temporal_matches_duckdb(engines, seed):
     _compare(engines, _gen_temporal_query(random.Random(12000 + seed)))
+
+
+@pytest.mark.parametrize("seed", list(range(15)))
+def test_fuzzed_numeric_matches_duckdb(engines, seed):
+    _compare(engines, _gen_numeric_query(random.Random(13000 + seed)))
 
 
 def test_null_ordering_default_divergence(engines):

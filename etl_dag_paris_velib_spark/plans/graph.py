@@ -369,6 +369,72 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Shared basket → pair-count fan-out (q107 / q109)
+# ---------------------------------------------------------------------------
+#: Default per-basket item cap for the in-array pair/triple fan-out. The
+#: fan-out is O(basket²) (O(basket³) for triples); TPC-H baskets are ≤7
+#: items so this is a no-op on the oracle data, but on real transaction
+#: logs a single pathological mega-basket (a bot account, a bulk import)
+#: would dominate the stage. Baskets above the cap are EXCLUDED — in
+#: curation terms they are noise, not signal (the same judgement the LSH
+#: bucket caps make for hub shingles); callers who want them keep them by
+#: passing ``max_basket=None``.
+DEFAULT_MAX_BASKET = 10_000
+
+
+def basket_arrays(
+    basket: DataFrame,
+    order_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    max_basket: int | None = DEFAULT_MAX_BASKET,
+) -> DataFrame:
+    """(order, item) rows → one sorted distinct-item array per order
+    (column ``ps``), with the :data:`DEFAULT_MAX_BASKET` guard applied
+    BEFORE any pair/triple fan-out. One exchange on the order key; the
+    array is bounded by ``max_basket`` so downstream explodes are too."""
+    ps = basket.groupBy(order_col).agg(
+        F.array_sort(F.collect_set(item_col)).alias("ps")
+    )
+    if max_basket is not None:
+        ps = ps.filter(F.size("ps") <= max_basket)
+    return ps
+
+
+def basket_pair_counts(
+    basket: DataFrame,
+    order_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    max_basket: int | None = DEFAULT_MAX_BASKET,
+    min_count: int | None = None,
+) -> DataFrame:
+    """Co-occurrence pair counts (part_a < part_b, columns ``part_a,
+    part_b, n_ab``) via the in-array fan-out: one orderkey exchange
+    builds per-order arrays, pairs explode in-operator (skips the
+    self-join SMJ's two full sorts — measured 11.7s → 5.4s at sf1.0),
+    then one shuffle on the pair key with map-side partial aggregation.
+    ``max_basket`` bounds the O(basket²) explode (see
+    :data:`DEFAULT_MAX_BASKET`)."""
+    pairs = (
+        basket_arrays(basket, order_col, item_col, max_basket)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    if min_count is not None:
+        pairs = pairs.filter(F.col("n_ab") >= min_count)
+    return pairs
+
+
+# ---------------------------------------------------------------------------
 # q107 — association rules (support / confidence / lift) over co-purchases
 # ---------------------------------------------------------------------------
 @G.add(
@@ -402,14 +468,19 @@ LIMIT 25
     doc="A-priori step two on q84's pair counts: support n_ab/N, "
     "confidence n_ab/n_a, and lift (n_ab*N)/(n_a*n_b) for every "
     "co-purchased part pair above min-support, top-25 by lift. The pair "
-    "fan-out is q84's orderkey-bounded self-join (never a cross join); "
-    "item counts are |parts| rows and broadcast to the pair table; the "
-    "1-row basket total joins by a whitelisted single-row broadcast "
-    "(q50's bounds pattern). Ordering uses the ROUNDED lift so the "
-    "top-25 cutoff is cross-engine deterministic; ties break on the "
-    "pair key. At 100 TB nothing changes shape: pairs shuffle once on "
-    "the pair key, dims broadcast, top-25 is TakeOrderedAndProject. "
-    "Reference counterpart: none (north-star extension).",
+    "fan-out is the shared basket_pair_counts (orderkey-bounded in-array "
+    "explode, never a cross join, max_basket-capped); the 1-row basket "
+    "total joins by a whitelisted single-row broadcast (q50's bounds "
+    "pattern). The item-count dims carry NO broadcast hint: |parts| "
+    "grows linearly with the corpus (~2B rows at 100 TB TPC-H scale), "
+    "so the planner must stay free to degrade the dim joins to shuffle "
+    "joins on the pair key — Spark's size estimate (plus AQE) still "
+    "broadcasts them whenever they fit, which they do at every test SF. "
+    "Ordering uses the ROUNDED lift so the top-25 cutoff is "
+    "cross-engine deterministic; ties break on the pair key. At 100 TB: "
+    "pairs shuffle once on the pair key, dims join by size-appropriate "
+    "strategy, top-25 is TakeOrderedAndProject. Reference counterpart: "
+    "none (north-star extension).",
     tags=("basket", "graph", "rules"),
 )
 def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -431,36 +502,19 @@ def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
     item = basket.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.count(F.lit(1)).alias("n_item")
     )
-    # Pair fan-out INSIDE the per-order array (q84 uses the equivalent
-    # self-join; this form skips the SMJ's two 6M-row sorts — one
-    # orderkey exchange builds ≤7-element arrays, pairs explode
-    # in-operator): measured 11.7s -> 5.4s warm at sf1.0.
-    pairs = (
-        basket.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) ->"
-                    " transform(slice(ps, i + 2, size(ps)),"
-                    " y -> struct(x AS part_a, y AS part_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.part_a", "p.part_b")
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .filter(F.col("n_ab") >= 2)
-    )
+    pairs = basket_pair_counts(basket, min_count=2)
     ia = item.select(F.col("pk").alias("part_a"), F.col("n_item").alias("n_a"))
     ib = item.select(F.col("pk").alias("part_b"), F.col("n_item").alias("n_b"))
     lift = F.round(
         (F.col("n_ab") * F.col("n_total")) / (F.col("n_a") * F.col("n_b")), 6
     )
+    # the dim joins carry NO broadcast hint on purpose (see doc): |parts|
+    # is corpus-linear, so the hint becomes an OOM at 100 TB — the
+    # planner's size estimate broadcasts the dims exactly when they fit
     return (
         pairs.crossJoin(F.broadcast(total))
-        .join(F.broadcast(ia), "part_a")
-        .join(F.broadcast(ib), "part_b")
+        .join(ia, "part_a")
+        .join(ib, "part_b")
         .select(
             "part_a",
             "part_b",
@@ -472,3 +526,89 @@ def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# q109 — frequent triple itemsets (A-priori step three)
+# ---------------------------------------------------------------------------
+@G.add(
+    "q109_frequent_triples",
+    oracle="""
+WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+fp AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+fitems AS (SELECT pa AS l_partkey FROM fp UNION SELECT pb FROM fp),
+fb AS (
+  SELECT b.l_orderkey, b.l_partkey FROM basket b
+  WHERE b.l_partkey IN (SELECT l_partkey FROM fitems)
+),
+triples AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, c.l_partkey AS part_c
+  FROM fb a
+  JOIN fb b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  JOIN fb c ON b.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+)
+SELECT part_a, part_b, part_c, count(*)::BIGINT AS n_orders
+FROM triples
+GROUP BY 1, 2, 3 HAVING count(*) >= 2
+ORDER BY n_orders DESC, part_a, part_b, part_c
+LIMIT 100
+""",
+    doc="A-priori step three: part triples co-purchased in >= 2 orders, "
+    "completing the basket-mining family (q84 pairs -> q107 rules -> "
+    "triples, the way q95 bigrams completed q68 unigrams). The A-priori "
+    "downward-closure prune runs BEFORE the cubic fan-out: a support-2 "
+    "triple's items each sit in a support-2 PAIR, so the basket is "
+    "semi-joined to the items of q107's frequent pairs (reusing the "
+    "shared basket_pair_counts body) — exactness-preserving, because "
+    "pruning ITEMS never removes a basket, so surviving-triple counts "
+    "are unchanged. The triple fan-out is then the in-array explode "
+    "(O(k^3) per basket but k <= max_basket and, post-prune, k counts "
+    "only frequent items), one shuffle on the triple key with map-side "
+    "partial agg, TakeOrderedAndProject for the bounded output. At "
+    "100 TB the prune is what makes this viable: pair support is "
+    "corpus-sparse, so the pruned basket is a small fraction of the "
+    "raw one before any cubic work happens. Reference counterpart: "
+    "none (north-star extension).",
+    tags=("basket", "graph", "rules", "iterative"),
+)
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # three consumers of the basket distinct (pair counts, the semi-join
+    # probe, the triple arrays) — persist once, q107's pattern; dropped
+    # by clear_plan_caches via spark.catalog.clearCache on cold re-times
+    basket = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    fp = basket_pair_counts(basket, min_count=2)
+    fitems = (
+        fp.select(F.explode(F.array("part_a", "part_b")).alias("l_partkey"))
+        .distinct()
+    )
+    fbasket = basket.join(fitems, "l_partkey", "left_semi")
+    triples = (
+        basket_arrays(fbasket)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " flatten(transform(slice(ps, i + 2, size(ps)), (y, j) ->"
+                    " transform(slice(ps, i + j + 3, size(ps)),"
+                    " z -> struct(x AS part_a, y AS part_b, z AS part_c))))))"
+                )
+            ).alias("t")
+        )
+        .select("t.part_a", "t.part_b", "t.part_c")
+        .groupBy("part_a", "part_b", "part_c")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+    return triples.orderBy(
+        F.desc("n_orders"), "part_a", "part_b", "part_c"
+    ).limit(100)

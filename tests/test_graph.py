@@ -91,6 +91,57 @@ def test_copurchase_pairs_are_ordered_and_positive(spark):
     assert counts == sorted(counts, reverse=True)
 
 
+def test_basket_cap_excludes_pathological_mega_basket(spark):
+    """A planted 1,000-item basket must contribute ZERO pairs under a cap
+    (it would otherwise explode into C(1000,2) ≈ 500k rows — the O(b²)
+    guard the 100 TB design note promises), while normal baskets are
+    untouched. Default cap (10k) keeps both."""
+    from etl_dag_paris_velib_spark.plans.graph import basket_pair_counts
+
+    rows = [(1, i) for i in range(1000)]  # the mega-basket
+    rows += [(2, 2000), (2, 2001), (2, 2002)]  # a normal 3-item basket
+    basket = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+    capped = basket_pair_counts(basket, max_basket=100).collect()
+    assert len(capped) == 3  # only order 2's C(3,2) pairs survive
+    assert all(
+        r["part_a"] in (2000, 2001) and r["part_b"] in (2001, 2002) for r in capped
+    )
+
+    uncapped = basket_pair_counts(basket, max_basket=None)
+    assert uncapped.count() == 1000 * 999 // 2 + 3
+
+    default = basket_pair_counts(basket)  # DEFAULT_MAX_BASKET = 10k: no-op
+    assert default.count() == 1000 * 999 // 2 + 3
+
+
+def test_frequent_triples_downward_closure(spark):
+    """Every support-2 triple's three sub-pairs must each have pair
+    support >= the triple's support (A-priori downward closure) — the
+    invariant the q109 prune relies on for exactness."""
+    from etl_dag_paris_velib_spark.plans.graph import basket_pair_counts
+    from etl_dag_paris_velib_spark.sources.tpch import load_table
+
+    triples = entrymod.queries()["q109_frequent_triples"](spark, SF_SMOKE).collect()
+    assert all(r["part_a"] < r["part_b"] < r["part_c"] for r in triples)
+    assert all(r["n_orders"] >= 2 for r in triples)
+    if not triples:
+        return  # smoke scale may have no support-2 triples; sf0.01 parity does
+    basket = (
+        load_table(spark, "lineitem", SF_SMOKE)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pc = {
+        (r["part_a"], r["part_b"]): r["n_ab"]
+        for r in basket_pair_counts(basket).collect()
+    }
+    for t in triples:
+        a, b, c = t["part_a"], t["part_b"], t["part_c"]
+        for pair in ((a, b), (a, c), (b, c)):
+            assert pc.get(pair, 0) >= t["n_orders"], (t, pair)
+
+
 def test_pagerank_k2_matches_unrolled_q86(spark):
     """pagerank(tol=0, max_iterations=2) must reproduce the unrolled q86
     ranks exactly — same _pr_step body, driver-loop vs static plan."""

@@ -374,9 +374,20 @@ def _prefix_filtered_jaccard(
         F.array_sort("hs").alias("hs_sorted"),
         F.size("hs").alias("n_sh"),
     )
-    # prefix length |A| - ceil(t*|A|) + 1 (>= 1 for non-empty sets)
+    # prefix length |A| - ceil(t*|A|) + 1 (>= 1 for non-empty sets).
+    # Both prunes are made CONSERVATIVE against double rounding: ceil is
+    # taken on t*n - 1e-9 so a product whose double value rounds a hair
+    # ABOVE a mathematically-integer t*n cannot shorten the prefix (a
+    # slightly longer prefix only costs pruning power, never pairs), and
+    # the length filter below gets the symmetric + 1e-9 slack. Set sizes
+    # are document-bounded (<< 1e6 shingles), so accumulated rounding is
+    # orders of magnitude under the epsilon — the "EXACT, bit-identical
+    # output" guarantee holds for arbitrary thresholds, not just the
+    # friendly ones (tested against exact Fraction arithmetic).
     pref_len = (
-        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + F.lit(1)
+        F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+        + F.lit(1)
     ).cast("int")
     inv = base.select(
         "id",
@@ -397,10 +408,12 @@ def _prefix_filtered_jaccard(
             b,
             (F.col("a.s") == F.col("b.s"))
             & (F.col("a.id") < F.col("b.id"))
-            # length filter: J <= min/max, so t*max <= min is necessary
+            # length filter: J <= min/max, so t*max <= min is necessary;
+            # + 1e-9 slack keeps boundary-size pairs when t*max rounds
+            # just above an integer min (see the pref_len note)
             & (
                 F.lit(threshold) * F.greatest("a.n_sh", "b.n_sh")
-                <= F.least("a.n_sh", "b.n_sh")
+                <= F.least("a.n_sh", "b.n_sh") + F.lit(1e-9)
             ),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))

@@ -1122,14 +1122,19 @@ GROUP BY source
     tags=("curation", "quality", "checksum"),
 )
 def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F.concat (NOT concat_ws): concat propagates NULL like the oracle's
+    # '||', while concat_ws silently SKIPS null arguments — a NULL
+    # n_chars would otherwise hash differently per engine, fatal for an
+    # operator whose whole purpose is cross-engine parity (ADVICE r05)
     h = (
         F.conv(
             F.substring(
                 F.md5(
-                    F.concat_ws(
-                        ":",
+                    F.concat(
                         F.col("doc_id").cast("string"),
+                        F.lit(":"),
                         F.col("n_chars").cast("string"),
+                        F.lit(":"),
                         F.md5("text"),
                     )
                 ),

@@ -148,17 +148,30 @@ def compact_partitions(
        files (``repartition(n_out)`` scoped to the partition's rows) into
        a HIDDEN staging dir under the table root (dot-prefixed — Spark's
        file index ignores it, so concurrent readers never see partials),
-    4. staged partition dirs replace the originals by FS rename — no
-       read-while-overwrite hazard (Spark cannot safely overwrite a path
-       it is lazily reading), no full-table rewrite, and untouched
-       partitions are never read, listed, or replaced.
+    4. staged partition dirs replace the originals by a rename-aside swap
+       (live → trash, staged → live, delete trash) — a crash mid-swap
+       never leaves a partition absent with no recoverable copy, and
+       Spark is never overwriting a path it is lazily reading.
+
+    Layout validation (data-loss guard): every data file must sit at
+    EXACTLY ``len(partition_cols)`` directory levels below the table
+    root, each level named ``<col>=...`` in declared order. A file at
+    the wrong depth (e.g. dumped at the table root) would otherwise
+    yield an empty partition key whose "directory" IS the table root —
+    the swap would then delete the whole table. Such files raise.
+
+    Object-store caveat: on s3a:// each "rename" is a non-atomic
+    copy+delete, so a reader listing mid-swap can observe a partition
+    briefly absent (the trash copy still exists for recovery). The
+    listing/plan/rewrite phases work identically; only the swap's
+    atomicity is filesystem-grade. The ACID version of this operator is
+    a table format's OPTIMIZE (Delta/Iceberg); the dataflow is
+    identical.
 
     Returns ``{partition_rel_path: (bytes, files_before, files_after)}``
-    for the rewritten partitions. The swap is per-partition, not
-    transactional across partitions — the ACID version of this operator
-    is a table format's OPTIMIZE (Delta/Iceberg); the dataflow is
-    identical. Reference counterpart: none (the reference appends
-    one-file-per-hour CSVs and never compacts, etl_dag.py:248-255).
+    for the rewritten partitions. Reference counterpart: none (the
+    reference appends one-file-per-hour CSVs and never compacts,
+    etl_dag.py:248-255).
     """
     import math
     import uuid
@@ -178,7 +191,17 @@ def compact_partitions(
         parts = rel.split("/")
         if any(seg.startswith((".", "_")) for seg in parts):
             continue  # hidden/staging/_SUCCESS
-        d = "/".join(parts[:-1])
+        dirs = parts[:-1]
+        if len(dirs) != len(partition_cols) or any(
+            not seg.startswith(f"{col}=")
+            for col, seg in zip(partition_cols, dirs)
+        ):
+            raise ValueError(
+                f"compact_partitions: data file {rel!r} does not sit at "
+                f"the declared partition depth {partition_cols!r} — "
+                "refusing to plan a swap over a malformed layout"
+            )
+        d = "/".join(dirs)
         b, n = sizes.get(d, (0, 0))
         sizes[d] = (b + f.getLen(), n + 1)
 
@@ -190,7 +213,9 @@ def compact_partitions(
     if not plan:
         return {}
 
-    staging = f"{path}/.compact-{uuid.uuid4().hex[:12]}"
+    token = uuid.uuid4().hex[:12]
+    staging = f"{path}/.compact-{token}"
+    trash = f"{path}/.compact-trash-{token}"
     report: dict[str, tuple[int, int, int]] = {}
     for d, (b, n_before, n_out) in plan.items():
         part_df = spark.read.parquet(f"{path}/{d}")
@@ -199,12 +224,19 @@ def compact_partitions(
         )
         report[d] = (b, n_before, n_out)
     for d in plan:
-        dst = jvm.org.apache.hadoop.fs.Path(f"{path}/{d}")
-        src = jvm.org.apache.hadoop.fs.Path(f"{staging}/{d}")
-        fs.delete(dst, True)
-        if not fs.rename(src, dst):
-            raise IOError(f"compaction rename failed for partition {d}")
+        assert d, "empty partition key must be impossible post-validation"
+        live = jvm.org.apache.hadoop.fs.Path(f"{path}/{d}")
+        staged = jvm.org.apache.hadoop.fs.Path(f"{staging}/{d}")
+        aside = jvm.org.apache.hadoop.fs.Path(f"{trash}/{d}")
+        fs.mkdirs(aside.getParent())
+        if not fs.rename(live, aside):
+            raise IOError(f"compaction rename-aside failed for partition {d}")
+        if not fs.rename(staged, live):
+            # restore the original so the partition is never left absent
+            fs.rename(aside, live)
+            raise IOError(f"compaction swap failed for partition {d}")
         # drop the per-partition _SUCCESS marker the staged write left
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{d}/_SUCCESS"), False)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(trash), True)
     fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
     return report

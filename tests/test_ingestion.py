@@ -280,6 +280,46 @@ def test_compact_partitions_merges_files_preserves_data(spark, tmp_path):
     ) == {}
 
 
+def test_compact_partitions_refuses_malformed_layout(spark, tmp_path):
+    """Data-loss guard: a data file at the wrong partition depth (here:
+    dumped at the table root) must abort the plan — its partition key
+    would be the table root itself and the swap would delete the whole
+    table. Same for a directory level not named <col>=...; nothing may
+    be rewritten or moved in either case."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_dag_paris_velib_spark.sinks.writers import compact_partitions
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("pt")
+    )
+    df.repartition(4).write.partitionBy("pt").mode("overwrite").parquet(path)
+    # a stray data file at the table root (depth 0, expected depth 1)
+    with open(f"{path}/stray.parquet", "wb") as fh:
+        fh.write(b"not really parquet")
+    before = sorted(os.listdir(path))
+    with pytest.raises(ValueError, match="partition depth"):
+        compact_partitions(spark, path, partition_cols=("pt",), target_file_bytes=1)
+    assert sorted(os.listdir(path)) == before  # nothing moved or deleted
+
+    os.remove(f"{path}/stray.parquet")
+    # wrong column name in the directory level
+    with pytest.raises(ValueError, match="partition depth"):
+        compact_partitions(
+            spark, path, partition_cols=("other",), target_file_bytes=1
+        )
+    # correct declaration compacts fine afterwards
+    report = compact_partitions(
+        spark, path, partition_cols=("pt",), target_file_bytes=1 << 30
+    )
+    assert set(report) == {"pt=0", "pt=1"}
+    assert spark.read.parquet(path).count() == 100
+
+
 def test_gold_table_partition_pruning(spark, tmp_path):
     """A date-filtered read of the ingest-partitioned gold layout must
     prune at the FILE INDEX level (PartitionFilters, not a post-scan

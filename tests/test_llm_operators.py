@@ -583,7 +583,10 @@ def test_prefix_filter_jaccard_is_exact(spark):
         ],
         "doc_id bigint, text string",
     )
-    for t in (0.3, 0.5, 0.9):
+    # include double-hostile thresholds: exact products like (2/3)*12 = 8
+    # or 0.55*20 = 11 sit ON an integer, where an un-epsiloned ceil can
+    # round up and drop a qualifying pair (ADVICE r05 finding)
+    for t in (0.3, 0.5, 0.9, 2 / 3, 0.55, 0.2):
         f2 = sorted(
             map(
                 tuple,
@@ -605,6 +608,32 @@ def test_prefix_filter_jaccard_is_exact(spark):
         )
         assert f2 == p2, f"threshold {t}: prefix path diverged"
         assert any(r[:2] == (1, 3) for r in f2)  # exact dup always found
+
+
+def test_prefix_filter_bounds_are_conservative_vs_exact_rational():
+    """Pure-arithmetic sweep of the epsiloned prune formulas against
+    exact Fraction arithmetic: for every (threshold, set size) the
+    epsiloned prefix bound must never EXCEED the exact ceil(t*n) (a
+    shorter prefix could drop a qualifying pair — the r05 ADVICE bug),
+    may undershoot by at most 1 (conservative = longer prefix = safe),
+    and the epsiloned length filter must keep every pair the exact
+    predicate keeps."""
+    import math
+    from fractions import Fraction
+
+    thresholds = [i / 100 for i in range(1, 100)] + [2 / 3, 1 / 3, 1 / 7, 0.55]
+    for t in thresholds:
+        ft = Fraction(t)  # the double's exact rational value
+        for n in range(1, 400):
+            exact_ceil = math.ceil(ft * n)
+            eps_ceil = math.ceil(t * n - 1e-9)
+            assert eps_ceil <= exact_ceil, (t, n, eps_ceil, exact_ceil)
+            assert eps_ceil >= exact_ceil - 1, (t, n, eps_ceil, exact_ceil)
+            for m in range(n, min(n + 50, 400)):  # m = max size, n = min
+                exact_keep = ft * m <= n
+                eps_keep = t * m <= n + 1e-9
+                if exact_keep:
+                    assert eps_keep, (t, n, m)
 
 
 def test_prefix_filter_indexes_fewer_tokens(spark):

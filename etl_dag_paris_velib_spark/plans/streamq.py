@@ -1,0 +1,186 @@
+"""Driver-checkable Structured Streaming specs (SURVEY §2.8 tier).
+
+The streaming tier (streaming/gbfs.py, streaming/events.py) was the only
+§2 surface whose correctness rested solely on pytest batch-differentials —
+the r05 verdict's #2 ask. These specs close that gap: each query fn REALLY
+executes a StreamingQuery (file-source ``readStream`` over the sf dir's
+events table → stateful operators → ``availableNow`` drain into a memory
+sink) and returns the final gold table, so the driver's DuckDB comparison
+becomes end-to-end streaming evidence. The fns assert the drain processed
+rows through the streaming engine (``recentProgress``) — a silent batch
+fallback cannot pass.
+
+availableNow is the reference's own semantics (an hourly poll is a
+micro-batch stream in disguise, etl_dag.py:317); the memory sink keeps the
+harness hermetic. In production the sink is the foreachBatch MERGE /
+partitioned-parquet path (streaming/gbfs.py:stream_upsert_gold) and the
+aggregation runs in update/append mode with watermark-evicted state — the
+complete-mode memory table here exists only to hand the driver a finished
+DataFrame; state sizing notes live on each spec.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tpch import normalize_event_ts
+from .spec import Registry
+
+ST = Registry()
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source streaming scan of the events table. The schema comes
+    from a batch footer read (streaming sources cannot infer), then the
+    shared ``normalize_event_ts`` brings the TIMESTAMP(NANOS) column to
+    plain TimestampType — one definition, both execution modes, the same
+    rule the batch loader applies (sources/tpch.py:load_table)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the file stream source requires a DIRECTORY basePath (a bare file
+    # fails getBatch with "Option 'basePath' must be a directory"). The
+    # testdata ships events.parquet as a single FILE; Spark-written
+    # replicas (tools/make_scale.py) make it a DIRECTORY of part files.
+    # Stream the directory directly when it is one; otherwise scan the
+    # sf dir filtered down to the events file (pathGlobFilter matches
+    # LEAF file names, so it would match nothing under a directory).
+    if os.path.isdir(path):
+        raw = spark.readStream.schema(schema).parquet(path)
+    else:
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    return normalize_event_ts(raw)
+
+
+def _drain_to_memory(
+    df: DataFrame, prefix: str, output_mode: str, timeout_sec: int = 300
+) -> str:
+    """Run ``df`` as a StreamingQuery with an ``availableNow`` trigger
+    into a uniquely-named in-memory table; block until drained; PROVE the
+    streaming engine processed rows (recentProgress) — a plan that never
+    became a StreamingQuery cannot return. Returns the table name."""
+    name = f"{prefix}_{uuid.uuid4().hex[:10]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(f"streaming drain {name!r} exceeded {timeout_sec}s")
+    rows_in = sum(p["numInputRows"] for p in q.recentProgress)
+    if rows_in <= 0:
+        raise RuntimeError(
+            f"streaming drain {name!r} reported zero input rows — the "
+            "plan did not execute as a StreamingQuery"
+        )
+    return name
+
+
+# ---------------------------------------------------------------------------
+# q108 — streaming tumbling-window rollup (windowed agg state)
+# ---------------------------------------------------------------------------
+@ST.add(
+    "q108_stream_hourly_rollup",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+""",
+    doc="Streaming tumbling-window rollup, driver-checked end-to-end: "
+    "readStream over the events parquet → watermark on event time → "
+    "1-hour window × event_type aggregate → availableNow drain. The "
+    "oracle is the equivalent batch SQL (epoch-aligned hour buckets — "
+    "Spark's window() and DuckDB's date_trunc agree by construction), "
+    "so a green row proves the STREAMING execution path computes the "
+    "batch answer: same flattening, same bucketing, exactly-once. "
+    "total_value is round(sum,2) per the q13 FP rule. Scale: windowed-agg "
+    "state is one row per open (window, type) — O(watermark/window × "
+    "|types|), evicted as the watermark passes in the production "
+    "append/update modes; the complete-mode memory sink here is the "
+    "harness drain, the production sink is partitioned parquet / "
+    "foreachBatch MERGE (streaming/gbfs.py:stream_upsert_gold). "
+    "Reference counterpart: the hourly poll loop, etl_dag.py:317.",
+    tags=("streaming", "window", "events"),
+)
+def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    name = _drain_to_memory(agg, "q108", "complete")
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# q110 — streaming watermarked dedup (planted duplicates, append mode)
+# ---------------------------------------------------------------------------
+@ST.add(
+    "q110_stream_dedup_rollup",
+    oracle="""
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY event_type
+""",
+    doc="Streaming watermarked dedup, driver-checked with PLANTED "
+    "duplicates: the event stream is unioned with itself (every event "
+    "arrives twice — the reference's re-ingestion failure mode, "
+    "s3_to_postgres.py:80-82 appends blindly), then "
+    "dropDuplicatesWithinWatermark on event_id suppresses the second "
+    "sighting in-flight; the drained output is rolled up per type in a "
+    "batch agg over the sink table. The oracle aggregates the ORIGINAL "
+    "(un-doubled) events — if the stateful dedup did not run, every "
+    "count and sum doubles and the hash fails, so the green row is "
+    "direct evidence the dedup state worked, not just that the stream "
+    "drained. Scale: dropDuplicatesWithinWatermark is the form whose "
+    "RocksDB state is provably O(keys per watermark window) — state for "
+    "a key drops at watermark + delay (streaming/gbfs.py:"
+    "deduped_station_stream_bounded carries the full rationale). "
+    "append mode: dedup emits first sightings immediately, no window "
+    "to close.",
+    tags=("streaming", "dedup", "events"),
+)
+def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _events_stream(spark, sf_dir)
+    doubled = s.unionByName(s)  # every event arrives twice
+    deduped = doubled.withWatermark("ts", "31 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = _drain_to_memory(deduped, "q110", "append")
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

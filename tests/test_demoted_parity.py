@@ -47,18 +47,15 @@ def test_demoted_queries_are_at_the_tail():
 
 
 # Specs added this round sit in the WINDOW but have no driver row yet;
-# give them the same local evidence until CORRECTNESS_r05 lands.
+# give them the same local evidence until CORRECTNESS_r06 lands. q106/
+# q107 re-earn their slot after this round's code changes, so they get
+# local rows too.
 NEW_THIS_ROUND = (
-    "q98_media_decode",
-    "q99_sql_order_distribution",
-    "q100_sql_small_qty_revenue",
-    "q101_frame_dedup",
-    "q102_media_resize",
-    "q103_kmv_set_overlap",
-    "q104_shard_shuffle",
-    "q105_mixture_resample",
     "q106_content_checksum",
     "q107_association_rules",
+    "q108_stream_hourly_rollup",
+    "q109_frequent_triples",
+    "q110_stream_dedup_rollup",
 )
 
 

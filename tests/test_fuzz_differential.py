@@ -491,6 +491,89 @@ def _gen_nulls_query(rng: random.Random) -> str:
     return f"SELECT {sel} FROM nulls WHERE {where}"
 
 
+def _gen_decimal_query(rng: random.Random) -> str:
+    """DECIMAL-arithmetic sweep — the q74 cent-divergence class (currency
+    math where Spark's exact-BigDecimal HALF_UP and DuckDB's scaled-double
+    rounding can disagree; the repo's fix pattern is 'do the arithmetic in
+    DECIMAL'). All source columns are CAST to DECIMAL(18,2) up front, so
+    +, -, * and sum() are EXACT and order-independent in both engines;
+    every output is CAST to a fixed scale because the hash canonicalizes
+    decimals via str() and engines differ on intermediate result scales.
+    Division is deliberately absent: the ENGINES define decimal-division
+    result scale differently (not a bug, a dialect choice), so a shared
+    text cannot pin it — the per-spec pattern for ratios is try_divide →
+    DOUBLE (plans/mining.py:q92)."""
+    name = rng.choice(["lineitem", "orders"])
+    t = TABLES[name]
+    p = rng.choice(t["num_cols"])
+    p2 = rng.choice(t["num_cols"])
+    dec = f"CAST({p} AS DECIMAL(18,2))"
+    dec2 = f"CAST({p2} AS DECIMAL(18,2))"
+    exprs = rng.sample(
+        [
+            f"{dec} + {dec2}",
+            f"{dec} - {dec2}",
+            f"{dec} * {rng.choice([3, 7, 100])}",
+            f"{dec} * (1 - {dec2})" if name == "lineitem" else f"{dec} * 2 + {dec2}",
+            f"round({dec} * {rng.choice([3, 7])}, {rng.choice([0, 1])})",
+            f"round({dec}, 0)",
+            f"- {dec}",
+            f"CASE WHEN {dec} > {rng.choice(INT_LITS)} THEN {dec} ELSE {dec2} END",
+        ],
+        k=rng.randint(1, 3),
+    )
+    pred = _predicate(rng, t)
+    gcols = rng.sample(t["group_cols"], k=rng.randint(0, 1))
+    aggs = ["count(*) AS n"] + [
+        f"CAST({rng.choice(['sum', 'min', 'max'])}({e}) AS DECIMAL(38,4)) AS d{i}"
+        for i, e in enumerate(exprs)
+    ]
+    select = ", ".join(gcols + aggs)
+    group = f" GROUP BY {', '.join(gcols)}" if gcols else ""
+    return f"SELECT {select} FROM {name} WHERE {pred}{group}"
+
+
+def _gen_outerjoin_agg_query(rng: random.Random) -> str:
+    """Outer-join + aggregate-over-nulls sweep: LEFT/RIGHT/FULL between
+    orders and customer with a selective predicate on the INNER side —
+    placed either in the ON clause (null-extends non-matches) or in the
+    WHERE clause (filters them, silently turning the join inner): the two
+    placements are semantically different and both engines must agree on
+    each. Aggregates then exercise the null-extended columns: count(*)
+    vs count(col), null-skipping sum/min/max, count(DISTINCT nullable),
+    and optionally GROUP BY the nullable side (the NULL group row)."""
+    jt = rng.choice(["LEFT JOIN", "RIGHT JOIN", "FULL JOIN"])
+    c_pred = _predicate(rng, TABLES["customer"])
+    o_pred = _predicate(rng, TABLES["orders"])
+    on = "o_custkey = c_custkey"
+    where = ""
+    if rng.random() < 0.5:  # inner-side predicate in ON: keeps outer rows
+        on += f" AND {c_pred}"
+    else:  # in WHERE: null-rejects (engines must agree it degrades to inner)
+        where = f" WHERE {c_pred}"
+    if rng.random() < 0.4:
+        where += (" WHERE " if not where else " AND ") + o_pred
+    aggs = ["count(*) AS n", "count(c_custkey) AS n_cust"]
+    aggs += rng.sample(
+        [
+            "CAST(sum(c_nationkey) AS BIGINT) AS s0",
+            "CAST(min(c_nationkey) AS BIGINT) AS m0",
+            "CAST(max(o_custkey) AS BIGINT) AS m1",
+            "count(DISTINCT c_mktsegment) AS nd",
+            "count(o_orderkey) AS n_ord",
+            "CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_dangling",
+        ],
+        k=rng.randint(1, 3),
+    )
+    gcols = []
+    if rng.random() < 0.6:
+        gcols = [rng.choice(["o_orderstatus", "c_mktsegment", "o_orderpriority"])]
+    select = ", ".join(gcols + aggs)
+    group = f" GROUP BY {', '.join(gcols)}" if gcols else ""
+    return f"SELECT {select} FROM orders {jt} customer ON {on}{where}{group}"
+
+
 @pytest.fixture(scope="module")
 def engines(spark):
     from etl_dag_paris_velib_spark.sources.tpch import register_views
@@ -588,6 +671,16 @@ def test_fuzzed_numeric_matches_duckdb(engines, seed):
     _compare(engines, _gen_numeric_query(random.Random(13000 + seed)))
 
 
+@pytest.mark.parametrize("seed", list(range(15)))
+def test_fuzzed_decimal_matches_duckdb(engines, seed):
+    _compare(engines, _gen_decimal_query(random.Random(17000 + seed)))
+
+
+@pytest.mark.parametrize("seed", list(range(15)))
+def test_fuzzed_outerjoin_agg_matches_duckdb(engines, seed):
+    _compare(engines, _gen_outerjoin_agg_query(random.Random(18000 + seed)))
+
+
 def test_null_ordering_default_divergence(engines):
     """Pins the second real divergence the round-5 grammars surfaced:
     the engines' DEFAULT null placement in ORDER BY differs — Spark
@@ -654,3 +747,31 @@ def test_fuzzed_query_matches_duckdb(engines, seed):
     assert canon_hash(scols, srows) == canon_hash(dcols, drows), (
         f"value hash diverged for: {sql}"
     )
+
+
+def test_decimal_division_scale_divergence(engines):
+    """Pins the DIALECT divergence that keeps division out of the
+    decimal grammar: the engines DEFINE decimal / decimal differently.
+    Spark follows Hive/SQLServer-style result-type rules and returns an
+    exact DECIMAL(38,20) for DECIMAL(18,2) operands; DuckDB evaluates
+    decimal division in DOUBLE and returns a float. Same math, different
+    TYPE and representable value — no shared SQL text can pin both, so
+    per-spec ratio patterns are try_divide → DOUBLE with explicit
+    rounding (plans/mining.py:q92) and the fuzz grammar stays off the
+    operator entirely."""
+    import decimal
+
+    spark, con = engines
+    sql = "SELECT CAST(7.00 AS DECIMAL(18,2)) / CAST(3.00 AS DECIMAL(18,2)) AS q"
+    sval = spark.sql(sql).first()["q"]
+    dval = con.execute(sql).fetchone()[0]
+    assert isinstance(sval, decimal.Decimal) and sval == decimal.Decimal(
+        "2.33333333333333333333"
+    ), sval
+    assert isinstance(dval, float), dval  # DuckDB: double, not DECIMAL
+    # the agreed form: divide in DOUBLE and round — identical both sides
+    esql = (
+        "SELECT round(CAST(CAST(7.00 AS DECIMAL(18,2)) AS DOUBLE)"
+        " / CAST(CAST(3.00 AS DECIMAL(18,2)) AS DOUBLE), 6) AS q"
+    )
+    assert spark.sql(esql).first()["q"] == con.execute(esql).fetchone()[0]

@@ -224,3 +224,61 @@ def test_streaming_kmv_matches_batch_sketch(spark, tmp_path):
     }
     got = {t: r.est_distinct for t, r in last.items()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# driver-checkable streaming specs (plans/streamq.py)
+# ---------------------------------------------------------------------------
+
+def test_streamq_dedup_suppresses_planted_doubles(spark):
+    """q110 unions the event stream with itself; the drained sink must
+    hold each event exactly ONCE (the watermarked dedup worked) — the
+    property the DuckDB oracle then prices in aggregate."""
+    from etl_dag_paris_velib_spark.plans import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    base = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    out = REGISTRY.specs["q110_stream_dedup_rollup"].fn(spark, SF_SMOKE)
+    got = {r["event_type"]: r["n_events"] for r in out.collect()}
+    want = {
+        r["event_type"]: r["n"]
+        for r in base.groupBy("event_type").count().withColumnRenamed("count", "n").collect()
+    }
+    assert got == want  # doubled input, un-doubled output
+
+
+def test_streamq_window_rollup_totals(spark):
+    """q108's streaming windowed rollup must partition the event count:
+    sum of per-window n_events == total events (no row lost or double-
+    counted across window boundaries)."""
+    from pyspark.sql import functions as F
+
+    from etl_dag_paris_velib_spark.plans import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    out = REGISTRY.specs["q108_stream_hourly_rollup"].fn(spark, SF_SMOKE)
+    total = out.agg(F.sum("n_events")).first()[0]
+    n = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert total == n
+    # windows are exactly one hour and epoch-aligned
+    bad = out.filter(
+        (F.unix_timestamp("window_end") - F.unix_timestamp("window_start") != 3600)
+        | (F.unix_timestamp("window_start") % 3600 != 0)
+    )
+    assert bad.count() == 0
+
+
+def test_streamq_drain_guard_rejects_batch_fallback(spark):
+    """_drain_to_memory must refuse to return when the streaming engine
+    processed zero rows (the evidence guard the driver row relies on)."""
+    import pytest
+
+    from etl_dag_paris_velib_spark.plans.streamq import _drain_to_memory
+
+    empty_dir = "/tmp/streamq_empty_dir"
+    import os
+
+    os.makedirs(empty_dir, exist_ok=True)
+    s = spark.readStream.schema("a long").parquet(empty_dir)
+    with pytest.raises(RuntimeError, match="zero input rows"):
+        _drain_to_memory(s, "emptytest", "append")

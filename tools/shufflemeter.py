@@ -1,11 +1,10 @@
 """Measure per-query shuffle/input/spill volume — the numbers `.explain`
 can't show and "measure, don't guess" demands.
 
-Runs each headline query (tools/scalecheck.py's set) cold under its own
-Spark job group, then reads the Spark UI REST API
-(/api/v1/applications/{app}/jobs + /stages) to attribute completed-stage
-metrics — input bytes, shuffle write/read bytes, memory/disk spill — to
-the query that ran them. Writes SHUFFLE.md.
+Runs each query cold under its own Spark job group, then reads the Spark
+UI REST API (/api/v1/applications/{app}/jobs + /stages) to attribute
+completed-stage metrics — input bytes, shuffle write/read bytes,
+memory/disk spill — to the query that ran them.
 
 Why this matters at 100 TB: wall time at sf0.1 is overhead-dominated
 (SCALING.md), but shuffle bytes scale with data by plan shape — a query
@@ -13,7 +12,15 @@ that shuffles 10x its input at sf0.1 shuffles 10x its input at 100 TB,
 where that is the bottleneck. This report puts numbers on the movement
 claims the plan audit (EXPLAIN.md) makes qualitatively.
 
-Usage: python tools/shufflemeter.py [sf_dir]
+Two consumers:
+- ``python tools/shufflemeter.py [sf_dir]`` — the full HEADLINE sweep,
+  writes SHUFFLE.md (human report).
+- ``python tools/shufflemeter.py <sf_dir> --json <out> [names...]`` —
+  machine mode for tests/test_shuffle_budget.py, which runs this in a
+  SUBPROCESS (fresh JVM: job-group attribution is clean, and the
+  LSH pair-set cache builds exactly once — Spark 4.1.2 cannot rebuild
+  a pandas-UDF-bearing cache twice in one session, see verify notes)
+  and fails CI when a plan change doubles a query's shuffle bytes.
 """
 
 from __future__ import annotations
@@ -38,13 +45,16 @@ def _mb(b: float) -> str:
     return f"{b / 1e6:,.1f}"
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+def measure_queries(spark, names, sf_dir: str) -> dict[str, dict[str, float]]:
+    """Run each named query cold in its own job group and attribute
+    completed-stage metrics to it via the UI REST API. Caches are
+    cleared ONCE up front (not per query — the pandas-UDF double-cache
+    limitation); running in declaration order means family consumers
+    (q42/q46 after q21) measure their MARGINAL movement on top of the
+    shared persisted artifact, the production reuse behavior."""
     import __spark_entry__ as entry
     from etl_dag_paris_velib_spark.cacheutil import clear_plan_caches
-    from etl_dag_paris_velib_spark.session import get_spark
 
-    spark = get_spark()
     sc = spark.sparkContext
     qs = entry.queries()
 
@@ -52,14 +62,8 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     force(qs["q01_pricing_summary"](spark, sf_dir))  # warm JVM outside groups
-    # Clear ONCE, not per query: re-building the LSH pair set after a
-    # clear is a second in-session cache build of a pandas-UDF-bearing
-    # plan, which Spark 4.1.2 cannot do (see the verify notes). Running
-    # in HEADLINE order (q21 before q42/q46) means family consumers read
-    # the persisted pair set — their rows measure the MARGINAL movement
-    # on top of the shared artifact, which is the production behavior.
     clear_plan_caches(spark)
-    for name in HEADLINE:
+    for name in names:
         sc.setJobGroup(name, name)
         try:
             force(qs[name](spark, sf_dir))
@@ -68,15 +72,13 @@ def main() -> None:
 
     api = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
     jobs = _get(f"{api}/jobs?status=succeeded")
-    stages = {
-        s["stageId"]: s
-        for s in _get(f"{api}/stages?status=complete")
-    }
+    stages = {s["stageId"]: s for s in _get(f"{api}/stages?status=complete")}
     per_query: dict[str, dict[str, float]] = {}
     seen_stage: set[tuple[str, int]] = set()
+    wanted = set(names)
     for j in jobs:
         g = j.get("jobGroup")
-        if g not in set(HEADLINE):
+        if g not in wanted:
             continue
         agg = per_query.setdefault(
             g,
@@ -94,6 +96,29 @@ def main() -> None:
                 "diskBytesSpilled", 0
             )
             agg["stages"] += 1
+    return per_query
+
+
+def main() -> None:
+    from etl_dag_paris_velib_spark.session import get_spark
+
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    names = tuple(args[1:]) or HEADLINE
+
+    spark = get_spark()
+    per_query = measure_queries(spark, names, sf_dir)
+
+    if json_out is not None:
+        with open(json_out, "w") as f:
+            json.dump(per_query, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out} ({len(per_query)} queries)")
+        return
 
     lines = [
         "# SHUFFLE — measured per-query data movement at "
@@ -109,12 +134,15 @@ def main() -> None:
         "(q42/q46) run after q21 and read its persisted pair set, so",
         "their rows measure the marginal movement on top of the shared",
         "artifact — the production reuse behavior.",
+        "The top movers are BUDGETED: tests/test_shuffle_budget.py re-measures",
+        "them at sf0.01 in CI and fails when a plan change doubles a query's",
+        "shuffle bytes (ledger: tools/shuffle_budget.json).",
         "Regenerate: python tools/shufflemeter.py",
         "",
         "| query | stages | input MB | shuffle write MB | shuffle read MB | spill MB |",
         "|---|---|---|---|---|---|",
     ]
-    for name in HEADLINE:
+    for name in names:
         m = per_query.get(name)
         if not m:
             continue

@@ -145,27 +145,30 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        count(*)::BIGINT AS n_events,
-       count(DISTINCT user_id)::BIGINT AS n_users,
        round(sum(value), 2) AS total_value
 FROM events
 GROUP BY event_type
 """,
-    doc="Streaming watermarked dedup, driver-checked with PLANTED "
+    doc="Streaming watermarked dedup CHAINED into a streaming aggregate "
+    "(two stateful operators in one query), driver-checked with PLANTED "
     "duplicates: the event stream is unioned with itself (every event "
     "arrives twice — the reference's re-ingestion failure mode, "
-    "s3_to_postgres.py:80-82 appends blindly), then "
+    "s3_to_postgres.py:80-82 appends blindly), "
     "dropDuplicatesWithinWatermark on event_id suppresses the second "
-    "sighting in-flight; the drained output is rolled up per type in a "
-    "batch agg over the sink table. The oracle aggregates the ORIGINAL "
-    "(un-doubled) events — if the stateful dedup did not run, every "
-    "count and sum doubles and the hash fails, so the green row is "
-    "direct evidence the dedup state worked, not just that the stream "
-    "drained. Scale: dropDuplicatesWithinWatermark is the form whose "
-    "RocksDB state is provably O(keys per watermark window) — state for "
-    "a key drops at watermark + delay (streaming/gbfs.py:"
-    "deduped_station_stream_bounded carries the full rationale). "
-    "append mode: dedup emits first sightings immediately, no window "
-    "to close.",
+    "sighting in-flight, and the per-type rollup aggregates INSIDE the "
+    "stream — only |event_type| result rows ever reach the sink, never "
+    "the event stream itself (the earlier append-drain shape held the "
+    "whole deduped table in the memory sink; this one is O(groups) at "
+    "any corpus size). The oracle aggregates the ORIGINAL (un-doubled) "
+    "events — if the stateful dedup did not run, every count and sum "
+    "doubles and the hash fails, so the green row is direct evidence "
+    "the dedup state worked, not just that the stream drained. "
+    "count_distinct is unavailable in streaming aggregates (Spark "
+    "restriction; the streaming-native form is the KMV sketch, "
+    "streaming/events.py:streaming_distinct_users). Scale: dedup state "
+    "is O(keys per watermark window), dropped at watermark + delay "
+    "(streaming/gbfs.py:deduped_station_stream_bounded carries the "
+    "rationale); agg state is one row per event_type.",
     tags=("streaming", "dedup", "events"),
 )
 def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,13 +177,9 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = doubled.withWatermark("ts", "31 days").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    name = _drain_to_memory(deduped, "q110", "append")
-    return (
-        spark.table(name)
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.count_distinct("user_id").cast("bigint").alias("n_users"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-        )
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
     )
+    name = _drain_to_memory(agg, "q110", "complete")
+    return spark.table(name)

@@ -40,15 +40,18 @@ REGISTRY.merge(_streamq)
 # 50-slot window over rounds 6–7, freshest evidence last. In-window (the
 # 50 NOT listed below):
 # - never driver-checked, NEW this round: q108/q110 (streaming drains —
-#   the r05 verdict's #2 ask) and q109 (frequent triples);
+#   the r05 verdict's #2 ask), q109 (frequent triples), and q111
+#   (priority sampling);
 # - code changed this round: q107 (broadcast hints dropped, shared
 #   basket fan-out) and q106 (null-propagating concat);
 # - all 12 r03-era greens (q05/q06/q10/q11b/q32/q34/q36/q40/q41/q44/
 #   q45/q47 — the oldest driver evidence in the repo);
-# - the 33 oldest r04-era greens (q43–q81 block).
+# - the 32 oldest r04-era greens (q43–q80 block; q81 stepped back to
+#   the tail to make room for q111 — its ANN family keeps parity
+#   coverage via q22/q29/q33/q52 there, and it returns in round 7).
 # Demoted: the 48 r05-green specs whose code did not change this round
-# (fresh rows last round, lowest marginal value now) plus the 13
-# youngest r04-era greens (q82–q97 block), which rotate back into the
+# (fresh rows last round, lowest marginal value now) plus the 14
+# youngest r04-era greens (q81–q97 block), which rotate back into the
 # window in round 7.
 DEMOTED = (
     # r05-green, code unchanged since their fresh r05 rows
@@ -100,8 +103,9 @@ DEMOTED = (
     "q102_media_resize",
     "q99_sql_order_distribution",
     "q100_sql_small_qty_revenue",
-    # r04-era greens rotating back into the window in round 7 (the 13
-    # youngest of the 46 — the q43–q81 block went in-window this round)
+    # r04-era greens rotating back into the window in round 7 (the 14
+    # youngest of the 46 — the q43–q80 block went in-window this round)
+    "q81_srp_lsh_topk",
     "q82_sliding_distinct_users",
     "q83_data_quality_report",
     "q84_copurchase_pairs",

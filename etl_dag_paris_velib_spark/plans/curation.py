@@ -1156,3 +1156,84 @@ def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_xor(h)").alias("checksum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q111 — weighted sampling without replacement (priority sampling, DLT)
+# ---------------------------------------------------------------------------
+@C.add(
+    "q111_priority_sample",
+    oracle="""
+WITH pr AS (
+  SELECT doc_id, n_chars,
+         n_chars / ((('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::UBIGINT
+                     + 1) / 281474976710656.0) AS priority
+  FROM documents
+),
+topk1 AS (
+  SELECT doc_id, n_chars, priority
+  FROM pr ORDER BY priority DESC, doc_id LIMIT 201
+),
+t AS (SELECT min(priority) AS tau FROM topk1)
+SELECT doc_id, n_chars, priority,
+       greatest(n_chars::DOUBLE, tau) AS est_weight
+FROM (
+  SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rn
+  FROM topk1
+) x
+CROSS JOIN t
+WHERE rn <= 200
+""",
+    doc="Weighted sampling WITHOUT replacement via priority sampling "
+    "(Duffield-Lund-Thorup, JACM 2007): each doc gets priority w/u with "
+    "u a deterministic uniform in (0,1], the k=200 largest priorities "
+    "form the sample, and est_weight = max(w, tau) with tau the "
+    "(k+1)-th priority is the DLT unbiased per-item weight estimator "
+    "(sum over the sample estimates the corpus total — tested "
+    "invariant). The one-pass, merge-friendly alternative to "
+    "sort-by-random() for weighted corpus subsampling: at 100 TB the "
+    "sample is TakeOrderedAndProject (per-partition top-k, merged on "
+    "the driver — no global sort, no shuffle of the corpus), the "
+    "row_number window runs over k+1 rows only, and tau joins back as "
+    "a whitelisted 1-row broadcast. FP-safety of the cross-engine "
+    "hash: u = (h48 + 1) / 2^48 with h48 from 12 md5 hex chars — "
+    "h+1 <= 2^48 < 2^53 is exact in a double and the power-of-two "
+    "division is exact, so priority = w/u is ONE correctly-rounded "
+    "IEEE division from identical operands: bit-identical in both "
+    "engines, no transcendental (the A-ES u^(1/w) form would hit "
+    "cross-engine pow/ln last-ulp noise). Deterministic by "
+    "construction — append-stable like q64's splits. Reference "
+    "counterpart: none (north-star extension).",
+    tags=("curation", "llm", "sampling"),
+)
+def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 200
+    two48 = float(1 << 48)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    u = (h + F.lit(1)).cast("double") / F.lit(two48)
+    pr = _docs(spark, sf_dir).select(
+        "doc_id",
+        "n_chars",
+        (F.col("n_chars").cast("double") / u).alias("priority"),
+    )
+    topk1 = pr.orderBy(F.desc("priority"), "doc_id").limit(k + 1)
+    # the window is single-partition by construction but bounded at k+1
+    # rows — the same bounded-window argument as q63's within-bucket rank
+    ranked = topk1.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("priority"), "doc_id"))
+    )
+    tau = topk1.agg(F.min("priority").alias("tau"))
+    return (
+        ranked.filter(F.col("rn") <= k)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "doc_id",
+            "n_chars",
+            "priority",
+            F.greatest(F.col("n_chars").cast("double"), F.col("tau")).alias(
+                "est_weight"
+            ),
+        )
+    )

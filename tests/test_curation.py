@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
 from etl_dag_paris_velib_spark.plans.curation import BENCH_SOURCES
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 
 
 def _plan(spark, name):
@@ -243,3 +243,41 @@ def test_mixture_resample_rates_and_determinism(spark):
     # odd sources guarantee floor(1.7) = 1 copy; max is 2
     for r in rows:
         assert 1 <= per_doc[r["doc_id"]] <= 2
+
+
+# ---------------------------------------------------------------------------
+# q111 — priority sampling (weighted, without replacement)
+# ---------------------------------------------------------------------------
+
+def test_priority_sample_estimator_and_determinism(spark):
+    """DLT invariants: the sample is exactly k rows, priorities are
+    strictly ordered above tau, est_weight = max(w, tau), the sum of
+    est_weight over the sample is an (unbiased) estimate of the corpus
+    total weight — a single realization must land within a loose band —
+    and the whole thing is rerun-identical (hash-derived uniforms, no
+    RNG state)."""
+    fn = entrymod.queries()["q111_priority_sample"]
+    rows = fn(spark, SF_ORACLE).collect()
+    assert len(rows) == 200
+    min_sampled = min(r["priority"] for r in rows)
+    assert min_sampled > 0
+    # est_weight = max(w, tau) with tau the (k+1)-th priority: it is
+    # never below the item's own weight, the rows where it EXCEEDS the
+    # weight all share the single value tau, and tau sits strictly below
+    # the smallest sampled priority
+    taus = {r["est_weight"] for r in rows if r["est_weight"] > r["n_chars"]}
+    assert len(taus) == 1, taus
+    (tau,) = taus
+    assert tau < min_sampled
+    for r in rows:
+        assert r["est_weight"] == max(float(r["n_chars"]), tau)
+    total = (
+        spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        .agg(F.sum("n_chars"))
+        .first()[0]
+    )
+    est = sum(r["est_weight"] for r in rows)
+    assert abs(est - total) / total < 0.25, (est, total)
+    # determinism: a second run returns the identical sample
+    again = fn(spark, SF_ORACLE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -56,6 +56,7 @@ NEW_THIS_ROUND = (
     "q108_stream_hourly_rollup",
     "q109_frequent_triples",
     "q110_stream_dedup_rollup",
+    "q111_priority_sample",
 )
 
 

@@ -41,6 +41,8 @@ BNLJ_WHITELIST = {
     "bounded by #sets, independent of corpus size",
     "q107_association_rules": "1-row basket-total broadcast cross join "
     "(q50's bounds pattern)",
+    "q111_priority_sample": "1-row tau (k+1-th priority) broadcast cross "
+    "join onto the k-row sample (q50's bounds pattern)",
 }
 
 

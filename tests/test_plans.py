@@ -223,3 +223,32 @@ def test_q89_overlap_is_bucketized_broadcast(spark):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "Generate explode" in plan
+
+
+def test_q107_dim_joins_degrade_without_broadcast(spark):
+    """The r05 verdict's scale flaw, locked: q107's item-count dims are
+    corpus-linear (|parts| ~ 2B rows at 100 TB), so they must carry NO
+    broadcast hint — with auto-broadcast disabled (simulating dims too
+    large to fit) the dim joins MUST degrade to shuffle joins, while the
+    explicitly-hinted 1-row basket total stays a (whitelisted) broadcast
+    nested loop. With the default threshold the planner still broadcasts
+    the small dims by its own size estimate — adaptivity both ways."""
+    import __spark_entry__ as entrymod
+
+    fn = entrymod.queries()["q107_association_rules"]
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    orig = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "-1")
+        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(key, orig)
+    assert "BroadcastHashJoin" not in plan, "dim join must not be hint-forced"
+    assert (
+        plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") >= 2
+    ), "both dim joins must degrade to shuffle joins"
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row total only
+
+    # default threshold: the planner's own size estimate broadcasts the dims
+    plan2 = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan2

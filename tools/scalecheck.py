@@ -41,6 +41,10 @@ HEADLINE = (
     "q100_sql_small_qty_revenue",  # shared-text SQL: decorrelated scalar subquery
     "q86_supplier_pagerank",    # iterative rank over the co-supply graph
     "q48_kmeans_clusters",      # capped-codebook Lloyd's (driver state O(k·dim))
+    "q107_association_rules",   # basket pair mining + un-hinted dim joins
+    "q109_frequent_triples",    # A-priori step 3, pruned cubic fan-out
+    "q108_stream_hourly_rollup",  # real StreamingQuery: windowed agg drain
+    "q110_stream_dedup_rollup",   # chained stateful dedup -> agg drain
     # dedup-stress tier: sf1.0 plants 10-replica near-dup clusters, so
     # CANDIDATE volume grows ~(replicas²)x, not 10x — these rows measure
     # that deliberately superlinear regime, not a plan defect
@@ -80,7 +84,24 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
+    from etl_dag_paris_velib_spark.plans import REGISTRY
+
+    streaming = {n for n, s in REGISTRY.specs.items() if "streaming" in s.tags}
+
     def run(name: str, sf: str) -> float:
+        if name in streaming:
+            # a streaming spec executes its availableNow drain INSIDE the
+            # query fn and returns a memory-table scan — timing only the
+            # returned DF would measure the scan (~0.02s) and hide the
+            # drain. Time the whole fn call instead.
+            qs[name](spark, sf_dir(sf))  # warm: source listing, codegen
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = qs[name](spark, sf_dir(sf))
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            return best
         df = qs[name](spark, sf_dir(sf))
         df.write.format("noop").mode("overwrite").save()  # warm plan + pages
         best = float("inf")
@@ -117,6 +138,10 @@ def main() -> None:
         f"t(sf{top}) - t(sf{prev}): the data-proportional component once",
         "fixed overhead cancels. Flat columns = overhead-bound at this",
         "scale; the plan audit (EXPLAIN.md) is the evidence beyond it.",
+        "Streaming rows (q108/q110) time the FULL availableNow drain —",
+        "a fresh StreamingQuery per run, so their floor is the streaming",
+        "engine's per-query start/commit overhead (~2s), data-invariant",
+        "until the event volume dominates it.",
         "sf1.0 (when present) is the 10x key-offset replica of sf0.1",
         "(tools/make_scale.py): ~6M lineitem / 1M events / 50k documents,",
         "with each document replica group a planted near-dup cluster —",

@@ -137,6 +137,10 @@ def main() -> None:
         "The top movers are BUDGETED: tests/test_shuffle_budget.py re-measures",
         "them at sf0.01 in CI and fails when a plan change doubles a query's",
         "shuffle bytes (ledger: tools/shuffle_budget.json).",
+        "Streaming rows (q108/q110) read ~0 here: their stages run on the",
+        "StreamingQuery's own thread, outside the caller's job group — their",
+        "state/shuffle profile is documented in EXPLAIN.md instead (dedup",
+        "state O(keys/watermark), agg state O(groups)).",
         "Regenerate: python tools/shufflemeter.py",
         "",
         "| query | stages | input MB | shuffle write MB | shuffle read MB | spill MB |",

@@ -127,6 +127,8 @@ def decode_image(payload: bytes) -> "np.ndarray":
             raise NotImplementedError("PPM maxval != 255 not supported")
         data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
         return data.reshape(h, w, 3).copy()
+    if payload[:8] == PNG_SIGNATURE:
+        return decode_png(payload)
     if payload[:2] == b"BM":
         offset = int.from_bytes(payload[10:14], "little")
         w = int.from_bytes(payload[18:22], "little", signed=True)
@@ -145,9 +147,152 @@ def decode_image(payload: bytes) -> "np.ndarray":
             rows = rows[::-1]
         return rows[..., ::-1].copy()  # BGR -> RGB
     raise NotImplementedError(
-        "real decode implemented for PPM(P6)/BMP(24-bit) only; other "
-        "formats need PIL/pyav (deliberate seam — see module docstring)"
+        "real decode implemented for PPM(P6)/BMP(24-bit)/PNG(8-bit RGB) "
+        "only; other formats need PIL/pyav (deliberate seam — see module "
+        "docstring)"
     )
+
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(body).to_bytes(4, "big")
+        + tag
+        + body
+        + (zlib.crc32(tag + body) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def encode_png(pixels: "np.ndarray") -> bytes:
+    """(H, W, 3) uint8 -> real PNG bytes (8-bit RGB, color type 2, no
+    interlace) using only stdlib zlib. The row filter CYCLES through all
+    five spec filter types (None/Sub/Up/Average/Paeth, row % 5) so a
+    decoder must implement the COMPLETE filter reconstruction to round-
+    trip — a None-only encoder would let a decoder skip 4/5 of the spec
+    and still pass."""
+    import zlib
+
+    px = pixels.astype(np.int64)
+    h, w = px.shape[:2]
+    raw = bytearray()
+    prev = np.zeros((w, 3), dtype=np.int64)
+    for y in range(h):
+        row = px[y]
+        f = y % 5
+        left = np.zeros((w, 3), dtype=np.int64)
+        left[1:] = row[:-1]
+        ul = np.zeros((w, 3), dtype=np.int64)
+        ul[1:] = prev[:-1]
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row - left
+        elif f == 2:
+            filt = row - prev
+        elif f == 3:
+            filt = row - (left + prev) // 2
+        else:  # Paeth
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            filt = row - pred
+        raw.append(f)
+        raw.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = row
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # bit depth 8, RGB, deflate, adaptive, no interlace
+    )
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> "np.ndarray":
+    """Real PNG decode without PIL: chunk walk (CRC-verified), IDAT
+    concat + zlib inflate, and the FULL per-row filter reconstruction
+    (None/Sub/Up/Average/Paeth). Supports the 8-bit-RGB/no-interlace
+    profile :func:`encode_png` writes — the profile check raises the
+    usual ``NotImplementedError`` seam for anything else (palette,
+    alpha, 16-bit, Adam7 need a full PIL)."""
+    import zlib
+
+    if payload[:8] != PNG_SIGNATURE:
+        raise NotImplementedError("not a PNG payload")
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    while pos < len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        crc = int.from_bytes(payload[pos + 8 + ln : pos + 12 + ln], "big")
+        if (zlib.crc32(tag + body) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, ctype, _comp, _filt, interlace = body[8:13]
+            if (depth, ctype, interlace) != (8, 2, 0):
+                raise NotImplementedError(
+                    "PNG profile beyond 8-bit RGB non-interlaced needs PIL"
+                )
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.zeros((h, w, 3), dtype=np.int64)
+    prev = np.zeros((w, 3), dtype=np.int64)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).reshape(w, 3).astype(np.int64)
+        if f == 0:
+            rec = row
+        elif f == 2:
+            rec = (row + prev) % 256
+        elif f in (1, 3, 4):
+            # Sub/Average/Paeth predict from the RECONSTRUCTED left
+            # neighbor — inherently sequential along the row
+            rec = np.zeros((w, 3), dtype=np.int64)
+            for x in range(w):
+                left = rec[x - 1] if x else np.zeros(3, dtype=np.int64)
+                up = prev[x]
+                ul = prev[x - 1] if x else np.zeros(3, dtype=np.int64)
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+                    )
+                rec[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"PNG row filter {f} out of spec")
+        out[y] = rec
+        prev = rec
+    return out.astype(np.uint8)
 
 
 def encode_ppmv(frames: "list[np.ndarray]", fps: float = 24.0) -> bytes:

@@ -262,3 +262,106 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", F.round(F.element_at("features", 1), 6).alias("mean_r")
     )
     return decoded.join(feats, "media_id")
+
+
+# ---------------------------------------------------------------------------
+# q113 — REAL compressed-format decode (PNG: DEFLATE + filter reconstruction)
+# ---------------------------------------------------------------------------
+@MD.add(
+    "q113_png_decode",
+    oracle="""
+WITH law AS (
+  SELECT doc_id,
+         16 + (doc_id % 7) * 4 AS w,
+         12 + (doc_id % 5) * 4 AS h,
+         doc_id % 100 AS base
+  FROM documents WHERE doc_id < 60
+)
+SELECT doc_id AS media_id,
+       w AS width,
+       h AS height,
+       (w * h)::BIGINT AS n_pixels,
+       (3 * w * h * base
+        + 3 * h * (w * (w - 1) // 2)
+        + 3 * w * (h * (h - 1))
+        + 3 * w * h)::BIGINT AS pixel_sum,
+       base::BIGINT AS first_px,
+       (base + (w - 1) + 2 * (h - 1) + 2)::BIGINT AS last_px
+FROM law
+""",
+    doc="REAL compressed-image decode, driver-checked: gradient images "
+    "(pixel(y,x,c) = base + x + 2y + c, wrap-free by construction) are "
+    "encoded in-plan to genuine PNG — stdlib-zlib DEFLATE, CRC-chunked, "
+    "with the row filter CYCLING through all five spec types "
+    "(None/Sub/Up/Average/Paeth) so the decoder cannot pass without the "
+    "complete filter reconstruction — then decode_png inflates and "
+    "unfilters the actual bytes and the spec emits whole-image pixel "
+    "aggregates. The oracle evaluates the gradient law in closed form "
+    "(pixel_sum = 3whb + 3h*w(w-1)/2 + 3w*h(h-1) + 3wh; corner pixels "
+    "exact), never touching a byte: any inflate/unfilter/stride bug "
+    "changes pixel_sum and fails the hash. This upgrades the r05 "
+    "'compressed formats are a NotImplementedError seam' note: PNG is "
+    "now a real decode path (operators/multimodal.py:decode_png), "
+    "integrated into decode_image's dispatch so decode_media/"
+    "extract_features/resize_media accept PNG payloads too; JPEG/MP3/MP4 "
+    "(lossy, codec-library territory) remain the documented PIL/pyav "
+    "seam. mapInPandas end-to-end, zero shuffles.",
+    tags=("multimodal", "decode", "mapInPandas", "llm"),
+)
+def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import decode_image, encode_png
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id")
+        .filter(F.col("doc_id") < N_SEEDS)
+    )
+
+    def gen_and_decode(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w = 16 + (i % 7) * 4
+                h = 12 + (i % 5) * 4
+                base = i % 100
+                px = (
+                    base
+                    + np.arange(w)[None, :, None]
+                    + 2 * np.arange(h)[:, None, None]
+                    + np.arange(3)[None, None, :]
+                ).astype(np.uint8)
+                payload = encode_png(px)
+                dec = decode_image(payload).astype(np.int64)
+                rows.append(
+                    (
+                        i,
+                        dec.shape[1],
+                        dec.shape[0],
+                        dec.shape[0] * dec.shape[1],
+                        int(dec.sum()),
+                        int(dec[0, 0, 0]),
+                        int(dec[-1, -1, -1]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "n_pixels",
+                    "pixel_sum",
+                    "first_px",
+                    "last_px",
+                ],
+            )
+
+    return docs.mapInPandas(
+        gen_and_decode,
+        "media_id long, width int, height int, n_pixels long, "
+        "pixel_sum long, first_px long, last_px long",
+    )

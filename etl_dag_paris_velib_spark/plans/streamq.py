@@ -183,3 +183,47 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = _drain_to_memory(agg, "q110", "complete")
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# q112 — stream-static enrichment join + rollup
+# ---------------------------------------------------------------------------
+@ST.add(
+    "q112_stream_enrich_rollup",
+    oracle="""
+SELECT c.c_mktsegment, e.event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(e.value), 2) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+    doc="Stream-STATIC enrichment join, driver-checked: the event stream "
+    "joins the static customer dimension on the user key (the lookup- "
+    "table enrich every streaming pipeline runs — the reference's "
+    "station-metadata join shape, SURVEY §2.8), then aggregates per "
+    "(segment, type) inside the stream; availableNow drain, oracle = "
+    "the equivalent batch join+rollup SQL. The static side is a plain "
+    "batch DataFrame: Spark plans it as a broadcast hash join under "
+    "every micro-batch, re-resolved per batch — stateless, no join "
+    "state, dimension updates picked up on re-read. At 100 TB the "
+    "stream side never shuffles for the join (map-side broadcast "
+    "lookup); the only state is the O(segments x types) aggregate. "
+    "Complete-mode memory sink = harness drain, production = "
+    "foreachBatch MERGE (streaming/gbfs.py).",
+    tags=("streaming", "join", "events"),
+)
+def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tpch import load_table
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = _events_stream(spark, sf_dir).join(
+        cust, F.col("user_id") == F.col("c_custkey")
+    )
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    name = _drain_to_memory(agg, "q112", "complete")
+    return spark.table(name)

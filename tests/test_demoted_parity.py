@@ -57,6 +57,8 @@ NEW_THIS_ROUND = (
     "q109_frequent_triples",
     "q110_stream_dedup_rollup",
     "q111_priority_sample",
+    "q112_stream_enrich_rollup",
+    "q113_png_decode",
 )
 
 

@@ -322,3 +322,71 @@ def test_real_video_frame_sampling(spark):
     meta = {r.media_id: r for r in decode_media(media, real=True).collect()}
     assert (meta[1].width, meta[1].height, meta[1].n_frames) == (6, 4, 6)
     assert meta[1].duration_sec == pytest.approx(0.5)
+
+
+# ---------------------------------------------------------------------------
+# PNG encode/decode (the compressed-format path, r06)
+# ---------------------------------------------------------------------------
+
+def test_png_roundtrip_exercises_all_five_filters():
+    """encode_png cycles row filters None/Sub/Up/Average/Paeth (row % 5);
+    any image taller than 4 rows therefore cannot round-trip unless the
+    decoder reconstructs every filter type correctly."""
+    import numpy as np
+
+    from etl_dag_paris_velib_spark.operators.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(7)
+    for h, w in [(1, 1), (2, 3), (6, 5), (13, 29), (28, 44)]:
+        px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        payload = encode_png(px)
+        assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+        back = decode_png(payload)
+        assert back.dtype == np.uint8 and np.array_equal(back, px)
+        # integrated into the generic image dispatch
+        assert np.array_equal(decode_image(payload), px)
+
+
+def test_png_rejects_corruption_and_foreign_profiles():
+    import numpy as np
+    import pytest
+
+    from etl_dag_paris_velib_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    payload = bytearray(encode_png(px))
+    # flip one IDAT byte: the chunk CRC must catch it
+    payload[50] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(payload))
+    with pytest.raises(NotImplementedError):
+        decode_png(b"not a png at all")
+
+
+def test_resize_accepts_png_payloads(spark):
+    """resize_media decodes via the shared dispatch, so a PNG column
+    resizes like PPM/BMP — the compose-with-decode contract."""
+    import numpy as np
+
+    from etl_dag_paris_velib_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+        resize_media,
+    )
+
+    px = (np.arange(12 * 16 * 3) % 256).reshape(12, 16, 3).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(encode_png(px)))],
+        "media_id long, kind string, payload binary",
+    )
+    out = resize_media(df, 6, 8).collect()
+    assert out[0]["width"] == 8 and out[0]["height"] == 6
+    resized = decode_image(bytes(out[0]["payload"]))
+    assert resized.shape == (6, 8, 3)

@@ -227,14 +227,26 @@ def _gen_subquery_query(rng: random.Random) -> str:
     )
 
 
-#: unique-key column lists per table — appended to window ORDER BY so the
-#: ordering is total and row_number is deterministic in both engines
+#: key column lists per table — appended to window ORDER BY as a tiebreak.
+#: TRAP (found by the r06 frame-grammar sweep): lineitem's (l_orderkey,
+#: l_linenumber) is NOT unique in this testdata (14k duplicate pairs at
+#: sf0.01), so an ordering through it is not total. The row_number and
+#: ORDER BY+LIMIT grammars stay deterministic anyway because their output
+#: projects only TIE-INVARIANT columns (fully-tied rows share l_orderkey
+#: and the order column, so permuting them never changes the output
+#: multiset — pinned by test_lineitem_key_is_not_unique_but_grammars_are_
+#: tie_invariant). Anything that aggregates OTHER columns over a ROWS
+#: frame must use a truly-unique-key table (ROWS_SAFE_TABLES).
 UNIQUE_KEY = {
     "lineitem": "l_orderkey, l_linenumber",
     "orders": "o_orderkey",
     "events": "event_id",
     "customer": "c_custkey",
 }
+
+#: tables whose UNIQUE_KEY really is unique — ROWS frames (order-sensitive
+#: aggregates over non-tie-invariant values) must draw from these only
+ROWS_SAFE_TABLES = ("orders", "events", "customer")
 
 
 def _gen_window_query(rng: random.Random) -> str:
@@ -260,6 +272,53 @@ def _gen_window_query(rng: random.Random) -> str:
     return (
         f"SELECT g, k, rn FROM (SELECT {g} AS g, {key0} AS k,"
         f" {fn} AS rn FROM {name} WHERE {pred}) sub WHERE rn <= {n}"
+    )
+
+
+def _gen_frame_query(rng: random.Random) -> str:
+    """Window-FRAME sweep (the surface _gen_window_query's rank top-n
+    doesn't touch): integral aggregates over ROWS frames with explicit
+    bounds, and RANGE frames over a possibly-tied ordering (RANGE
+    aggregates all peers, so ties stay deterministic; ROWS frames get a
+    unique-key tiebreak in the ORDER BY — a ROWS frame over a tied order
+    is nondeterministic by definition and both engines would be 'right'
+    with different answers). The ROWS branch draws from ROWS_SAFE_TABLES
+    only: the first sweep of this grammar proved lineitem's declared key
+    is NOT unique in this testdata, making ROWS-framed sums over it
+    legitimately divergent (see the UNIQUE_KEY trap note)."""
+    rows_branch = rng.random() < 0.5
+    name = rng.choice(ROWS_SAFE_TABLES if rows_branch else list(TABLES))
+    t = TABLES[name]
+    g = rng.choice(t["group_cols"])
+    key = UNIQUE_KEY[name]
+    key0 = key.split(",")[0].strip()
+    val = rng.choice(t["int_cols"])
+    fn = rng.choice(["sum", "min", "max", "count"])
+    if rows_branch:
+        order = f"{rng.choice(t['int_cols'])}, {key}"  # total order for ROWS
+        frame = rng.choice(
+            [
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+                "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+                "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+                "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+                "ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING",
+            ]
+        )
+    else:
+        order = rng.choice(t["int_cols"])  # ties fine: RANGE takes peers
+        frame = rng.choice(
+            [
+                "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+                "RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+                "RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+            ]
+        )
+    pred = _predicate(rng, t)
+    return (
+        f"SELECT {key0} AS k, CAST({fn}({val}) OVER (PARTITION BY {g}"
+        f" ORDER BY {order} {frame}) AS BIGINT) AS wv"
+        f" FROM {name} WHERE {pred}"
     )
 
 
@@ -672,6 +731,11 @@ def test_fuzzed_numeric_matches_duckdb(engines, seed):
 
 
 @pytest.mark.parametrize("seed", list(range(15)))
+def test_fuzzed_frame_matches_duckdb(engines, seed):
+    _compare(engines, _gen_frame_query(random.Random(19000 + seed)))
+
+
+@pytest.mark.parametrize("seed", list(range(15)))
 def test_fuzzed_decimal_matches_duckdb(engines, seed):
     _compare(engines, _gen_decimal_query(random.Random(17000 + seed)))
 
@@ -775,3 +839,40 @@ def test_decimal_division_scale_divergence(engines):
         " / CAST(CAST(3.00 AS DECIMAL(18,2)) AS DOUBLE), 6) AS q"
     )
     assert spark.sql(esql).first()["q"] == con.execute(esql).fetchone()[0]
+
+
+def test_lineitem_key_is_not_unique_but_grammars_are_tie_invariant(engines):
+    """Pins the testdata trap the r06 frame-grammar sweep found: lineitem's
+    natural key (l_orderkey, l_linenumber) has thousands of duplicate
+    pairs in this synthetic testdata (TPC-H proper would make it unique),
+    so an ORDER BY through it is NOT total and any order-sensitive
+    computation over OTHER columns (a ROWS-framed sum of l_partkey) is
+    legitimately nondeterministic — both engines are 'right' with
+    different answers, and the frame grammar therefore restricts its ROWS
+    branch to ROWS_SAFE_TABLES. The row_number and ORDER BY+LIMIT
+    grammars remain deterministic on lineitem because their outputs
+    project only tie-invariant columns: fully-tied rows share l_orderkey
+    and the order column, so permuting them never changes the output
+    multiset."""
+    spark, con = engines
+    dup_pairs = con.execute(
+        "SELECT count(*) - count(DISTINCT (l_orderkey, l_linenumber))"
+        " FROM lineitem"
+    ).fetchone()[0]
+    assert dup_pairs > 0, (
+        "testdata regenerated with a truly-unique lineitem key — the "
+        "ROWS_SAFE_TABLES restriction can be lifted"
+    )
+    # tie-invariance in action: the row_number grammar's output multiset
+    # matches cross-engine even over the non-unique key
+    sql = (
+        "SELECT g, k, rn FROM (SELECT l_returnflag AS g, l_orderkey AS k,"
+        " row_number() OVER (PARTITION BY l_returnflag"
+        " ORDER BY l_suppkey, l_orderkey, l_linenumber) AS rn"
+        " FROM lineitem) sub WHERE rn <= 10"
+    )
+    srows = [tuple(r) for r in spark.sql(sql).collect()]
+    drows = con.execute(sql).fetchall()
+    assert canon_hash(["g", "k", "rn"], srows) == canon_hash(
+        ["g", "k", "rn"], drows
+    )

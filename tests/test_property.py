@@ -225,3 +225,33 @@ def test_kmv_set_ops_exact_when_union_under_k(spark, pair):
     sb2 = {f"v{x}" for x in sb}
     assert r["est_union"] == len(sa2 | sb2)
     assert r["est_inter"] == len(sa2 & sb2)
+
+
+# ---------------------------------------------------------------------------
+# PNG codec property (operators/multimodal.py, r06)
+# ---------------------------------------------------------------------------
+
+_png_shape = st.tuples(st.integers(1, 24), st.integers(1, 24))
+
+
+@given(shape=_png_shape, seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(shape, seed):
+    """Any uint8 RGB array round-trips encode_png -> decode_png exactly.
+    The encoder's row-filter cycle means every image >= 5 rows exercises
+    all five PNG filter types; random content stresses the Paeth
+    predictor's tie-break branches (pa <= pb <= pc ordering)."""
+    import numpy as np
+
+    from etl_dag_paris_velib_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    h, w = shape
+    px = np.random.RandomState(seed).randint(0, 256, size=(h, w, 3)).astype(
+        np.uint8
+    )
+    back = decode_png(encode_png(px))
+    assert back.dtype == np.uint8
+    assert np.array_equal(back, px)

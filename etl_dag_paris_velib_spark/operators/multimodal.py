@@ -364,6 +364,151 @@ def decode_wav(payload: bytes) -> tuple[int, int, "np.ndarray"]:
     return rate, n_ch, samples[: n * n_ch].reshape(n, n_ch)
 
 
+#: IMA ADPCM step-size table (89 entries) and index-adjust table — the
+#: values fixed by the IMA/DVI specification; both encoder and decoder
+#: walk them with pure integer arithmetic, so decode is bit-deterministic.
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+ADPCM_BLOCK_ALIGN = 256  # mono block: 4-byte header + 252 data bytes
+ADPCM_SAMPLES_PER_BLOCK = (ADPCM_BLOCK_ALIGN - 4) * 2 + 1  # 505
+
+
+def _ima_step(sample: int, pred: int, index: int) -> tuple[int, int, int]:
+    """One IMA ADPCM encode step: quantize (sample - pred) to a 4-bit
+    code, return (code, new_pred, new_index). Integer-exact per spec."""
+    step = _IMA_STEPS[index]
+    diff = sample - pred
+    code = 0
+    if diff < 0:
+        code = 8
+        diff = -diff
+    if diff >= step:
+        code |= 4
+        diff -= step
+    if diff >= step >> 1:
+        code |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        code |= 1
+    pred = _ima_decode_step(code, pred, index)[0]
+    index = min(88, max(0, index + _IMA_INDEX_ADJ[code & 7]))
+    return code, pred, index
+
+
+def _ima_decode_step(code: int, pred: int, index: int) -> tuple[int, int]:
+    """Reconstruct one sample from a 4-bit code (shared by encoder's
+    predictor loop and the decoder, so they cannot drift)."""
+    step = _IMA_STEPS[index]
+    delta = step >> 3
+    if code & 1:
+        delta += step >> 2
+    if code & 2:
+        delta += step >> 1
+    if code & 4:
+        delta += step
+    if code & 8:
+        delta = -delta
+    return max(-32768, min(32767, pred + delta)), index
+
+
+def encode_adpcm_wav(samples: "np.ndarray", rate: int) -> bytes:
+    """Mono int16 PCM -> a REAL IMA-ADPCM WAV (wFormatTag 0x11): fmt
+    chunk with the samples-per-block extension, a fact chunk carrying the
+    true sample count, and standard 256-byte blocks (4-byte header =
+    seed sample + step index, then 252 bytes of 4-bit codes, low nibble
+    first). 4:1 fixed-rate compression — unlike DEFLATE the payload size
+    is a CLOSED FORM of n_samples, which is what lets q114's oracle
+    price the container without running the codec."""
+    import struct
+
+    s = np.asarray(samples, dtype=np.int64)
+    n = len(s)
+    spb = ADPCM_SAMPLES_PER_BLOCK
+    n_blocks = max(1, -(-n // spb))
+    data = bytearray()
+    index = 0
+    for b in range(n_blocks):
+        chunk = s[b * spb : (b + 1) * spb]
+        if len(chunk) < spb:  # pad the tail block by repeating the last value
+            pad = np.full(spb - len(chunk), chunk[-1] if len(chunk) else 0)
+            chunk = np.concatenate([chunk, pad])
+        pred = int(chunk[0])
+        data += struct.pack("<hBB", pred, index, 0)
+        codes = []
+        for x in chunk[1:]:
+            code, pred, index = _ima_step(int(x), pred, index)
+            codes.append(code)
+        for lo, hi in zip(codes[0::2], codes[1::2]):
+            data.append(lo | (hi << 4))
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, rate, rate * ADPCM_BLOCK_ALIGN // spb,
+        ADPCM_BLOCK_ALIGN, 4, 2, spb,
+    )
+    fact = struct.pack("<I", n)
+    riff_body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + bytes(data)
+    )
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_adpcm_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """Real IMA ADPCM decode (mono): chunk walk, block-header seed +
+    nibble stream reconstruction via the shared :func:`_ima_decode_step`,
+    trimmed to the fact chunk's sample count. Returns (rate, int16
+    samples). Non-IMA compressed WAVs raise the usual seam."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = fact_n = data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        ln = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16]) + (
+                struct.unpack("<H", body[18:20])[0] if ln >= 20 else None,
+            )
+        elif tag == b"fact":
+            fact_n = struct.unpack("<I", body[:4])[0]
+        elif tag == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)
+    if fmt is None or data is None:
+        raise NotImplementedError("WAV missing fmt/data chunk")
+    tag_, ch, rate, _br, block_align, bits, spb = fmt
+    if tag_ != 0x11 or ch != 1 or bits != 4:
+        raise NotImplementedError("only mono 4-bit IMA ADPCM (0x11) supported")
+    out: list[int] = []
+    for off in range(0, len(data), block_align):
+        block = data[off : off + block_align]
+        pred = struct.unpack("<h", block[0:2])[0]
+        index = block[2]
+        out.append(pred)
+        for byte in block[4:]:
+            for code in (byte & 0xF, byte >> 4):
+                pred, _ = _ima_decode_step(code, pred, index)
+                index = min(88, max(0, index + _IMA_INDEX_ADJ[code & 7]))
+                out.append(pred)
+    samples = np.array(out, dtype=np.int16)
+    if fact_n is not None:
+        samples = samples[:fact_n]
+    return rate, samples
+
+
 def encode_wav(samples: "np.ndarray", rate: int) -> bytes:
     """(n_samples, n_channels) float in [-1, 1] -> 16-bit PCM WAV bytes
     (inverse of :func:`decode_wav`, so generated fixtures round-trip)."""

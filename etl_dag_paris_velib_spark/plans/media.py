@@ -365,3 +365,105 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, width int, height int, n_pixels long, "
         "pixel_sum long, first_px long, last_px long",
     )
+
+
+# ---------------------------------------------------------------------------
+# q114 — REAL compressed-audio decode (IMA ADPCM, wFormatTag 0x11)
+# ---------------------------------------------------------------------------
+@MD.add(
+    "q114_adpcm_decode",
+    oracle="""
+WITH law AS (
+  SELECT doc_id, 600 + (doc_id % 10) * 120 AS n FROM documents
+  WHERE doc_id < 60
+)
+SELECT doc_id AS media_id,
+       n::BIGINT AS n_samples,
+       8000 AS sample_rate,
+       ((n + 504) // 505)::BIGINT AS n_blocks,
+       (12 + 8 + 20 + 8 + 4 + 8 + ((n + 504) // 505) * 256)::BIGINT
+         AS payload_bytes,
+       TRUE AS err_within_bound
+FROM law
+""",
+    doc="REAL compressed-audio decode, driver-checked: deterministic "
+    "triangle waveforms (amplitude/period from the seed law, slew-rate "
+    "bounded so the codec tracks them) are encoded in-plan to genuine "
+    "IMA-ADPCM WAV (wFormatTag 0x11: 256-byte blocks, 4-bit codes, fact "
+    "chunk) and decoded back through the full integer reconstruction "
+    "(operators/multimodal.py:decode_adpcm_wav — shared step kernel with "
+    "the encoder's predictor loop, per the IMA spec). ADPCM is LOSSY, so "
+    "unlike q113's PNG the oracle cannot closed-form the samples; what "
+    "it CAN price exactly is the container — 4:1 fixed-rate compression "
+    "makes payload_bytes and block count closed forms of n_samples "
+    "(DEFLATE has no such form) — plus the decode-quality contract "
+    "err_within_bound = max|decoded - law| <= 256 (empirical worst over "
+    "the seed grid: 166; decode is integer-deterministic so the flag is "
+    "stable). A nibble-order, step-table, or index-clamp bug either "
+    "breaks the error bound or the trimmed sample count. JPEG/MP3/MP4 "
+    "remain the documented lossy-codec-library seam. mapInPandas, zero "
+    "shuffles.",
+    tags=("multimodal", "decode", "mapInPandas", "llm"),
+)
+def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        ADPCM_BLOCK_ALIGN,
+        ADPCM_SAMPLES_PER_BLOCK,
+        decode_adpcm_wav,
+        encode_adpcm_wav,
+    )
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id")
+        .filter(F.col("doc_id") < N_SEEDS)
+    )
+
+    def gen_and_decode(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                n = 600 + (i % 10) * 120
+                amp = 2000 + (i % 10) * 500
+                period = 200 + (i % 5) * 40
+                t = np.arange(n)
+                s = (
+                    (amp * (4 * np.abs((t % period) / period - 0.5) - 1))
+                    .astype(np.int64)
+                    .clip(-32768, 32767)
+                )
+                payload = encode_adpcm_wav(s, 8000)
+                rate, back = decode_adpcm_wav(payload)
+                err = int(np.abs(back.astype(np.int64) - s).max())
+                n_blocks = -(-n // ADPCM_SAMPLES_PER_BLOCK)
+                rows.append(
+                    (
+                        i,
+                        len(back),
+                        rate,
+                        n_blocks,
+                        len(payload),
+                        bool(err <= 256),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_samples",
+                    "sample_rate",
+                    "n_blocks",
+                    "payload_bytes",
+                    "err_within_bound",
+                ],
+            )
+
+    return docs.mapInPandas(
+        gen_and_decode,
+        "media_id long, n_samples long, sample_rate int, n_blocks long, "
+        "payload_bytes long, err_within_bound boolean",
+    )

@@ -59,6 +59,7 @@ NEW_THIS_ROUND = (
     "q111_priority_sample",
     "q112_stream_enrich_rollup",
     "q113_png_decode",
+    "q114_adpcm_decode",
 )
 
 

@@ -390,3 +390,39 @@ def test_resize_accepts_png_payloads(spark):
     assert out[0]["width"] == 8 and out[0]["height"] == 6
     resized = decode_image(bytes(out[0]["payload"]))
     assert resized.shape == (6, 8, 3)
+
+
+def test_adpcm_roundtrip_and_container():
+    """IMA ADPCM: exact container math (fixed 4:1 rate — payload size is
+    a closed form of n), fact-chunk trimming to the true sample count,
+    and tracking error bounded on slew-limited signals. Also pins the
+    spec's profile seam: stereo/PCM payloads are not silently
+    mis-decoded."""
+    import numpy as np
+    import pytest
+
+    from etl_dag_paris_velib_spark.operators.multimodal import (
+        ADPCM_BLOCK_ALIGN,
+        ADPCM_SAMPLES_PER_BLOCK,
+        decode_adpcm_wav,
+        decode_wav,
+        encode_adpcm_wav,
+        encode_wav,
+    )
+
+    for n in (1, 100, 505, 506, 1680):
+        t = np.arange(n)
+        s = (3000 * (4 * np.abs((t % 200) / 200 - 0.5) - 1)).astype(np.int64)
+        payload = encode_adpcm_wav(s, 8000)
+        blocks = -(-n // ADPCM_SAMPLES_PER_BLOCK)
+        assert len(payload) == 12 + 8 + 20 + 8 + 4 + 8 + blocks * ADPCM_BLOCK_ALIGN
+        rate, back = decode_adpcm_wav(payload)
+        assert rate == 8000 and len(back) == n
+        assert int(np.abs(back.astype(np.int64) - s).max()) <= 256
+    # a plain PCM WAV is not an ADPCM payload (and vice versa): the PCM
+    # decoder rejects the 0x11 format tag, the ADPCM decoder rejects PCM
+    pcm = encode_wav(np.full((16, 1), 0.25), 8000)
+    with pytest.raises(NotImplementedError):
+        decode_adpcm_wav(pcm)
+    with pytest.raises(NotImplementedError):
+        decode_wav(encode_adpcm_wav(np.zeros(16, dtype=np.int64), 8000))

@@ -1237,3 +1237,64 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q115 — BPE pair statistics (tokenizer-training step 1)
+# ---------------------------------------------------------------------------
+@C.add(
+    "q115_bpe_pair_stats",
+    oracle="""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM documents
+),
+vocab AS (
+  SELECT w, count(*)::BIGINT AS freq FROM words
+  WHERE length(w) >= 2 GROUP BY w
+),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                i -> w[i:i+1])) AS sym_pair, freq
+  FROM vocab
+)
+SELECT sym_pair, sum(freq)::BIGINT AS n_weighted
+FROM pairs GROUP BY sym_pair
+ORDER BY n_weighted DESC, sym_pair
+LIMIT 25
+""",
+    doc="BPE tokenizer-training statistics, step 1: frequency-weighted "
+    "adjacent character-pair counts over the corpus vocabulary — the "
+    "argmax of this table IS the first learned merge, and every "
+    "subsequent round is the same aggregation over progressively merged "
+    "symbol arrays (operators/bpe.py:bpe_learn, the full iterative "
+    "trainer, differential-tested against a pure-python Sennrich-style "
+    "reference for 8 rounds: identical merge lists and final vocabs). "
+    "Scale shape: the ONLY corpus-sized step is the vocab build (one "
+    "word-keyed shuffle, q41's top-terms shape); pair counting and merge "
+    "application run over the VOCAB — orders of magnitude smaller than "
+    "the corpus — as pure JVM higher-order functions (no UDF), with one "
+    "O(distinct pairs) map-side-combined shuffle per round and a 1-row "
+    "argmax collect (the CC-fixpoint driver idiom). At 100 TB this is "
+    "exactly how a production tokenizer's merge table is learned. The "
+    "spec's step-1 form stays SQL-expressible (adjacent char pair = "
+    "2-char substring), giving the driver an exact oracle; ties order "
+    "lexically. Reference counterpart: none (north-star extension).",
+    tags=("curation", "llm", "textstats", "bpe"),
+)
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import build_vocab
+
+    vocab = build_vocab(_docs(spark, sf_dir))
+    pairs = vocab.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("sym_pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("sym_pair")
+        .agg(F.sum("freq").cast("bigint").alias("n_weighted"))
+        .orderBy(F.desc("n_weighted"), "sym_pair")
+        .limit(25)
+    )

@@ -60,6 +60,7 @@ NEW_THIS_ROUND = (
     "q112_stream_enrich_rollup",
     "q113_png_decode",
     "q114_adpcm_decode",
+    "q115_bpe_pair_stats",
 )
 
 

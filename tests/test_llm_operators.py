@@ -667,3 +667,86 @@ def test_prefix_filter_indexes_fewer_tokens(spark):
     assert prefix_tokens < 0.35 * full_tokens, (
         f"prefix index should be ~(1-t) of full: {prefix_tokens} vs {full_tokens}"
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed BPE tokenizer training (operators/bpe.py, r06)
+# ---------------------------------------------------------------------------
+
+def _ref_bpe(word_freqs, k):
+    """Pure-python Sennrich-style reference: same tie-break (count desc,
+    then lexically smallest pair), same left-to-right non-overlapping
+    merge application."""
+    from collections import Counter
+
+    vocab = {w: (list(w), f) for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(k):
+        pc = Counter()
+        for syms, f in vocab.values():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        merges.append((a, b, n))
+        for w, (syms, f) in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            vocab[w] = (out, f)
+    return merges, {w: syms for w, (syms, f) in vocab.items()}
+
+
+def test_bpe_learn_matches_python_reference(spark):
+    """bpe_learn on the smoke corpus must reproduce the reference
+    implementation exactly: same merge list (order, pairs, weighted
+    counts) AND same final symbol array for every vocab word — the
+    merge-application HOF and the argmax tie-break are both pinned."""
+    from etl_dag_paris_velib_spark.operators.bpe import bpe_learn, build_vocab
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    wf = {
+        r["w"]: r["freq"] for r in build_vocab(docs).collect()
+    }
+    assert len(wf) >= 20  # synthetic corpus has a ~30-word vocabulary
+    ref_merges, ref_vocab = _ref_bpe(wf, 8)
+
+    merges, vocab = bpe_learn(docs, 8)
+    try:
+        assert merges == ref_merges
+        got = {r["w"]: list(r["syms"]) for r in vocab.collect()}
+        assert got == ref_vocab
+    finally:
+        vocab.unpersist()
+
+
+def test_bpe_merge_application_edge_cases(spark):
+    """The aggregate-HOF merge must be left-to-right non-overlapping:
+    'aaaa' under (a,a) becomes [aa, aa]; 'aaa' becomes [aa, a]; a word
+    collapsing to ONE symbol survives the next round's pair fan-out
+    (the sequence(1,0)-descends trap is guarded)."""
+    from etl_dag_paris_velib_spark.operators.bpe import (
+        apply_merge,
+        init_symbols,
+        pair_counts,
+    )
+
+    vocab = spark.createDataFrame(
+        [("aaaa", 1), ("aaa", 1), ("ab", 1)], "w string, freq long"
+    )
+    merged = apply_merge(init_symbols(vocab), "a", "a")
+    got = {r["w"]: list(r["syms"]) for r in merged.collect()}
+    assert got == {"aaaa": ["aa", "aa"], "aaa": ["aa", "a"], "ab": ["a", "b"]}
+    # 'ab' merged to a single symbol must contribute zero pairs, not crash
+    merged2 = apply_merge(merged, "a", "b")
+    pc = {
+        (r["a"], r["b"]): r["n"] for r in pair_counts(merged2).collect()
+    }
+    assert ("a", "b") not in pc
+    assert pc[("aa", "aa")] == 1 and pc[("aa", "a")] == 1

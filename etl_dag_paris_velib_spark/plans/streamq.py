@@ -227,3 +227,85 @@ def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = _drain_to_memory(agg, "q112", "complete")
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# q116 — stream-STREAM time-interval join (attribution pairs)
+# ---------------------------------------------------------------------------
+@ST.add(
+    "q116_stream_interval_join",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.user_id,
+       p.ts AS purchase_ts,
+       c.ts AS click_ts,
+       p.value AS purchase_value
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase'
+ AND c.event_type = 'click'
+ AND c.ts BETWEEN p.ts - INTERVAL 24 HOUR AND p.ts
+""",
+    doc="Stream-STREAM time-interval join, driver-checked end-to-end — "
+    "the last §2.8 stateful-operator family without a driver row "
+    "(q108 windowed agg, q110 chained dedup+agg, q112 stream-static "
+    "enrich covered the others). Both sides of the attribution join "
+    "(purchases x clicks within the prior 24h, same user) are the SAME "
+    "readStream self-joined — Spark re-reads the source per leg — with "
+    "watermarks on both event-time columns and the range predicate "
+    "Spark requires for state eviction. The query returns the JOINED "
+    "PAIRS themselves, so the driver's hash compares the join output "
+    "row-for-row against the batch SQL: direct evidence the streaming "
+    "state machine matched exactly the batch join's pairs. Append mode "
+    "is the natural drain here — stream-stream INNER join emits each "
+    "match in the micro-batch it forms (no watermark-close wait, so no "
+    "suppressed-final-window hazard; that is why the spec drains the "
+    "join itself rather than chaining an append-mode windowed agg, "
+    "which availableNow would leave one window short of the batch "
+    "answer). Scale: join state is each side's last 24h keyed by "
+    "user_id — O(rate x window), watermark-evicted; both legs shuffle "
+    "once on user_id (co-partitioned state stores); output is the true "
+    "result set, not a staging copy. Production sink = foreachBatch "
+    "MERGE (streaming/gbfs.py:stream_upsert_gold). Reference "
+    "counterpart: none (the reference joins only against static "
+    "metadata; SURVEY §2.8).",
+    tags=("streaming", "join", "interval", "events"),
+)
+def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 24 HOURS"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "click_ts",
+        "purchase_value",
+    )
+    name = _drain_to_memory(joined, "q116", "append")
+    return spark.table(name)

@@ -61,6 +61,7 @@ NEW_THIS_ROUND = (
     "q113_png_decode",
     "q114_adpcm_decode",
     "q115_bpe_pair_stats",
+    "q116_stream_interval_join",
 )
 
 

@@ -1378,3 +1378,133 @@ def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     top = srp_lsh_topk(emb, F.col("vec_id") < 5, k=10)
     return top.select("q_id", "vec_id", F.round("score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# q117 — BM25 keyword relevance top-k (search over the corpus)
+# ---------------------------------------------------------------------------
+#: fixed keyword query: one rare, discriminative term ("dup", df ~5% of
+#: docs) and two common ones — BM25's idf weighting must dominate tf
+BM25_TERMS = ("dup", "spark", "vector")
+
+
+@L.add(
+    "q117_bm25_topk",
+    oracle="""
+WITH q(term) AS (VALUES ('dup'), ('spark'), ('vector')),
+d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+  FROM documents
+),
+l AS (SELECT doc_id, len(tk)::BIGINT AS dl FROM d),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM l),
+t AS (SELECT doc_id, unnest(tk) AS term FROM d),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM t JOIN q USING (term) GROUP BY 1, 2
+),
+idf AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         (ln((stats.n_docs - idf.df + 0.5) / (idf.df + 0.5) + 1.0)
+          * (tf.tf * 2.2))
+           / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / stats.avgdl)) AS contrib
+  FROM tf
+  CROSS JOIN stats
+  JOIN idf USING (term)
+  JOIN l USING (doc_id)
+)
+SELECT doc_id,
+       round(list_reduce(list(contrib ORDER BY term), (a, b) -> a + b), 6)
+         AS score,
+       count(*)::BIGINT AS n_terms
+FROM contrib
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 20
+""",
+    doc="BM25 keyword search, Okapi form (k1=1.2, b=0.75): top-20 "
+    "documents for a fixed 3-term query mixing one rare term with two "
+    "common ones, so the idf weighting is what the hash checks. "
+    "Cross-engine exactness is BY CONSTRUCTION, not luck: per-(doc, "
+    "term) contributions are identical double-precision expression "
+    "trees in both engines (same literals, same parenthesization; dl, "
+    "tf, df, N are exact integers and avgdl an exact-sum mean), and "
+    "the per-doc score folds those contributions in SORTED term order "
+    "— Spark `aggregate(array_sort(collect_list(struct(term, "
+    "contrib))), 0.0d, acc + x)` vs DuckDB `list_reduce(list(contrib "
+    "ORDER BY term))` — a left fold over the same values in the same "
+    "order (0.0 + x == x exactly for the positive contributions), so "
+    "the sums are bit-identical and round(,6) + the rounded-score sort "
+    "is belt-and-braces. Scale shape: ONE corpus scan feeds the "
+    "(doc_id, term)-keyed tf shuffle with the query-term filter pushed "
+    "below the explode (rows fan out only for matched terms, ~|Q| per "
+    "doc max); doc lengths ride the same projection (no lengths join); "
+    "df is a |Q|-row broadcast; the corpus stats are a 1-row broadcast "
+    "(whitelisted BNLJ, the q50/q107 scalar idiom); top-20 is "
+    "TakeOrderedAndProject. A second lightweight scan computes N/avgdl "
+    "over ALL docs (zero-match docs must count); at 100 TB that pass "
+    "reads one array-length column and in production comes from the "
+    "corpus-stats table the pipeline already maintains. Reference "
+    "counterpart: none (north-star extension — the retrieval half of "
+    "an LLM data pipeline's search tier).",
+    tags=("search", "bm25", "text", "llm"),
+)
+def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    tk = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
+    lens = tk.select("doc_id", F.size("tk").cast("long").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    exploded = tk.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("dl"),
+        F.explode("tk").alias("term"),
+    ).filter(F.col("term").isin(*BM25_TERMS))
+    tf = exploded.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.crossJoin(F.broadcast(stats))
+        .join(F.broadcast(idf), "term")
+        .select(
+            "doc_id",
+            "term",
+            (
+                (
+                    F.log(
+                        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                        / (F.col("df") + F.lit(0.5))
+                        + F.lit(1.0)
+                    )
+                    * (F.col("tf") * F.lit(2.2))
+                )
+                / (
+                    F.col("tf")
+                    + F.lit(1.2)
+                    * (
+                        F.lit(0.25)
+                        + F.lit(0.75) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("contrib"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("term"), F.col("contrib")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ),
+            6,
+        ).alias("score"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(20)

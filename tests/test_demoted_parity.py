@@ -62,6 +62,7 @@ NEW_THIS_ROUND = (
     "q114_adpcm_decode",
     "q115_bpe_pair_stats",
     "q116_stream_interval_join",
+    "q117_bm25_topk",
 )
 
 

@@ -37,6 +37,8 @@ BNLJ_WHITELIST = {
     "q52_embedding_dedup": "block id grid broadcast for threshold matmul",
     "q53_bloom_semi_join": "fixed-size bloom bitmap broadcast map-side",
     "q96_mutual_nn_pairs": "q33's block/shard id grid broadcast (all_pairs_nn)",
+    "q117_bm25_topk": "1-row corpus stats (N, avgdl) broadcast — the "
+    "q50/q107 scalar idiom",
     "q103_kmv_set_overlap": "distinct set-id grid (ga < gb pairs) broadcast; "
     "bounded by #sets, independent of corpus size",
     "q107_association_rules": "1-row basket-total broadcast cross join "

@@ -316,3 +316,70 @@ def bow_dedup(
     lowest id."""
     with_fp = df.withColumn("bow_fp", bow_fingerprint(F.col(text_col)))
     return keep_first(with_fp, ["bow_fp"], [F.col(id_col)])
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.15,
+) -> DataFrame:
+    """SemDeDup-style within-cluster embedding pruning (Abbas et al.
+    2023's shape): inside each semantic cluster, score every member by
+    cosine to the cluster's deterministic representative (lowest id)
+    and flag members above ``threshold`` as redundant. Returns the
+    PRUNE LIST — (cluster, vec_id, rep_id, score) — which a curation
+    pipeline anti-joins against the corpus.
+
+    Scale shape: one shuffle (the per-cluster min-id aggregate, O(rows)
+    partial-combined to O(clusters)); the representative table — id AND
+    vector, O(clusters) rows — broadcasts back onto the corpus, so the
+    scoring pass is map-side only: a JVM ``zip_with``/``aggregate``
+    dot-product fold per row, no Python, no second shuffle, output
+    bounded by the true redundancy count. In production the cluster
+    column comes from k-means over the embeddings
+    (operators/clustering.py:embedding_kmeans feeds assignments
+    straight in); any deterministic cluster id works identically.
+
+    Exactness: vectors cast float->double ONCE up front so every dot
+    product is a single left-to-right double fold — bit-identical to
+    DuckDB's ``list_dot_product`` (the q33 construction) — and the
+    threshold compares the ROUNDED score on both engines, so the
+    cutoff cannot straddle a sub-ULP divergence.
+    """
+    e = emb.select(
+        F.col(cluster_col).alias("cluster"),
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    # the groupBy key keeps e's expression id, so the aggregate output is
+    # re-aliased immediately — otherwise every later self-join resolves
+    # "cluster" against both lineages and fails as ambiguous
+    reps = (
+        e.groupBy("cluster")
+        .agg(F.min("vec_id").alias("rep_id"))
+        .select(F.col("cluster").alias("r_cluster"), "rep_id")
+    )
+    rvec = e.join(
+        F.broadcast(reps), e["vec_id"] == reps["rep_id"]
+    ).select("r_cluster", "rep_id", e["v"].alias("rvec"))
+    from ..functions.vector import cosine_similarity
+
+    # the members/representatives join is a SELF-join three plans deep
+    # (rvec derives from e twice over); SubqueryAlias boundaries are the
+    # only disambiguation Spark accepts here
+    m, r = e.alias("m"), rvec.alias("rv")
+    scored = (
+        m.join(F.broadcast(r), F.col("m.cluster") == F.col("rv.r_cluster"))
+        .filter(F.col("m.vec_id") != F.col("rv.rep_id"))
+        .select(
+            F.col("m.cluster"),
+            F.col("m.vec_id"),
+            F.col("rv.rep_id"),
+            F.round(
+                cosine_similarity(F.col("m.v"), F.col("rv.rvec")), 6
+            ).alias("score"),
+        )
+    )
+    return scored.filter(F.col("score") > F.lit(threshold))

@@ -1508,3 +1508,54 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_terms"),
     )
     return scored.orderBy(F.desc("score"), "doc_id").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# q118 — SemDeDup-style within-cluster embedding prune list
+# ---------------------------------------------------------------------------
+@L.add(
+    "q118_semantic_dedup",
+    oracle="""
+WITH e AS (
+  SELECT label AS cluster, vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+r AS (SELECT cluster, min(vec_id) AS rep_id FROM e GROUP BY cluster),
+rv AS (
+  SELECT r.cluster, r.rep_id, e.v AS rvec
+  FROM r JOIN e ON e.vec_id = r.rep_id
+),
+c AS (
+  SELECT e.cluster, e.vec_id, rv.rep_id,
+         round(
+           list_dot_product(e.v, rv.rvec)
+             / (sqrt(list_dot_product(e.v, e.v))
+                * sqrt(list_dot_product(rv.rvec, rv.rvec))),
+           6) AS score
+  FROM e JOIN rv USING (cluster)
+  WHERE e.vec_id <> rv.rep_id
+)
+SELECT cluster, vec_id, rep_id, score FROM c WHERE score > 0.15
+""",
+    doc="SemDeDup-style semantic dedup (operators/dedup.py:"
+    "semantic_dedup): within each cluster, every member is scored by "
+    "cosine against the cluster's deterministic representative (lowest "
+    "id) and the PRUNE LIST — members above the similarity threshold — "
+    "is returned, ready to anti-join against the corpus. The synthetic "
+    "labels are weak clusters (within-cluster cosines top out ~0.33), "
+    "so the spec's threshold 0.15 selects the top-redundancy tail; on "
+    "a real near-dup-heavy corpus the same operator runs at ~0.9+ with "
+    "k-means assignments (embedding_kmeans) as the cluster column. "
+    "Exactness by construction: float->double cast once, dot products "
+    "are identical left folds in both engines (the q33 construction), "
+    "and the threshold compares the ROUNDED score so the cutoff "
+    "cannot straddle a sub-ULP divergence. Scale: one partial-combined "
+    "shuffle to O(clusters) representatives, which broadcast back — "
+    "the scoring pass is map-side JVM only, no second shuffle, output "
+    "bounded by true redundancy. Reference counterpart: none "
+    "(north-star extension).",
+    tags=("vector", "dedup", "semdedup", "llm"),
+)
+def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import semantic_dedup
+
+    return semantic_dedup(_emb(spark, sf_dir), threshold=0.15)

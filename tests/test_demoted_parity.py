@@ -63,6 +63,7 @@ NEW_THIS_ROUND = (
     "q115_bpe_pair_stats",
     "q116_stream_interval_join",
     "q117_bm25_topk",
+    "q118_semantic_dedup",
 )
 
 

@@ -1298,3 +1298,92 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_weighted"), "sym_pair")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# q119 — BPE encode under a shipped merge table (tokenizer-training step 2)
+# ---------------------------------------------------------------------------
+#: the shipped tokenizer: the first 6 merges bpe_learn() learns at
+#: sf0.01, frozen as literals the way a production tokenizer.json ships;
+#: the last merge consumes a merged symbol ("m"+"er"), so the multi-char
+#: symbol path is exercised
+BPE_MERGE_TABLE = (
+    ("e", "r"),
+    ("i", "n"),
+    ("o", "w"),
+    ("o", "r"),
+    ("s", "t"),
+    ("m", "er"),
+)
+
+
+@C.add(
+    "q119_bpe_encode_counts",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM documents
+),
+v AS (SELECT DISTINCT w FROM t),
+m AS (
+  SELECT w,
+         replace(replace(replace(replace(replace(replace(
+           regexp_replace(w, '(.)', '|\\1', 'g'),
+           '|e|r', '|er'), '|i|n', '|in'), '|o|w', '|ow'),
+           '|o|r', '|or'), '|s|t', '|st'), '|m|er', '|mer') AS enc
+  FROM v
+),
+c AS (
+  SELECT w,
+         (length(enc) - length(replace(enc, '|', '')))::BIGINT AS n_syms
+  FROM m
+)
+SELECT t.doc_id,
+       sum(c.n_syms)::BIGINT AS n_bpe_tokens,
+       count(*)::BIGINT AS n_words
+FROM t JOIN c USING (w)
+GROUP BY t.doc_id
+""",
+    doc="BPE ENCODE — tokenizer-training step 2, the apply side of "
+    "q115's learn side: per-document token counts under a FIXED "
+    "6-merge table (the first merges bpe_learn() produces at sf0.01, "
+    "frozen as literals exactly the way a production tokenizer.json "
+    "ships — applying a fixed table is well-defined at every sf). The "
+    "oracle encodes each vocab word as a marker-delimited string "
+    "('star' -> '|s|t|a|r') and applies the merge list as a chain of "
+    "plain replace() calls ('|s|t' -> '|st'): a single left-to-right "
+    "non-overlapping replace pass is EXACTLY the greedy merge "
+    "semantics of operators/bpe.py:apply_merge's left fold (both scan "
+    "once, never rescan into a replacement), and the marker makes "
+    "symbol boundaries unambiguous even for multi-char symbols, so "
+    "the two implementations agree by construction; symbol count = "
+    "marker count. Scale shape: merges apply to the DISTINCT VOCAB "
+    "(orders of magnitude smaller than the corpus) as 6 JVM aggregate "
+    "passes — the corpus-sized work is one explode + the word-keyed "
+    "count join (vocab side broadcast-eligible under AQE) + the "
+    "doc_id rollup; per-token Python never runs. Reference "
+    "counterpart: none (north-star extension; completes the q115 "
+    "tokenizer family).",
+    tags=("curation", "llm", "textstats", "bpe"),
+)
+def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import apply_merge, init_symbols
+
+    words = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("w"),
+    )
+    syms = init_symbols(words.select("w").distinct())
+    for a, b in BPE_MERGE_TABLE:
+        syms = apply_merge(syms, a, b)
+    counts = syms.select("w", F.size("syms").cast("long").alias("n_syms"))
+    return (
+        words.join(counts, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_syms").cast("bigint").alias("n_bpe_tokens"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+    )

@@ -64,6 +64,7 @@ NEW_THIS_ROUND = (
     "q116_stream_interval_join",
     "q117_bm25_topk",
     "q118_semantic_dedup",
+    "q119_bpe_encode_counts",
 )
 
 

@@ -309,3 +309,63 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = _drain_to_memory(joined, "q116", "append")
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# q120 — custom stateful operator drain (streaming KMV distinct sketch)
+# ---------------------------------------------------------------------------
+@ST.add(
+    "q120_stream_kmv_distinct",
+    oracle="""
+WITH dh AS (
+  SELECT DISTINCT event_type AS g,
+         (('0x' || substr(md5(user_id::VARCHAR), 1, 14))::UBIGINT)::BIGINT AS h
+  FROM events
+),
+r AS (
+  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM dh
+),
+a AS (
+  SELECT g, count(*)::BIGINT AS n_seen,
+         max(CASE WHEN rn = 16 THEN h END) AS h_k
+  FROM r WHERE rn <= 16 GROUP BY g
+)
+SELECT g AS event_type,
+       (CASE WHEN n_seen < 16 THEN n_seen
+             ELSE 15 * 72057594037927936 // h_k END)::BIGINT
+         AS est_distinct
+FROM a
+""",
+    doc="CUSTOM STATEFUL streaming operator, driver-checked — the §2.8 "
+    "applyInPandasWithState family's first driver row (q108/q110/q112/"
+    "q116 cover the built-in stateful operators; this one is the "
+    "arbitrary-state API): streaming KMV distinct-user sketch per "
+    "event type (streaming/events.py:streaming_distinct_users, k=16), "
+    "availableNow drain, final emission per group selected by max "
+    "n_batches. The KMV merge law — top-k(state ∪ batch) == "
+    "top-k(everything seen) — makes the last emission BIT-IDENTICAL "
+    "to the batch sketch regardless of how the source was micro-"
+    "batched, so the exact SQL oracle (the q71 construction at k=16: "
+    "md5-14-hex hashes, integral-division estimator) checks the "
+    "stateful operator's arithmetic, not a tolerance. State is 16 "
+    "longs + a counter per group FOREVER — contrast watermarked "
+    "dropDuplicates whose state grows with true cardinality; this is "
+    "the sketch-not-state design the 100 TB streaming tier runs on. "
+    "Reference counterpart: SURVEY §2.8 (the reference's poll loop "
+    "keeps no cross-batch state at all — this is the upgrade).",
+    tags=("streaming", "sketch", "stateful", "events"),
+)
+def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..streaming.events import streaming_distinct_users
+
+    est = streaming_distinct_users(_events_stream(spark, sf_dir), k=16)
+    name = _drain_to_memory(est, "q120", "update")
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_batches"))
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "est_distinct")
+    )

@@ -65,6 +65,7 @@ NEW_THIS_ROUND = (
     "q117_bm25_topk",
     "q118_semantic_dedup",
     "q119_bpe_encode_counts",
+    "q120_stream_kmv_distinct",
 )
 
 

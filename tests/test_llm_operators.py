@@ -750,3 +750,28 @@ def test_bpe_merge_application_edge_cases(spark):
     }
     assert ("a", "b") not in pc
     assert pc[("aa", "aa")] == 1 and pc[("aa", "a")] == 1
+
+
+def test_semantic_dedup_prunes_planted_duplicates(spark):
+    """Planted geometry: an exact duplicate of the representative must
+    land on the prune list with score 1.0; orthogonal and opposite
+    members must survive; the representative itself is never pruned."""
+    from etl_dag_paris_velib_spark.operators.dedup import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),   # representative (lowest id in cluster 0)
+            (2, [2.0, 0.0], 0),   # same direction => cos 1.0 -> pruned
+            (3, [0.0, 1.0], 0),   # orthogonal => cos 0.0 -> kept
+            (10, [1.0, 1.0], 1),  # representative of cluster 1
+            (11, [-1.0, -1.0], 1),  # opposite => cos -1.0 -> kept
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    pruned = semantic_dedup(emb, threshold=0.9).collect()
+    assert [(r["cluster"], r["vec_id"], r["rep_id"], r["score"]) for r in pruned] == [
+        (0, 2, 1, 1.0)
+    ]
+    # at a permissive threshold the representatives still never appear
+    all_scored = semantic_dedup(emb, threshold=-2.0).collect()
+    assert {r["vec_id"] for r in all_scored} == {2, 3, 11}

@@ -274,35 +274,14 @@ JOIN events c
     tags=("streaming", "join", "interval", "events"),
 )
 def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events_stream(spark, sf_dir)
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("purchase_ts"),
-            F.col("value").alias("purchase_value"),
-        )
-        .withWatermark("purchase_ts", "1 hour")
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", "1 hour")
-    )
-    joined = p.join(
-        c,
-        (F.col("p_user") == F.col("c_user"))
-        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 24 HOURS"))
-        & (F.col("click_ts") <= F.col("purchase_ts")),
+    from ..streaming.events import purchase_click_attribution
+
+    joined = purchase_click_attribution(
+        _events_stream(spark, sf_dir), lookback="24 hours"
     ).select(
         "purchase_id",
         "click_id",
-        F.col("p_user").alias("user_id"),
+        "user_id",
         "purchase_ts",
         "click_ts",
         "purchase_value",

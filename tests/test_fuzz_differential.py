@@ -633,6 +633,48 @@ def _gen_outerjoin_agg_query(rng: random.Random) -> str:
     return f"SELECT {select} FROM orders {jt} customer ON {on}{where}{group}"
 
 
+def _gen_case_like_query(rng: random.Random) -> str:
+    """CASE / LIKE conditional grammar — the routing surface a curation
+    pipeline leans on (bucket rows by string pattern, guard divisions
+    with NULLIF/COALESCE, aggregate per bucket). LIKE, CASE, COALESCE
+    and NULLIF are shared text in both dialects; aggregates stay
+    integral so the check is exact. Patterns are derived from real
+    literal values (prefix/suffix/infix/underscore forms), so matches
+    are selective but rarely empty."""
+    tname = rng.choice(list(TABLES))
+    t = TABLES[tname]
+    sc = rng.choice(t["str_cols"])
+    lit = rng.choice(STR_LITS[sc])
+    pats = [lit[:1] + "%", "%" + lit[-1:], "%" + lit[len(lit) // 2] + "%"]
+    if len(lit) > 1:
+        pats.append("_" + lit[1:])
+    pat = rng.choice(pats)
+    ic = rng.choice(t["int_cols"])
+    mod = rng.choice([3, 5, 7])
+    bucket = (
+        f"CASE WHEN {sc} LIKE '{pat}' THEN 'match' "
+        f"WHEN {ic} % {mod} = 0 THEN 'mod' ELSE 'rest' END"
+    )
+    guarded = f"COALESCE(NULLIF({ic} % {mod}, 0), -1)"
+    aggs = [
+        "count(*) AS n",
+        f"CAST(sum(CASE WHEN {sc} LIKE '{pat}' THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_like",
+        f"CAST(sum({guarded}) AS BIGINT) AS s_guard",
+        f"CAST(min({guarded}) AS BIGINT) AS m_guard",
+    ]
+    sel = ", ".join(rng.sample(aggs, k=rng.randint(2, 4)))
+    if rng.random() < 0.6:
+        return (
+            f"SELECT {bucket} AS bucket, {sel} FROM {tname} "
+            f"GROUP BY {bucket}"
+        )
+    return (
+        f"SELECT {sc} AS k, {sel} FROM {tname} GROUP BY {sc} "
+        f"HAVING count(*) > {rng.choice([0, 5])}"
+    )
+
+
 @pytest.fixture(scope="module")
 def engines(spark):
     from etl_dag_paris_velib_spark.sources.tpch import register_views
@@ -743,6 +785,11 @@ def test_fuzzed_decimal_matches_duckdb(engines, seed):
 @pytest.mark.parametrize("seed", list(range(15)))
 def test_fuzzed_outerjoin_agg_matches_duckdb(engines, seed):
     _compare(engines, _gen_outerjoin_agg_query(random.Random(18000 + seed)))
+
+
+@pytest.mark.parametrize("seed", list(range(15)))
+def test_fuzzed_case_like_matches_duckdb(engines, seed):
+    _compare(engines, _gen_case_like_query(random.Random(21000 + seed)))
 
 
 def test_null_ordering_default_divergence(engines):

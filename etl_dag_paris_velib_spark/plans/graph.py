@@ -612,3 +612,161 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triples.orderBy(
         F.desc("n_orders"), "part_a", "part_b", "part_c"
     ).limit(100)
+
+
+#: Persisted intermediates of oriented_triangles (edge list + oriented
+#: list per call), bounded like _EDGE_CACHE: oldest unpersisted on
+#: overflow, all dropped by clear_plan_caches for cold-path bench runs.
+_TRI_PERSISTS: list[DataFrame] = []
+_TRI_PERSISTS_MAX = 8
+
+
+def _track_tri_persist(df: DataFrame) -> None:
+    _TRI_PERSISTS.append(df)
+    while len(_TRI_PERSISTS) > _TRI_PERSISTS_MAX:
+        old = _TRI_PERSISTS.pop(0)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+
+
+@register_cache_clearer
+def clear_triangle_persists() -> None:
+    """Unpersist every tracked triangle intermediate (cold-path
+    measurement)."""
+    while _TRI_PERSISTS:
+        old = _TRI_PERSISTS.pop()
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+
+
+def oriented_triangles(
+    edges: DataFrame, a_col: str = "part_a", b_col: str = "part_b"
+) -> DataFrame:
+    """Degree-oriented triangle enumeration (the Cohen / Suri-Vassilvitskii
+    MapReduce construction): direct every undirected edge from its
+    lower-(degree, id) endpoint to the higher one, form wedges only at
+    each edge's SOURCE, and close them against the oriented edge set.
+    Every triangle has exactly one vertex whose two triangle-edges both
+    point outward, so each is found exactly once — and the wedge
+    fan-out at a vertex is its OUT-degree squared, which orientation
+    caps at O(sqrt(|E|)) per vertex regardless of how skewed the raw
+    degree distribution is (a celebrity node's million-edge star
+    produces zero wedges at the celebrity: all its edges point INTO
+    it). That per-vertex bound is what makes the plan survive 100 TB;
+    the id-ordered naive wedge join has an unbounded hub blow-up.
+
+    Returns canonical id-sorted triples (p1 < p2 < p3) — deliberately
+    implementation-independent, so the registered spec's simple
+    id-ordered SQL oracle checks that the oriented algorithm finds
+    exactly the same triangle SET. Degree tables are corpus-linear:
+    joined WITHOUT broadcast hints (the q107 lesson), AQE picks the
+    strategy by measured size.
+
+    Persist lifecycle: the edge list is scanned twice (degree count,
+    orientation) and the oriented list three times (both wedge sides,
+    closure probe) — both persist once and stay cached for the life of
+    the returned plan, tracked in the bounded ``_TRI_PERSISTS`` LRU and
+    unpersisted on eviction or by ``clear_plan_caches`` (the cold-path
+    bench contract; same pattern as ``_EDGE_CACHE``).
+    """
+    e = edges.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _track_tri_persist(e)
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = e.join(
+        deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a")), "a"
+    ).join(
+        deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b")), "b"
+    )
+    a_first = F.struct("deg_a", "a") < F.struct("deg_b", "b")
+    oriented = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias(
+            "deg_dst"
+        ),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _track_tri_persist(oriented)
+    w1, w2, closing = (
+        oriented.alias("w1"),
+        oriented.alias("w2"),
+        oriented.alias("cl"),
+    )
+    wedges = w1.join(
+        w2,
+        (F.col("w1.src") == F.col("w2.src"))
+        & (
+            F.struct(F.col("w1.deg_dst"), F.col("w1.dst"))
+            < F.struct(F.col("w2.deg_dst"), F.col("w2.dst"))
+        ),
+    ).select(
+        F.col("w1.src").alias("apex"),
+        F.col("w1.dst").alias("u"),
+        F.col("w2.dst").alias("w"),
+    )
+    tri = wedges.join(
+        closing,
+        (F.col("u") == F.col("cl.src")) & (F.col("w") == F.col("cl.dst")),
+    ).select(F.array_sort(F.array("apex", "u", "w")).alias("t"))
+    return tri.select(
+        F.element_at("t", 1).alias("p1"),
+        F.element_at("t", 2).alias("p2"),
+        F.element_at("t", 3).alias("p3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q121 — triangle enumeration over the support-pruned co-purchase graph
+# ---------------------------------------------------------------------------
+@G.add(
+    "q121_copurchase_triangles",
+    oracle="""
+WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM basket a
+  JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT e1.pa AS p1, e1.pb AS p2, e2.pb AS p3
+FROM e e1
+JOIN e e2 ON e1.pb = e2.pa
+JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+""",
+    doc="Triangle enumeration over the support-pruned co-purchase graph "
+    "(edges = part pairs co-purchased in >= 2 orders, q84's "
+    "basket_pair_counts with min_count=2) — the graph-closure member "
+    "of the basket family (q84 pairs -> q107 rules -> q109 in-order "
+    "triples -> q121 pairwise-closure triangles; a triangle's three "
+    "edges may come from three DIFFERENT orders, which is what "
+    "distinguishes it from q109). The Spark side runs the "
+    "DEGREE-ORIENTED algorithm (oriented_triangles: every edge "
+    "directed low->high (degree, id), wedges formed only at sources, "
+    "closed against the oriented set — per-vertex wedge cost capped "
+    "at out-degree² = O(|E|) total instead of the naive hub blow-up), "
+    "while the oracle is the straightforward id-ordered 3-way "
+    "self-join: the hash match proves the oriented construction finds "
+    "EXACTLY the naive algorithm's triangle set, each exactly once. "
+    "Scale: one orderkey exchange (the shared basket build), one "
+    "pair-key shuffle, degree join with NO broadcast hint (AQE "
+    "decides — the q107 lesson), wedge+closure joins keyed on vertex "
+    "ids; edges and the oriented list persist once each. Reference "
+    "counterpart: none (north-star extension).",
+    tags=("graph", "basket", "triangles", "join"),
+)
+def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    basket = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = basket_pair_counts(basket, min_count=2)
+    return oriented_triangles(edges)

@@ -66,6 +66,7 @@ NEW_THIS_ROUND = (
     "q118_semantic_dedup",
     "q119_bpe_encode_counts",
     "q120_stream_kmv_distinct",
+    "q121_copurchase_triangles",
 )
 
 

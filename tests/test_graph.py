@@ -179,3 +179,34 @@ def test_pagerank_converges_and_conserves_mass(spark):
     )
     rank.unpersist()
     assert delta < 1e-10
+
+
+def test_oriented_triangles_on_planted_graphs(spark):
+    """K4 has exactly 4 triangles, each found once; a star graph (hub
+    with leaves, no leaf-leaf edges) has none — the orientation must
+    neither duplicate nor invent triangles, and canonical output is
+    id-sorted."""
+    from etl_dag_paris_velib_spark.plans.graph import oriented_triangles
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)],
+        "part_a long, part_b long",
+    )
+    got = sorted(
+        tuple(r) for r in oriented_triangles(k4).collect()
+    )
+    assert got == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]
+
+    star = spark.createDataFrame(
+        [(0, leaf) for leaf in range(1, 9)], "part_a long, part_b long"
+    )
+    assert oriented_triangles(star).count() == 0
+
+    # triangle hanging off a hub: only the closed wedge counts
+    mixed = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2)],
+        "part_a long, part_b long",
+    )
+    assert [tuple(r) for r in oriented_triangles(mixed).collect()] == [
+        (0, 1, 2)
+    ]

@@ -45,6 +45,10 @@ HEADLINE = (
     "q109_frequent_triples",    # A-priori step 3, pruned cubic fan-out
     "q108_stream_hourly_rollup",  # real StreamingQuery: windowed agg drain
     "q110_stream_dedup_rollup",   # chained stateful dedup -> agg drain
+    "q115_bpe_pair_stats",      # vocab build + HOF pair fan-out (r06)
+    "q117_bm25_topk",           # query-filtered tf shuffle + stats broadcast (r06)
+    "q118_semantic_dedup",      # O(clusters) rep broadcast, map-side scoring (r06)
+    "q119_bpe_encode_counts",   # vocab-level merge passes + word-keyed join (r06)
     # dedup-stress tier: sf1.0 plants 10-replica near-dup clusters, so
     # CANDIDATE volume grows ~(replicas²)x, not 10x — these rows measure
     # that deliberately superlinear regime, not a plan defect

@@ -614,29 +614,32 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(100)
 
 
-#: Persisted intermediates of oriented_triangles (edge list + oriented
-#: list per call), bounded like _EDGE_CACHE: oldest unpersisted on
-#: overflow, all dropped by clear_plan_caches for cold-path bench runs.
-_TRI_PERSISTS: list[DataFrame] = []
-_TRI_PERSISTS_MAX = 8
+#: Persisted intermediates of the multi-scan graph operators
+#: (oriented_triangles' edge + oriented lists, bfs_hops' per-round
+#: frontier/distance frames), bounded like _EDGE_CACHE: oldest
+#: unpersisted on overflow (correctness unaffected — lineage recomputes),
+#: all dropped by clear_plan_caches for cold-path bench runs.
+_GRAPH_PERSISTS: list[DataFrame] = []
+_GRAPH_PERSISTS_MAX = 16
 
 
-def _track_tri_persist(df: DataFrame) -> None:
-    _TRI_PERSISTS.append(df)
-    while len(_TRI_PERSISTS) > _TRI_PERSISTS_MAX:
-        old = _TRI_PERSISTS.pop(0)
+def _track_graph_persist(df: DataFrame) -> DataFrame:
+    _GRAPH_PERSISTS.append(df)
+    while len(_GRAPH_PERSISTS) > _GRAPH_PERSISTS_MAX:
+        old = _GRAPH_PERSISTS.pop(0)
         try:
             old.unpersist()
         except Exception:
             pass
+    return df
 
 
 @register_cache_clearer
-def clear_triangle_persists() -> None:
-    """Unpersist every tracked triangle intermediate (cold-path
+def clear_graph_persists() -> None:
+    """Unpersist every tracked graph-operator intermediate (cold-path
     measurement)."""
-    while _TRI_PERSISTS:
-        old = _TRI_PERSISTS.pop()
+    while _GRAPH_PERSISTS:
+        old = _GRAPH_PERSISTS.pop()
         try:
             old.unpersist()
         except Exception:
@@ -669,14 +672,14 @@ def oriented_triangles(
     Persist lifecycle: the edge list is scanned twice (degree count,
     orientation) and the oriented list three times (both wedge sides,
     closure probe) — both persist once and stay cached for the life of
-    the returned plan, tracked in the bounded ``_TRI_PERSISTS`` LRU and
+    the returned plan, tracked in the bounded ``_GRAPH_PERSISTS`` LRU and
     unpersisted on eviction or by ``clear_plan_caches`` (the cold-path
     bench contract; same pattern as ``_EDGE_CACHE``).
     """
     e = edges.select(
         F.col(a_col).alias("a"), F.col(b_col).alias("b")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    _track_tri_persist(e)
+    _track_graph_persist(e)
     deg = (
         e.select(F.col("a").alias("v"))
         .unionByName(e.select(F.col("b").alias("v")))
@@ -696,7 +699,7 @@ def oriented_triangles(
             "deg_dst"
         ),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    _track_tri_persist(oriented)
+    _track_graph_persist(oriented)
     w1, w2, closing = (
         oriented.alias("w1"),
         oriented.alias("w2"),
@@ -770,3 +773,105 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = basket_pair_counts(basket, min_count=2)
     return oriented_triangles(edges)
+
+
+def bfs_hops(
+    edges: DataFrame, seed: DataFrame, max_hops: int = 4
+) -> DataFrame:
+    """Frontier-based breadth-first search: minimum hop distance from the
+    seed set, bounded at ``max_hops``. ``edges`` must carry BOTH
+    directions as (src, dst); ``seed`` is a 1-column frame ``v``.
+
+    Each round joins ONLY the current frontier (nodes first reached last
+    round) against the edge list — never the full distance table — so
+    per-round shuffle volume is O(frontier out-edges), the textbook
+    Pregel/GraphX BFS shape. The left-anti join against the accumulated
+    distance frame guarantees first-reach-wins, which for BFS IS the
+    minimum distance, so no min-aggregation is needed afterwards. The
+    per-round empty check is a bounded take(1) (same O(1)-driver-data
+    family as pagerank's delta collect); rounds are <= max_hops so the
+    unrolled lineage stays shallow and needs no checkpoint. Distance
+    state is one int per reached node. Persisted intermediates go
+    through the bounded ``_GRAPH_PERSISTS`` tracker.
+    """
+    e = _track_graph_persist(
+        edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dist = _track_graph_persist(
+        seed.select("v", F.lit(0).cast("int").alias("hops")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
+    frontier = dist.select("v")
+    for h in range(1, max_hops + 1):
+        nxt = _track_graph_persist(
+            frontier.join(e, frontier["v"] == e["src"])
+            .select(F.col("dst").alias("v"))
+            .distinct()
+            .join(dist, "v", "left_anti")
+            .select("v", F.lit(h).cast("int").alias("hops"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if not nxt.take(1):
+            break
+        dist = _track_graph_persist(
+            dist.unionByName(nxt).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        frontier = nxt.select("v")
+    return dist
+
+
+# ---------------------------------------------------------------------------
+# q122 — bounded-hop BFS distances over the support-pruned co-purchase graph
+# ---------------------------------------------------------------------------
+@G.add(
+    "q122_copurchase_bfs_hops",
+    oracle="""
+WITH RECURSIVE basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ep AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM basket a
+  JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+e AS (SELECT pa AS src, pb AS dst FROM ep UNION ALL SELECT pb, pa FROM ep),
+seed AS (SELECT min(pa) AS v FROM ep),
+bfs(v, hops) AS (
+  SELECT v, 0 FROM seed
+  UNION
+  SELECT e.dst, bfs.hops + 1 FROM bfs JOIN e ON e.src = bfs.v
+  WHERE bfs.hops < 4
+)
+SELECT v AS part, min(hops) AS hops FROM bfs GROUP BY v ORDER BY hops, part
+""",
+    doc="Minimum hop distance (<= 4) from the lowest-id node of the "
+    "support-pruned co-purchase graph (q121's edge set, both "
+    "directions) — the single-source-shortest-path member of the graph "
+    "family, and a NEW oracle shape for the suite: the DuckDB side is "
+    "a recursive CTE (UNION-deduplicated breadth expansion, depth "
+    "bounded in the recursive term) while the Spark side runs the "
+    "frontier-join BFS loop (bfs_hops: per-round shuffle volume is "
+    "O(frontier out-edges); first-reach-wins via left-anti join "
+    "replaces the oracle's min-aggregation — the hash match proves the "
+    "iterative frontier algorithm computes exactly the recursive "
+    "fixpoint's distance table). The seed is an aggregation result "
+    "(1-row frame), NOT a collected literal — no driver round-trip in "
+    "the plan. Scale: edge build shuffles once on the order key and "
+    "once on the pair key; each BFS round is one src-keyed join + one "
+    "anti join, distance state one int per node; rounds bounded by "
+    "max_hops=4. Reference counterpart: none (north-star extension).",
+    tags=("graph", "bfs", "iterative", "basket"),
+)
+def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    basket = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ep = basket_pair_counts(basket, min_count=2).select("part_a", "part_b")
+    edges = ep.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).unionByName(
+        ep.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    )
+    seed = ep.agg(F.min("part_a").alias("v"))
+    dist = bfs_hops(edges, seed, max_hops=4)
+    return dist.select(F.col("v").alias("part"), "hops").orderBy("hops", "part")

@@ -67,6 +67,7 @@ NEW_THIS_ROUND = (
     "q119_bpe_encode_counts",
     "q120_stream_kmv_distinct",
     "q121_copurchase_triangles",
+    "q122_copurchase_bfs_hops",
 )
 
 

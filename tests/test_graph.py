@@ -210,3 +210,28 @@ def test_oriented_triangles_on_planted_graphs(spark):
     assert [tuple(r) for r in oriented_triangles(mixed).collect()] == [
         (0, 1, 2)
     ]
+
+
+def test_bfs_hops_on_planted_graphs(spark):
+    """Path graph 1-2-3-4-5-6 seeded at 1: hop distances are exact,
+    capped at max_hops (node 6 at distance 5 stays unreached with
+    max_hops=4); a disconnected node never appears; first-reach-wins
+    equals min distance on a graph with a short and a long route."""
+    from etl_dag_paris_velib_spark.plans.graph import bfs_hops
+
+    def undirected(rows):
+        df = spark.createDataFrame(rows, "src long, dst long")
+        return df.unionByName(
+            df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+
+    path = undirected([(i, i + 1) for i in range(1, 6)])
+    seed = spark.createDataFrame([(1,)], "v long")
+    got = {r["v"]: r["hops"] for r in bfs_hops(path, seed, max_hops=4).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+    # short route 1-2-5 and long route 1-3-4-5: node 5 reached at hop 2,
+    # and the disconnected edge 8-9 is never reached
+    multi = undirected([(1, 2), (2, 5), (1, 3), (3, 4), (4, 5), (8, 9)])
+    got = {r["v"]: r["hops"] for r in bfs_hops(multi, seed, max_hops=4).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 5: 2, 4: 2}

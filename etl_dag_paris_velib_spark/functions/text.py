@@ -121,6 +121,18 @@ def shingle_hashes60(shingles_col) -> Column:
     )
 
 
+def hash60(col) -> Column:
+    """60-bit md5-prefix hash of a string column as a non-negative long —
+    the scalar form of :func:`shingle_hashes60`'s per-element hash, used
+    wherever a spec needs a deterministic cross-engine pseudo-random
+    stream (negative sampling, mask selection). DuckDB mirror:
+    ``(('0x' || substr(md5(x), 1, 15))::UBIGINT)::BIGINT``. 15 hex
+    digits = 60 bits < 2^63, so the long cast never wraps and ``%`` has
+    identical semantics in both engines."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signature_int(shingles_col, k: int = 16) -> Column:
     """k-wide integer MinHash signature — the fast variant.
 

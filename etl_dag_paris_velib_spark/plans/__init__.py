@@ -50,19 +50,20 @@ REGISTRY.merge(_streamq)
 #   (SemDeDup-style within-cluster embedding prune list), q119
 #   (BPE encode under a shipped merge table), q120 (custom
 #   stateful applyInPandasWithState drain — streaming KMV), q121
-#   (degree-oriented triangle enumeration), and q122 (bounded-hop
-#   frontier BFS vs a recursive-CTE oracle);
+#   (degree-oriented triangle enumeration), q122 (bounded-hop
+#   frontier BFS vs a recursive-CTE oracle), q123 (contrastive
+#   negative sampling), and q124 (masked-LM pair generation);
 # - code changed this round: q107 (broadcast hints dropped, shared
 #   basket fan-out) and q106 (null-propagating concat);
 # - all 12 r03-era greens (q05/q06/q10/q11b/q32/q34/q36/q40/q41/q44/
 #   q45/q47 — the oldest driver evidence in the repo);
-# - the 21 oldest r04-era greens (the q43–q68 block;
-#   q70–q81 stepped back to the tail to make room for q111–q122 —
-#   their families keep parity coverage there, and all twelve return
+# - the 19 oldest r04-era greens (the q43–q67 block;
+#   q68–q81 stepped back to the tail to make room for q111–q124 —
+#   their families keep parity coverage there, and all fourteen return
 #   in round 7).
 # Demoted: the 48 r05-green specs whose code did not change this round
-# (fresh rows last round, lowest marginal value now) plus the 25
-# youngest r04-era greens (q70–q97 block), which rotate back into the
+# (fresh rows last round, lowest marginal value now) plus the 27
+# youngest r04-era greens (q68–q97 block), which rotate back into the
 # window in round 7.
 DEMOTED = (
     # r05-green, code unchanged since their fresh r05 rows
@@ -114,8 +115,10 @@ DEMOTED = (
     "q102_media_resize",
     "q99_sql_order_distribution",
     "q100_sql_small_qty_revenue",
-    # r04-era greens rotating back into the window in round 7 (the 25
-    # youngest of the 46 — the q43–q68 block went in-window this round)
+    # r04-era greens rotating back into the window in round 7 (the 27
+    # youngest of the 46 — the q43–q67 block went in-window this round)
+    "q68_unigram_logprob",
+    "q69_variant_props",
     "q70_weighted_sample",
     "q71_kmv_distinct",
     "q72_weighted_quality",

@@ -1387,3 +1387,155 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_words"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q123 — deterministic contrastive negative sampling
+# ---------------------------------------------------------------------------
+@C.add(
+    "q123_negative_samples",
+    oracle="""
+WITH n AS (SELECT count(*) AS nd FROM documents),
+cand AS (
+  SELECT d.doc_id, i AS neg_idx,
+         ((('0x' || substr(md5(d.doc_id || ':' || i), 1, 15))::UBIGINT
+           % n.nd))::BIGINT AS partner_id
+  FROM documents d
+  CROSS JOIN n
+  CROSS JOIN unnest([1, 2, 3]) AS t(i)
+)
+SELECT c.doc_id, c.neg_idx, c.partner_id, p.source AS partner_source
+FROM cand c
+JOIN documents p ON p.doc_id = c.partner_id
+WHERE c.partner_id <> c.doc_id
+ORDER BY c.doc_id, c.neg_idx
+""",
+    doc="Contrastive negative sampling: k=3 deterministic pseudo-random "
+    "partner documents per document, the negative-pair generation step "
+    "of embedding/contrastive training (word2vec negative sampling, "
+    "SimCLR-style batch negatives materialized offline). Partner index "
+    "= hash60(doc_id:i) mod corpus size — the documents table carries a "
+    "DENSE 0..N-1 doc_id, so the modulus lands on a real key and the "
+    "pairing is a plain hash JOIN on the computed key, never a random "
+    "shuffle or a driver-side sample; self-hits are filtered (keyspace "
+    "law, identical in both engines). The corpus count rides along as a "
+    "1-row cross join (no collected literal). Scale: one count pass, "
+    "one k-way row fan-out (explode of a 3-element literal array), one "
+    "join keyed on partner_id — at 100 TB the join shuffles both sides "
+    "once on the partner key; skew-free by construction because hash60 "
+    "is uniform. Reference counterpart: none (north-star extension).",
+    tags=("sampling", "llm", "training-pairs"),
+)
+def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import hash60
+
+    d = _docs(spark, sf_dir)
+    n = d.agg(F.count(F.lit(1)).alias("nd"))
+    cand = (
+        d.select("doc_id")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("neg_idx"),
+            F.col("nd"),
+        )
+        .withColumn(
+            "partner_id",
+            hash60(F.concat_ws(":", F.col("doc_id"), F.col("neg_idx")))
+            % F.col("nd"),
+        )
+        .filter(F.col("partner_id") != F.col("doc_id"))
+    )
+    partners = d.select(
+        F.col("doc_id").alias("partner_id"), F.col("source").alias("partner_source")
+    )
+    return (
+        cand.join(partners, "partner_id")
+        .select("doc_id", "neg_idx", "partner_id", "partner_source")
+        .orderBy("doc_id", "neg_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q124 — masked-LM training-pair generation (T5-style token masking)
+# ---------------------------------------------------------------------------
+@C.add(
+    "q124_masked_lm_pairs",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {{toks}} AS t FROM documents),
+pos AS (
+  SELECT doc_id, i AS pos, t[i] AS tok,
+         ((('0x' || substr(md5(doc_id || ':' || i), 1, 15))::UBIGINT % 5) = 0)
+           AS masked
+  FROM toks CROSS JOIN unnest(generate_series(1, len(t))) AS u(i)
+)
+SELECT doc_id,
+       string_agg(CASE WHEN masked THEN '<X>' ELSE tok END, ' ' ORDER BY pos)
+         AS input_text,
+       coalesce(
+         string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE masked), '')
+         AS target_text,
+       count(*) FILTER (WHERE masked)::BIGINT AS n_masked
+FROM pos
+GROUP BY doc_id
+ORDER BY doc_id
+""".replace("{toks}", "regexp_extract_all(lower(text), '[a-z0-9]+')"),
+    doc="Masked-LM training-pair generation (T5-style span corruption, "
+    "token granularity): every ~5th token — selected by "
+    "hash60(doc_id:pos) mod 5, the deterministic cross-engine mask "
+    "law — is replaced by a sentinel in the input and emitted to the "
+    "target, producing the (input_text, target_text) pairs a denoising "
+    "pretraining pipeline materializes. Spark reassembles order with "
+    "array_sort over (pos, token) structs inside the per-doc aggregate "
+    "(no window, no global sort); the oracle uses ordered string_agg — "
+    "the hash match proves tokenization, mask law, and positional "
+    "reassembly agree exactly. Zero-mask docs emit an empty target in "
+    "both engines (array_join on empty = coalesce(NULL-agg, '')). "
+    "Scale: tokenize + posexplode is one linear scan, the only shuffle "
+    "is the groupBy(doc_id) reassembly, and state per doc is its own "
+    "token list — the same single-shuffle shape as q59's packing. "
+    "Reference counterpart: none (north-star extension).",
+    tags=("llm", "training-pairs", "textstats"),
+)
+def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import hash60
+
+    d = _docs(spark, sf_dir)
+    pos = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "tok")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        "tok",
+        (
+            hash60(F.concat_ws(":", F.col("doc_id"), (F.col("pos0") + 1))) % 5 == 0
+        ).alias("masked"),
+    )
+    agg = pos.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "pos",
+                    F.when(F.col("masked"), F.lit("<X>"))
+                    .otherwise(F.col("tok"))
+                    .alias("itok"),
+                )
+            )
+        ).alias("in_arr"),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("masked"), F.struct("pos", F.col("tok").alias("itok")))
+            )
+        ).alias("tgt_arr"),
+        F.sum(F.col("masked").cast("bigint")).alias("n_masked"),
+    )
+    return agg.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.col("in_arr"), lambda x: x["itok"]), " "
+        ).alias("input_text"),
+        F.array_join(
+            F.transform(F.col("tgt_arr"), lambda x: x["itok"]), " "
+        ).alias("target_text"),
+        "n_masked",
+    ).orderBy("doc_id")

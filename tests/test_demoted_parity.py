@@ -68,6 +68,8 @@ NEW_THIS_ROUND = (
     "q120_stream_kmv_distinct",
     "q121_copurchase_triangles",
     "q122_copurchase_bfs_hops",
+    "q123_negative_samples",
+    "q124_masked_lm_pairs",
 )
 
 

@@ -52,18 +52,19 @@ REGISTRY.merge(_streamq)
 #   stateful applyInPandasWithState drain — streaming KMV), q121
 #   (degree-oriented triangle enumeration), q122 (bounded-hop
 #   frontier BFS vs a recursive-CTE oracle), q123 (contrastive
-#   negative sampling), and q124 (masked-LM pair generation);
+#   negative sampling), q124 (masked-LM pair generation), q125
+#   (per-source KL drift), and q126 (embedding centroid drift);
 # - code changed this round: q107 (broadcast hints dropped, shared
 #   basket fan-out) and q106 (null-propagating concat);
 # - all 12 r03-era greens (q05/q06/q10/q11b/q32/q34/q36/q40/q41/q44/
 #   q45/q47 — the oldest driver evidence in the repo);
-# - the 19 oldest r04-era greens (the q43–q67 block;
-#   q68–q81 stepped back to the tail to make room for q111–q124 —
-#   their families keep parity coverage there, and all fourteen return
+# - the 17 oldest r04-era greens (the q43–q65 block;
+#   q66–q81 stepped back to the tail to make room for q111–q126 —
+#   their families keep parity coverage there, and all sixteen return
 #   in round 7).
 # Demoted: the 48 r05-green specs whose code did not change this round
-# (fresh rows last round, lowest marginal value now) plus the 27
-# youngest r04-era greens (q68–q97 block), which rotate back into the
+# (fresh rows last round, lowest marginal value now) plus the 29
+# youngest r04-era greens (q66–q97 block), which rotate back into the
 # window in round 7.
 DEMOTED = (
     # r05-green, code unchanged since their fresh r05 rows
@@ -115,8 +116,10 @@ DEMOTED = (
     "q102_media_resize",
     "q99_sql_order_distribution",
     "q100_sql_small_qty_revenue",
-    # r04-era greens rotating back into the window in round 7 (the 27
-    # youngest of the 46 — the q43–q67 block went in-window this round)
+    # r04-era greens rotating back into the window in round 7 (the 29
+    # youngest of the 46 — the q43–q65 block went in-window this round)
+    "q66_unpivot_metrics",
+    "q67_rank_distribution",
     "q68_unigram_logprob",
     "q69_variant_props",
     "q70_weighted_sample",

@@ -1539,3 +1539,75 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("target_text"),
         "n_masked",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q125 — per-source KL-divergence drift vs the corpus unigram distribution
+# ---------------------------------------------------------------------------
+@C.add(
+    "q125_source_kl_drift",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, unnest({_SQL_TOKS}) AS tok FROM documents
+),
+sfreq AS (
+  SELECT source, tok, count(*)::BIGINT AS cs FROM toks GROUP BY source, tok
+),
+swin AS (
+  SELECT source, tok, cs,
+         sum(cs) OVER (PARTITION BY source) AS ts
+  FROM sfreq
+),
+cfreq AS (
+  SELECT tok, sum(cs)::BIGINT AS cc FROM sfreq GROUP BY tok
+),
+cwin AS (SELECT tok, cc, sum(cc) OVER () AS tc FROM cfreq)
+SELECT s.source,
+       count(*)::BIGINT AS n_terms,
+       round(sum((s.cs::DOUBLE / s.ts::DOUBLE)
+             * ln((s.cs::DOUBLE / s.ts::DOUBLE)
+                  / (c.cc::DOUBLE / c.tc::DOUBLE))), 6) AS kl_drift
+FROM swin s
+JOIN cwin c USING (tok)
+GROUP BY s.source
+ORDER BY s.source
+""",
+    doc="Mixture-drift monitor: KL(P_source || P_corpus) over the unigram "
+    "distribution, per source — the statistic a training-mixture "
+    "pipeline tracks to catch a crawl source drifting away from (or "
+    "collapsing into) the corpus distribution; complements q58's "
+    "mixture weights and q105's resampling with the monitoring side. "
+    "No smoothing needed: every source term exists in the corpus, so "
+    "q > 0 exactly. Plan: one tokenize pass -> (source, tok) counts; "
+    "source totals ride along as a window sum (no join), corpus "
+    "totals as q95's one unpartitioned window over the |V|-row term "
+    "table; the only fact-sized shuffles are the two groupBys. "
+    "Per-term doubles are identical cross-engine (exact BIGINT ratios "
+    "through ln); only the per-source SUM order differs, hence the "
+    "rounding (repo FP rule). At 100 TB the |V|-row window swaps to a "
+    "1-row agg broadcast. Reference counterpart: none (north-star "
+    "extension).",
+    tags=("llm", "mixture", "textstats", "monitoring"),
+)
+def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    sfreq = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cs")
+    )
+    swin = sfreq.withColumn(
+        "ts", F.sum("cs").over(Window.partitionBy("source"))
+    )
+    cfreq = sfreq.groupBy("tok").agg(F.sum("cs").cast("bigint").alias("cc"))
+    cwin = cfreq.withColumn("tc", F.sum("cc").over(Window.partitionBy()))
+    p = F.col("cs").cast("double") / F.col("ts").cast("double")
+    q = F.col("cc").cast("double") / F.col("tc").cast("double")
+    return (
+        swin.join(cwin, "tok")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_drift"),
+        )
+        .orderBy("source")
+    )

@@ -605,3 +605,87 @@ def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ukey"),
     )
     return kmv_set_ops(ev, "event_type", "ukey", k=64)
+
+
+# ---------------------------------------------------------------------------
+# q126 — per-label embedding centroid drift vs the global centroid
+# ---------------------------------------------------------------------------
+@M.add(
+    "q126_centroid_drift",
+    oracle="""
+WITH ev AS (
+  SELECT label, i AS dim, embedding[i]::DOUBLE AS val
+  FROM embeddings
+  CROSS JOIN unnest(generate_series(1, len(embedding))) AS u(i)
+),
+lcs AS (
+  SELECT label, dim, sum(val) AS sv, count(*)::BIGINT AS cnt
+  FROM ev GROUP BY label, dim
+),
+gc AS (
+  SELECT dim, sum(sv) / sum(cnt)::DOUBLE AS gv FROM lcs GROUP BY dim
+),
+lc AS (SELECT label, dim, sv / cnt::DOUBLE AS lv, cnt FROM lcs)
+SELECT l.label,
+       min(l.cnt)::BIGINT AS n_vecs,
+       round(sum(l.lv * g.gv)
+             / (sqrt(sum(l.lv * l.lv)) * sqrt(sum(g.gv * g.gv))), 6)
+         AS centroid_cosine
+FROM lc l
+JOIN gc g USING (dim)
+GROUP BY l.label
+ORDER BY l.label
+""",
+    doc="Embedding-space drift monitor: cosine between each label's "
+    "centroid and the GLOBAL corpus centroid — the statistic an "
+    "embedding pipeline tracks to catch a class/source drifting in "
+    "representation space (the vector-space twin of q125's token-space "
+    "KL). Computed entirely in exploded (dim, value) space with "
+    "mergeable partial statistics: ONE scan produces per-(label, dim) "
+    "(sum, count) partials; the global centroid is FOLDED from those "
+    "partials (sum of sums / sum of counts) rather than re-scanning "
+    "the facts — the two-level hierarchical-aggregation shape that "
+    "makes the plan a single fact shuffle at 100 TB (the per-label "
+    "table is |labels|*dims rows, trivially joinable on dim). No UDFs, "
+    "no arrays through shuffles. Per-dim doubles differ only in "
+    "sum order, hence the rounding (repo FP rule). Reference "
+    "counterpart: none (north-star extension).",
+    tags=("embeddings", "monitoring", "agg"),
+)
+def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = emb.select(
+        "label", F.posexplode("embedding").alias("dim0", "val")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("val").cast("double").alias("val"),
+    )
+    lcs = ev.groupBy("label", "dim").agg(
+        F.sum("val").alias("sv"), F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    gc = lcs.groupBy("dim").agg(
+        (F.sum("sv") / F.sum("cnt").cast("double")).alias("gv")
+    )
+    lc = lcs.select(
+        "label",
+        "dim",
+        (F.col("sv") / F.col("cnt").cast("double")).alias("lv"),
+        "cnt",
+    )
+    return (
+        lc.join(gc, "dim")
+        .groupBy("label")
+        .agg(
+            F.min("cnt").cast("bigint").alias("n_vecs"),
+            F.round(
+                F.sum(F.col("lv") * F.col("gv"))
+                / (
+                    F.sqrt(F.sum(F.col("lv") * F.col("lv")))
+                    * F.sqrt(F.sum(F.col("gv") * F.col("gv")))
+                ),
+                6,
+            ).alias("centroid_cosine"),
+        )
+        .orderBy("label")
+    )

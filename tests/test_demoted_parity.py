@@ -70,6 +70,8 @@ NEW_THIS_ROUND = (
     "q122_copurchase_bfs_hops",
     "q123_negative_samples",
     "q124_masked_lm_pairs",
+    "q125_source_kl_drift",
+    "q126_centroid_drift",
 )
 
 

@@ -45,6 +45,8 @@ BNLJ_WHITELIST = {
     "(q50's bounds pattern)",
     "q111_priority_sample": "1-row tau (k+1-th priority) broadcast cross "
     "join onto the k-row sample (q50's bounds pattern)",
+    "q123_negative_samples": "1-row corpus-count broadcast cross join "
+    "(q50's bounds pattern); the partner pairing itself is a hash join",
 }
 
 

@@ -146,10 +146,12 @@ def decode_image(payload: bytes) -> "np.ndarray":
         if not top_down:
             rows = rows[::-1]
         return rows[..., ::-1].copy()  # BGR -> RGB
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     raise NotImplementedError(
-        "real decode implemented for PPM(P6)/BMP(24-bit)/PNG(8-bit RGB) "
-        "only; other formats need PIL/pyav (deliberate seam — see module "
-        "docstring)"
+        "real decode implemented for PPM(P6)/BMP(24-bit)/PNG(8-bit RGB)/"
+        "GIF(non-interlaced) only; other formats need PIL/pyav "
+        "(deliberate seam — see module docstring)"
     )
 
 
@@ -293,6 +295,212 @@ def decode_png(payload: bytes) -> "np.ndarray":
         out[y] = rec
         prev = rec
     return out.astype(np.uint8)
+
+
+def _lzw_pack_codes(codes: "list[int]", min_code_size: int) -> bytes:
+    """Pack LZW codes LSB-first with the GIF variable-width law: width
+    starts at min_code_size+1 and grows when the encoder's next free
+    code passes the current width's capacity (the same clock the
+    decoder runs — see :func:`_lzw_decode`)."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    next_code = clear + 2  # == decoder table size after a clear
+    fresh = True  # decoder adds NO entry on the first data code
+    for code in codes:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if code == clear:
+            width = min_code_size + 1
+            next_code = clear + 2
+            fresh = True
+        elif code == eoi:
+            pass
+        elif fresh:
+            fresh = False
+        else:
+            # decoder appends one entry per subsequent data code and
+            # widens when its table hits the width's capacity — run the
+            # identical clock so both sides switch on the same code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(pixels: "np.ndarray") -> bytes:
+    """Real GIF89a encode without PIL: 256-entry grayscale global color
+    table (palette[i] = (i, i, i)), one image block, and GENUINE LZW
+    compression — dictionary build, variable code width 9→12, clear-code
+    reset when the table fills, sub-block framing — so
+    :func:`decode_gif` cannot pass without a complete LZW decompressor.
+    Input is (H, W) uint8 palette indices or (H, W, 3) grayscale RGB
+    (all channels equal; the palette reproduces them)."""
+    if pixels.ndim == 3:
+        idx = pixels[..., 0]
+    else:
+        idx = pixels
+    h, w = idx.shape
+    stream = idx.astype(np.uint8).reshape(-1).tobytes()
+
+    min_code_size = 8
+    clear, eoi = 256, 257
+    dict_: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    codes = [clear]
+    wseq = stream[:1]
+    for i in range(1, len(stream)):
+        k = stream[i : i + 1]
+        if wseq + k in dict_:
+            wseq += k
+            continue
+        codes.append(dict_[wseq])
+        dict_[wseq + k] = next_code
+        next_code += 1
+        wseq = k
+        if next_code == 4096:  # table full: reset (decoder mirrors)
+            codes.append(clear)
+            dict_ = {bytes([j]): j for j in range(256)}
+            next_code = 258
+    codes.append(dict_[wseq])
+    codes.append(eoi)
+    packed = _lzw_pack_codes(codes, min_code_size)
+
+    out = bytearray()
+    out += b"GIF89a"
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0xF7, 0, 0])  # GCT present, 256 entries
+    for i in range(256):  # grayscale palette
+        out += bytes([i, i, i])
+    out += b"\x2c" + (0).to_bytes(2, "little") + (0).to_bytes(2, "little")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    out.append(min_code_size)
+    for off in range(0, len(packed), 255):
+        block = packed[off : off + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> bytes:
+    """GIF LZW decompression: LSB-first variable-width codes, dictionary
+    rebuild (including the code==next 'KwKwK' case), clear/EOI handling,
+    width growth when the table reaches the current capacity."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev: bytes | None = None
+    while len(out) < n_expected:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"LZW code {code} beyond table ({len(table)})")
+        out += entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> "np.ndarray":
+    """Real GIF decode without PIL: header + logical-screen-descriptor
+    parse, global color table, extension-block skip, sub-block
+    reassembly, FULL LZW decompression (:func:`_lzw_decode`) and palette
+    mapping -> (H, W, 3) uint8 RGB. Supports the non-interlaced
+    single-image profile :func:`encode_gif` writes; interlace, local
+    color tables and animation raise the usual ``NotImplementedError``
+    PIL seam."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF payload")
+    pos = 6
+    sw = int.from_bytes(payload[pos : pos + 2], "little")
+    sh = int.from_bytes(payload[pos + 2 : pos + 4], "little")
+    packed = payload[pos + 4]
+    pos += 7
+    gct: "np.ndarray | None" = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, count=n * 3, offset=pos).reshape(
+            n, 3
+        )
+        pos += n * 3
+    while pos < len(payload):
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x21:  # extension: label + sub-blocks, skip
+            pos += 1
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 == 0x3B:  # trailer before any image
+            raise ValueError("GIF contains no image block")
+        if b0 != 0x2C:
+            raise NotImplementedError(f"unsupported GIF block 0x{b0:02x}")
+        w = int.from_bytes(payload[pos + 4 : pos + 6], "little")
+        h = int.from_bytes(payload[pos + 6 : pos + 8], "little")
+        ipacked = payload[pos + 8]
+        pos += 9
+        if ipacked & 0x40:
+            raise NotImplementedError("interlaced GIF needs PIL")
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(
+                payload, np.uint8, count=n * 3, offset=pos
+            ).reshape(n, 3)
+            pos += n * 3
+        if pal is None:
+            raise ValueError("GIF image with no color table")
+        min_code_size = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos] != 0:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        idx = np.frombuffer(
+            _lzw_decode(bytes(data), min_code_size, w * h), np.uint8
+        ).reshape(h, w)
+        return pal[idx].astype(np.uint8)
+    raise ValueError("GIF truncated before image block")
 
 
 def encode_ppmv(frames: "list[np.ndarray]", fps: float = 24.0) -> bytes:

@@ -467,3 +467,109 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, n_samples long, sample_rate int, n_blocks long, "
         "payload_bytes long, err_within_bound boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# q127 — REAL compressed-format decode (GIF: LZW + palette mapping)
+# ---------------------------------------------------------------------------
+@MD.add(
+    "q127_gif_decode",
+    oracle="""
+WITH law AS (
+  SELECT doc_id,
+         20 + (doc_id % 6) * 8 AS w,
+         16 + (doc_id % 4) * 8 AS h,
+         doc_id % 200 AS base
+  FROM documents WHERE doc_id < 60
+),
+px AS (
+  SELECT doc_id, w, h, base, ((base + x + 2 * y) % 256) AS v
+  FROM law
+  CROSS JOIN unnest(generate_series(0, w - 1)) AS ux(x)
+  CROSS JOIN unnest(generate_series(0, h - 1)) AS uy(y)
+)
+SELECT doc_id AS media_id,
+       min(w) AS width,
+       min(h) AS height,
+       (min(w) * min(h))::BIGINT AS n_pixels,
+       (3 * sum(v))::BIGINT AS pixel_sum,
+       (min(base) % 256)::BIGINT AS first_px,
+       ((min(base) + (min(w) - 1) + 2 * (min(h) - 1)) % 256)::BIGINT
+         AS last_px
+FROM px
+GROUP BY doc_id
+""",
+    doc="REAL LZW-compressed image decode, driver-checked: wrapped "
+    "gradient index images (idx(y,x) = (base + x + 2y) mod 256 — the "
+    "wrap keeps repeated byte sequences flowing so the LZW dictionary "
+    "genuinely builds multi-symbol entries) are encoded in-plan to "
+    "genuine GIF89a — 256-entry palette, variable-width 9->12-bit LZW "
+    "with clear-code resets and sub-block framing "
+    "(operators/multimodal.py:encode_gif) — then decode_gif runs the "
+    "full dictionary-rebuild decompression (KwKwK case, width-growth "
+    "clock, palette mapping) on the actual bytes and the spec emits "
+    "whole-image aggregates. The oracle re-evaluates the seed law by "
+    "direct summation over a generated (x, y) grid, never touching a "
+    "byte: any bit-packing, dictionary, or width-clock bug changes "
+    "pixel_sum and fails the hash. Second REAL compressed format after "
+    "q113's PNG/DEFLATE (dictionary coding vs entropy coding+filters); "
+    "GIF payloads also dispatch through decode_image, so decode_media/"
+    "extract_features/resize_media accept them. mapInPandas end-to-end, "
+    "zero shuffles.",
+    tags=("multimodal", "decode", "mapInPandas", "llm"),
+)
+def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import decode_image, encode_gif
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id")
+        .filter(F.col("doc_id") < N_SEEDS)
+    )
+
+    def gen_and_decode(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w = 20 + (i % 6) * 8
+                h = 16 + (i % 4) * 8
+                base = i % 200
+                idx = (
+                    (base + np.arange(w)[None, :] + 2 * np.arange(h)[:, None])
+                    % 256
+                ).astype(np.uint8)
+                payload = encode_gif(idx)
+                dec = decode_image(payload).astype(np.int64)
+                rows.append(
+                    (
+                        i,
+                        dec.shape[1],
+                        dec.shape[0],
+                        dec.shape[0] * dec.shape[1],
+                        int(dec.sum()),
+                        int(dec[0, 0, 0]),
+                        int(dec[-1, -1, -1]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "n_pixels",
+                    "pixel_sum",
+                    "first_px",
+                    "last_px",
+                ],
+            )
+
+    return docs.mapInPandas(
+        gen_and_decode,
+        "media_id long, width int, height int, n_pixels long, "
+        "pixel_sum long, first_px long, last_px long",
+    )

@@ -72,6 +72,7 @@ NEW_THIS_ROUND = (
     "q124_masked_lm_pairs",
     "q125_source_kl_drift",
     "q126_centroid_drift",
+    "q127_gif_decode",
 )
 
 

@@ -426,3 +426,63 @@ def test_adpcm_roundtrip_and_container():
         decode_adpcm_wav(pcm)
     with pytest.raises(NotImplementedError):
         decode_wav(encode_adpcm_wav(np.zeros(16, dtype=np.int64), 8000))
+
+
+# ---------------------------------------------------------------------------
+# GIF encode/decode (the LZW dictionary-coding path, r06)
+# ---------------------------------------------------------------------------
+
+def test_gif_roundtrip_exercises_lzw_regimes():
+    """Exact round-trip across the regimes that break naive LZW
+    implementations: pure noise (dictionary grows fastest, width climbs
+    9->10->...), constant runs (long matches + the KwKwK code==next
+    case), short-period tiles (repeated dictionary hits), and an image
+    large enough to fill the 4096-entry table and force a mid-stream
+    clear-code reset."""
+    import numpy as np
+
+    from etl_dag_paris_velib_spark.operators.multimodal import (
+        decode_gif,
+        decode_image,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(11)
+    cases = [
+        rng.randint(0, 256, size=(23, 31)),
+        np.zeros((17, 9)),
+        np.tile(rng.randint(0, 4, size=(1, 13)), (19, 1)),
+        ((np.arange(16)[:, None] * 2 + np.arange(33)[None, :]) % 256),
+        np.array([[5]]),
+        rng.randint(0, 256, size=(150, 150)),  # > 4096 dict entries: reset
+    ]
+    for idx in cases:
+        idx = idx.astype(np.uint8)
+        payload = encode_gif(idx)
+        assert payload[:6] == b"GIF89a" and payload[-1:] == b"\x3b"
+        back = decode_gif(payload)
+        expected = np.stack([idx, idx, idx], axis=-1)
+        assert back.dtype == np.uint8 and np.array_equal(back, expected)
+        # integrated into the generic image dispatch
+        assert np.array_equal(decode_image(payload), expected)
+
+
+def test_gif_rejects_foreign_profiles():
+    import numpy as np
+    import pytest
+
+    from etl_dag_paris_velib_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    with pytest.raises(NotImplementedError):
+        decode_gif(b"not a gif")
+    # interlace flag set on a real payload: the documented PIL seam
+    payload = bytearray(encode_gif(np.zeros((4, 4), np.uint8)))
+    # image descriptor sits right after header(6)+LSD(7)+GCT(768)
+    desc = 6 + 7 + 768
+    assert payload[desc] == 0x2C
+    payload[desc + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_gif(bytes(payload))

@@ -154,24 +154,44 @@ def main():
     # against console-progress carriage returns sharing the line.
     short = {name.split("_", 1)[0]: round(t, 2) for name, t in sorted(timings.items())}
     assert len(short) == len(timings), "short query keys must stay unique"
-    print(
-        "\n"
-        + json.dumps(
-            {
-                "metric": "suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": short,
-                "sf": sf,
-                "regressions": sorted(regressions),
-            },
-            # compact separators: the driver parses this line out of a
-            # ~2000-char output tail; at 106 specs the default ", "
-            # rendering overflows it (tests/test_bench_budget.py guard)
-            separators=(",", ":"),
-        ),
-        flush=True,
-    )
+    print("\n" + render_line(total, short, sf, sorted(regressions)), flush=True)
+
+
+def render_line(total, short, sf, regressions, limit=1800):
+    """Render the one-line JSON summary, guaranteed to fit the driver's
+    bounded output tail: if the full per-query map would overflow
+    ``limit`` chars (the ~2000-char window minus headroom; BENCH_r03
+    came back parsed:null when a 66-query line outgrew it), drop the
+    FASTEST entries — the least informative ones — and say how many were
+    dropped via "queries_omitted". The slow queries the judge actually
+    compares always survive."""
+
+    def dumps(q, omitted):
+        payload = {
+            "metric": "suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": q,
+            "sf": sf,
+            "regressions": regressions,
+        }
+        if omitted:
+            payload["queries_omitted"] = omitted
+        # compact separators: the default ", " rendering overflows the
+        # tail window at ~106 specs (tests/test_bench_budget.py guard)
+        return json.dumps(payload, separators=(",", ":"))
+
+    line = dumps(short, 0)
+    if len(line) <= limit:
+        return line
+    by_time = sorted(short, key=lambda k: (-short[k], k))
+    keep = dict(short)
+    for name in reversed(by_time):  # fastest first
+        del keep[name]
+        line = dumps(dict(sorted(keep.items())), len(short) - len(keep))
+        if len(line) <= limit:
+            return line
+    return line
     if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
         print(f"PERF REGRESSIONS: {sorted(regressions)}", file=sys.stderr)
         sys.exit(2)

@@ -277,3 +277,77 @@ def kmv_set_ops(
         .otherwise(F.expr(f"(n_both * ({numerator} div h_k)) div {k}"))
         .alias("est_inter"),
     )
+
+
+def hll_registers(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    part_col: str | None = None,
+) -> DataFrame:
+    """Per-group HyperLogLog registers (p=8, 256 buckets) from the
+    60-bit md5 key hash: bucket = low 8 bits, rho = leading-zero count
+    of the remaining 52-bit word + 1, computed INTEGER-EXACTLY as
+    53 - length(bin(w)) — ``bin`` renders the same unpadded binary
+    string in Spark and DuckDB, so the registers never touch a double
+    and an oracle reproduces them bit-for-bit (the estimate fold in
+    :func:`hll_estimate` is the only FP step).
+
+    With ``part_col`` the registers are built per PARTITION first and
+    max-merged — the HLL merge law (register-wise max) is associative
+    and integer-exact, so merged registers equal one-shot registers
+    EXACTLY; a q97-style differential against a one-shot oracle proves
+    the law. Scale shape: register state is <= 256 ints per group
+    regardless of input size, the (group, bucket) pre-aggregation
+    combines map-side, and the partition level is how a 100 TB pipeline
+    computes per-day sub-sketches and folds them without rescanning
+    history."""
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    parts = [F.col(part_col).alias("pt")] if part_col is not None else []
+    base = df.select(
+        F.col(group_col).alias("g"), *parts, h.alias("h")
+    ).select(
+        "g",
+        *(["pt"] if part_col is not None else []),
+        (F.col("h") % 256).alias("bucket"),
+        F.when(F.expr("h div 256") == 0, F.lit(53))
+        .otherwise(F.lit(53) - F.length(F.expr("bin(h div 256)")))
+        .cast("int")
+        .alias("rho"),
+    )
+    if part_col is not None:
+        sub = base.groupBy("g", "pt", "bucket").agg(F.max("rho").alias("m"))
+        return sub.groupBy("g", "bucket").agg(F.max("m").alias("m"))
+    return base.groupBy("g", "bucket").agg(F.max("rho").alias("m"))
+
+
+def hll_estimate(registers: DataFrame, group_col: str) -> DataFrame:
+    """Fold HLL registers into the cardinality estimate: raw
+    E = alpha_256 * 256^2 / (sum 2^-m + zero-register count), with the
+    standard small-range linear-counting branch E <= 2.5*256 when any
+    register is empty. Every 2^-m term is an exact power of two; only
+    the 256-term sum's ORDER differs cross-engine, hence the repo-wide
+    rounding on the estimate (4 digits)."""
+    alpha_times_m2 = (0.7213 / (1 + 1.079 / 256.0)) * 65536.0
+    agg = registers.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_registers"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("s_present"),
+    )
+    raw = F.lit(alpha_times_m2) / (
+        F.col("s_present") + (F.lit(256) - F.col("n_registers"))
+    )
+    linear = F.lit(256.0) * F.log(
+        F.lit(256.0) / (F.lit(256) - F.col("n_registers"))
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_registers",
+        F.round(
+            F.when(
+                (raw <= 640.0) & (F.col("n_registers") < 256), linear
+            ).otherwise(raw),
+            4,
+        ).alias("est_hll"),
+    )

@@ -689,3 +689,78 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# q128 — hierarchical HyperLogLog distinct estimate (register max-merge law)
+# ---------------------------------------------------------------------------
+@M.add(
+    "q128_hll_distinct",
+    oracle="""
+WITH h AS (
+  SELECT event_type,
+         (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT)::BIGINT
+           AS hv
+  FROM events
+),
+b AS (
+  SELECT event_type, hv % 256 AS bucket, hv // 256 AS w FROM h
+),
+r AS (
+  SELECT event_type, bucket,
+         max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS m
+  FROM b GROUP BY event_type, bucket
+),
+agg AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n_registers,
+         sum(power(2.0, -m)) AS s_present
+  FROM r GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT a.event_type,
+       a.n_registers,
+       round(CASE
+         WHEN (0.7213 / (1 + 1.079 / 256.0)) * 65536.0
+              / (a.s_present + (256 - a.n_registers)) <= 640.0
+              AND a.n_registers < 256
+         THEN 256.0 * ln(256.0 / (256 - a.n_registers))
+         ELSE (0.7213 / (1 + 1.079 / 256.0)) * 65536.0
+              / (a.s_present + (256 - a.n_registers))
+       END, 4) AS est_hll,
+       e.exact_distinct
+FROM agg a
+JOIN ex e USING (event_type)
+ORDER BY event_type
+""",
+    doc="HyperLogLog distinct-user estimate per event type, built "
+    "HIERARCHICALLY: per-day sub-registers max-merged into the final "
+    "registers (operators/sketch.py:hll_registers(part_col='day')). "
+    "The oracle computes the ONE-SHOT registers, so the hash match "
+    "proves the HLL merge law (register-wise max is associative) the "
+    "same way q97 proved KMV's — and closes the sketch family's "
+    "documented gap: registers are INTEGER-exact cross-engine because "
+    "rho = 53 - length(bin(w)) uses the identical unpadded bin() "
+    "rendering in both engines (no log2 doubles, no libm); the only FP "
+    "is the 256-term 2^-m estimate fold, each term an exact power of "
+    "two, rounded per the repo FP rule. This is the q77 scale story "
+    "made real: the one-scan multi-distinct Expand swaps to mergeable "
+    "O(256)-int state per group at 100 TB, foldable across days "
+    "without rescanning history. Exact count alongside for the error "
+    "a user would see. Reference counterpart: none (north-star "
+    "extension).",
+    tags=("sketch", "approx", "agg", "streaming-friendly"),
+)
+def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import hll_estimate, hll_registers
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    regs = hll_registers(ev, "event_type", "user_id", part_col="day")
+    est = hll_estimate(regs, "event_type")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").orderBy("event_type")

@@ -59,22 +59,28 @@ def test_bench_json_line_fits_driver_tail_window():
     sys.path.insert(0, ROOT)
     import __spark_entry__ as entrymod
 
+    from bench import render_line
+
     names = sorted(entrymod.queries())
     short = {n.split("_", 1)[0]: 999.99 for n in names}
     assert len(short) == len(names), "short query keys must stay unique"
-    line = json.dumps(
-        {
-            "metric": "suite_seconds",
-            "value": 99999.999,
-            "unit": "sec",
-            "queries": short,
-            "sf": 0.1,
-            "regressions": sorted(names[:5]),
-        },
-        separators=(",", ":"),  # as bench.py prints it
-    )
+    # pathological worst case (every query at 999.99s): the renderer must
+    # self-bound by dropping fastest entries with an explicit omission
+    # count rather than overflow the window
+    line = render_line(99999.999, short, 0.1, sorted(names[:5]))
     assert len(line) <= 1800, (
         f"bench JSON line is {len(line)} chars — the driver's ~2000-char "
-        "tail window will truncate it (BENCH_r03 failure mode); shorten "
-        "the keys or drop a field"
+        "tail window will truncate it (BENCH_r03 failure mode)"
     )
+    parsed = json.loads(line)
+    assert parsed["metric"] == "suite_seconds" and parsed["queries"]
+    # realistic case (sub-10s queries): everything fits, nothing omitted
+    realistic = render_line(
+        123.456,
+        {k: 9.99 for k in short},
+        0.1,
+        [],
+    )
+    assert len(realistic) <= 1800
+    assert "queries_omitted" not in json.loads(realistic)
+    assert len(json.loads(realistic)["queries"]) == len(names)

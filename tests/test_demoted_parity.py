@@ -73,6 +73,7 @@ NEW_THIS_ROUND = (
     "q125_source_kl_drift",
     "q126_centroid_drift",
     "q127_gif_decode",
+    "q128_hll_distinct",
 )
 
 

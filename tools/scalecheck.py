@@ -49,6 +49,11 @@ HEADLINE = (
     "q117_bm25_topk",           # query-filtered tf shuffle + stats broadcast (r06)
     "q118_semantic_dedup",      # O(clusters) rep broadcast, map-side scoring (r06)
     "q119_bpe_encode_counts",   # vocab-level merge passes + word-keyed join (r06)
+    "q121_copurchase_triangles",  # degree-oriented wedge join (r06)
+    "q122_copurchase_bfs_hops",   # frontier-join BFS rounds (r06)
+    "q124_masked_lm_pairs",     # posexplode + order-preserving reassembly (r06)
+    "q125_source_kl_drift",     # two grouped passes + vocab window (r06)
+    "q126_centroid_drift",      # exploded-dim partials, folded global (r06)
     # dedup-stress tier: sf1.0 plants 10-replica near-dup clusters, so
     # CANDIDATE volume grows ~(replicas²)x, not 10x — these rows measure
     # that deliberately superlinear regime, not a plan defect

@@ -55,3 +55,35 @@ def clear_plan_caches(spark: SparkSession | None = None) -> None:
         fn()
     if spark is not None:
         spark.catalog.clearCache()
+
+
+#: Generic bounded registry for one-off persisted plan intermediates
+#: (specs that scan an expensive derived frame more than once persist it
+#: through here). Oldest entries unpersist on overflow — correctness is
+#: unaffected, lineage recomputes — and clear_plan_caches drops them all
+#: for cold-path measurement.
+_TRACKED: list = []
+_TRACKED_MAX = 32
+
+
+def track_persist(df):
+    """Record a persisted DataFrame in the shared bounded registry and
+    return it (chainable around ``.persist(...)``)."""
+    _TRACKED.append(df)
+    while len(_TRACKED) > _TRACKED_MAX:
+        old = _TRACKED.pop(0)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    return df
+
+
+@register_cache_clearer
+def _clear_tracked() -> None:
+    while _TRACKED:
+        old = _TRACKED.pop()
+        try:
+            old.unpersist()
+        except Exception:
+            pass

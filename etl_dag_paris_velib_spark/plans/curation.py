@@ -1590,10 +1590,19 @@ ORDER BY s.source
     tags=("llm", "mixture", "textstats", "monitoring"),
 )
 def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    from ..cacheutil import track_persist
+
     d = _docs(spark, sf_dir)
     toks = d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
-    sfreq = toks.groupBy("source", "tok").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cs")
+    # both frequency tables derive from this (source, tok) count; persist
+    # it so the corpus is tokenized ONCE, not once per consumer (the
+    # vocab-sized table is the right thing to cache, not the token rows)
+    sfreq = track_persist(
+        toks.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     swin = sfreq.withColumn(
         "ts", F.sum("cs").over(Window.partitionBy("source"))

@@ -661,8 +661,20 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dim0") + 1).alias("dim"),
         F.col("val").cast("double").alias("val"),
     )
-    lcs = ev.groupBy("label", "dim").agg(
-        F.sum("val").alias("sv"), F.count(F.lit(1)).cast("bigint").alias("cnt")
+    from pyspark.storagelevel import StorageLevel
+
+    from ..cacheutil import track_persist
+
+    # the per-(label, dim) partials feed BOTH the per-label centroids and
+    # the folded global centroid; persist the |labels|*dims-row partial
+    # table so the exploded fact scan runs ONCE
+    lcs = track_persist(
+        ev.groupBy("label", "dim")
+        .agg(
+            F.sum("val").alias("sv"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     gc = lcs.groupBy("dim").agg(
         (F.sum("sv") / F.sum("cnt").cast("double")).alias("gv")

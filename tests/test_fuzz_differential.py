@@ -675,6 +675,67 @@ def _gen_case_like_query(rng: random.Random) -> str:
     )
 
 
+def _gen_recursive_query(rng: random.Random) -> str:
+    """Recursive-CTE grammar (UNION ALL form — the only recursion Spark
+    4.1.2 accepts; see test_union_recursion_unsupported_in_spark). Two
+    shapes over a modular-arithmetic graph derived from a real table, so
+    the node space stays tiny while the recursion semantics (anchor
+    typing, depth bound, column propagation, post-aggregation) get
+    fuzzed:
+
+    - path expansion: frontier join against the derived edge set, depth
+      <= 3; UNION ALL counts PATHS (not reached nodes), which both
+      engines must agree on exactly;
+    - scalar chain: v -> (v*a + b) % m from an aggregated seed — pure
+      arithmetic through the recursion.
+
+    Registered oracles already lean on recursion (q42/q56 min-label,
+    q122 BFS); this sweeps the neighborhood around those hand-written
+    forms. Aggregates integral-only per the module's determinism rules."""
+    K = rng.choice([7, 11, 13])
+    depth = rng.choice([2, 3])
+    tname = rng.choice(["orders", "lineitem"])
+    if tname == "orders":
+        a_col, b_col = "o_custkey", "o_orderkey"
+    else:
+        a_col, b_col = "l_partkey", "l_suppkey"
+    if rng.random() < 0.6:
+        pred = _predicate(rng, TABLES[tname])
+        agg = rng.choice(
+            [
+                "count(*) AS n_paths",
+                "CAST(sum(v) AS BIGINT) AS s_nodes",
+                "count(*) AS n_paths, CAST(min(v) AS BIGINT) AS lo,"
+                " CAST(max(v) AS BIGINT) AS hi",
+            ]
+        )
+        return (
+            f"WITH RECURSIVE e AS ("
+            f"  SELECT DISTINCT {a_col} % {K} AS src, {b_col} % {K} AS dst"
+            f"  FROM {tname} WHERE {pred}"
+            f"), walk(v, d) AS ("
+            f"  SELECT src, 0 FROM (SELECT DISTINCT src FROM e)"
+            f"  UNION ALL"
+            f"  SELECT e.dst, walk.d + 1 FROM walk JOIN e ON e.src = walk.v"
+            f"  WHERE walk.d < {depth}"
+            f") SELECT d, {agg} FROM walk GROUP BY d"
+        )
+    a = rng.choice([3, 5, 7])
+    b = rng.choice([1, 2, 11])
+    m = rng.choice([97, 101, 257])
+    n = rng.choice([10, 25, 50])
+    seed_col = rng.choice(TABLES[tname]["int_cols"])
+    return (
+        f"WITH RECURSIVE chain(v, d) AS ("
+        f"  SELECT CAST(min({seed_col}) % {m} AS BIGINT), 0 FROM {tname}"
+        f"  UNION ALL"
+        f"  SELECT (v * {a} + {b}) % {m}, d + 1 FROM chain WHERE d < {n}"
+        f") SELECT count(*) AS n_steps, CAST(sum(v) AS BIGINT) AS s,"
+        f" CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi"
+        f" FROM chain"
+    )
+
+
 @pytest.fixture(scope="module")
 def engines(spark):
     from etl_dag_paris_velib_spark.sources.tpch import register_views
@@ -790,6 +851,31 @@ def test_fuzzed_outerjoin_agg_matches_duckdb(engines, seed):
 @pytest.mark.parametrize("seed", list(range(15)))
 def test_fuzzed_case_like_matches_duckdb(engines, seed):
     _compare(engines, _gen_case_like_query(random.Random(21000 + seed)))
+
+
+@pytest.mark.parametrize("seed", list(range(15)))
+def test_fuzzed_recursive_matches_duckdb(engines, seed):
+    _compare(engines, _gen_recursive_query(random.Random(22000 + seed)))
+
+
+def test_union_recursion_unsupported_in_spark(engines):
+    """Pinned dialect divergence (found writing the recursive grammar):
+    Spark 4.1.2 rejects UNION (distinct) inside a recursive CTE with
+    UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE, while DuckDB supports it (and
+    q122's ORACLE exploits it for the dedup-across-iterations BFS).
+    Shared-text recursion must therefore stick to UNION ALL with an
+    explicit depth bound; a Spark-side operator (bfs_hops' anti-join)
+    supplies the dedup instead."""
+    spark, con = engines
+    sql = (
+        "WITH RECURSIVE t(v) AS (SELECT 1 UNION SELECT v + 1 FROM t"
+        " WHERE v < 3) SELECT count(*) AS n FROM t"
+    )
+    assert con.execute(sql).fetchall() == [(3,)]
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException, match="UNION_NOT_SUPPORTED"):
+        spark.sql(sql).collect()
 
 
 def test_null_ordering_default_divergence(engines):

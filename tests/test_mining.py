@@ -215,3 +215,67 @@ def test_kmv_set_ops_matches_flat_sketch_of_union(spark):
     assert pair["est_union"] == flat
     # rho = n_both/k bounds: 0 <= est_inter <= est_union
     assert 0 <= pair["est_inter"] <= pair["est_union"]
+
+
+def test_hll_incremental_maintenance_through_merge_sink(spark, tmp_path):
+    """The 100 TB incremental-sketch pattern end-to-end: day-1 HLL
+    registers land in a partitioned register TABLE, day 2 arrives as a
+    new batch whose registers are folded against the stored ones
+    (union + max — the HLL merge law) and MERGE-upserted by
+    (event_type, bucket); reading the table back and estimating must
+    equal the ONE-SHOT estimate over both days, exactly — registers are
+    integers, so there is no tolerance here. Proves distinct counts stay
+    maintainable without ever rescanning history."""
+    from pyspark.sql import functions as F
+
+    from etl_dag_paris_velib_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+    from etl_dag_paris_velib_spark.sinks.writers import (
+        upsert_partitioned_table,
+    )
+    from tests.conftest import SF_SMOKE
+
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .withColumn("day", F.to_date("ts"))
+    )
+    days = sorted(r["day"] for r in ev.select("day").distinct().collect())
+    assert len(days) >= 2, "need two days for the incremental scenario"
+    split = days[len(days) // 2]
+    day1 = ev.filter(F.col("day") < F.lit(split))
+    day2 = ev.filter(F.col("day") >= F.lit(split))
+
+    path = str(tmp_path / "hll_registers")
+    r1 = hll_registers(day1, "event_type", "user_id")
+    upsert_partitioned_table(r1, path, keys=("g", "bucket"), partition_cols=("g",))
+
+    # fold the new batch against the STORED registers — never rescans day 1
+    stored = spark.read.parquet(path)
+    r2 = hll_registers(day2, "event_type", "user_id")
+    folded = (
+        stored.select("g", "bucket", "m")
+        .unionByName(r2)
+        .groupBy("g", "bucket")
+        .agg(F.max("m").alias("m"))
+    )
+    upsert_partitioned_table(
+        folded, path, keys=("g", "bucket"), partition_cols=("g",)
+    )
+
+    maintained = spark.read.parquet(path).select("g", "bucket", "m")
+    one_shot = hll_registers(ev, "event_type", "user_id")
+    # register-level exactness (integers — the merge law, no tolerance)
+    assert sorted(map(tuple, maintained.collect())) == sorted(
+        map(tuple, one_shot.collect())
+    )
+    est_m = {
+        r["event_type"]: r["est_hll"]
+        for r in hll_estimate(maintained, "event_type").collect()
+    }
+    est_o = {
+        r["event_type"]: r["est_hll"]
+        for r in hll_estimate(one_shot, "event_type").collect()
+    }
+    assert est_m == est_o

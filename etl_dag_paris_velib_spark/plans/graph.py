@@ -862,7 +862,7 @@ SELECT v AS part, min(hops) AS hops FROM bfs GROUP BY v ORDER BY hops, part
     "once on the pair key; each BFS round is one src-keyed join + one "
     "anti join, distance state one int per node; rounds bounded by "
     "max_hops=4. Reference counterpart: none (north-star extension).",
-    tags=("graph", "bfs", "iterative", "basket"),
+    tags=("graph", "bfs", "iterative", "basket", "driver-loop"),
 )
 def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -875,3 +875,104 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = ep.agg(F.min("part_a").alias("v"))
     dist = bfs_hops(edges, seed, max_hops=4)
     return dist.select(F.col("v").alias("part"), "hops").orderBy("hops", "part")
+
+
+# ---------------------------------------------------------------------------
+# q129 — co-purchase edge churn between two yearly graph snapshots
+# ---------------------------------------------------------------------------
+@G.add(
+    "q129_copurchase_edge_churn",
+    oracle="""
+WITH basket AS (
+  SELECT o.o_orderkey, extract(year FROM o.o_orderdate) AS yr,
+         l.l_partkey
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE extract(year FROM o.o_orderdate) IN (1996, 1997)
+),
+e AS (
+  SELECT DISTINCT a.yr, a.l_partkey AS pa, b.l_partkey AS pb
+  FROM basket a
+  JOIN basket b
+    ON a.o_orderkey = b.o_orderkey AND a.l_partkey < b.l_partkey
+),
+old_e AS (SELECT pa, pb FROM e WHERE yr = 1996),
+new_e AS (SELECT pa, pb FROM e WHERE yr = 1997),
+cls AS (
+  SELECT CASE
+           WHEN o.pa IS NULL THEN 'added'
+           WHEN n.pa IS NULL THEN 'removed'
+           ELSE 'persisted'
+         END AS status,
+         coalesce(o.pa, n.pa) AS pa
+  FROM old_e o
+  FULL OUTER JOIN new_e n ON o.pa = n.pa AND o.pb = n.pb
+)
+SELECT status,
+       count(*)::BIGINT AS n_edges,
+       count(DISTINCT pa)::BIGINT AS n_src_parts
+FROM cls
+GROUP BY status
+ORDER BY status
+""",
+    doc="Graph-snapshot CDC: the co-purchase edge set of 1996 vs 1997, "
+    "every edge classified added / removed / persisted — q87's "
+    "snapshot-diff primitive lifted from rows to RELATIONSHIPS, the "
+    "churn statistic a graph-backed recommender or fraud pipeline "
+    "monitors between ingest epochs (the graph-space member of the "
+    "monitoring family: q125 token drift, q126 embedding drift, q129 "
+    "edge churn). Plan: one orders->lineitem join feeds BOTH yearly "
+    "basket builds (year is a column, not two scans), per-year distinct "
+    "pair sets share the one pair-key Exchange via the yr grouping "
+    "column, then a single FULL OUTER join on the edge key classifies "
+    "— null-side tests, the q24 idiom — and a 3-group rollup. At "
+    "100 TB: the pair fan-out is basket-bounded (q84's guard family), "
+    "the outer join shuffles both edge sets once on (pa, pb), and "
+    "nothing is collected. Reference counterpart: none (north-star "
+    "extension).",
+    tags=("graph", "cdc", "monitoring", "join"),
+)
+def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("yr")
+    ).filter(F.col("yr").isin(1996, 1997))
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    basket = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderkey", "yr", "l_partkey"
+    )
+    a, b = basket.alias("a"), basket.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.o_orderkey") == F.col("b.o_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.yr").alias("yr"),
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+    )
+    old_e = e.filter(F.col("yr") == 1996).select("pa", "pb")
+    new_e = e.filter(F.col("yr") == 1997).select(
+        F.col("pa").alias("npa"), F.col("pb").alias("npb")
+    )
+    cls = old_e.join(
+        new_e,
+        (F.col("pa") == F.col("npa")) & (F.col("pb") == F.col("npb")),
+        "full_outer",
+    ).select(
+        F.when(F.col("pa").isNull(), F.lit("added"))
+        .when(F.col("npa").isNull(), F.lit("removed"))
+        .otherwise(F.lit("persisted"))
+        .alias("status"),
+        F.coalesce(F.col("pa"), F.col("npa")).alias("spa"),
+    )
+    return (
+        cls.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.countDistinct("spa").alias("n_src_parts"),
+        )
+        .orderBy("status")
+    )

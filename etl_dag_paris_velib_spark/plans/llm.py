@@ -1559,3 +1559,160 @@ def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import semantic_dedup
 
     return semantic_dedup(_emb(spark, sf_dir), threshold=0.15)
+
+
+#: (query id, term) rows for the batch-retrieval spec — three queries
+#: sharing one term ('vector') so the per-query df/tf isolation is what
+#: the hash checks.
+BM25_BATCH_QUERIES = (
+    (1, "dup"),
+    (1, "vector"),
+    (2, "spark"),
+    (2, "stream"),
+    (3, "vector"),
+    (3, "window"),
+)
+
+
+# ---------------------------------------------------------------------------
+# q130 — batch BM25 retrieval: top-k per query over a query TABLE
+# ---------------------------------------------------------------------------
+@L.add(
+    "q130_bm25_batch_topk",
+    oracle="""
+WITH q(qid, term) AS (
+  VALUES (1, 'dup'), (1, 'vector'), (2, 'spark'), (2, 'stream'),
+         (3, 'vector'), (3, 'window')
+),
+d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+  FROM documents
+),
+l AS (SELECT doc_id, len(tk)::BIGINT AS dl FROM d),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM l),
+t AS (SELECT doc_id, unnest(tk) AS term FROM d),
+tf AS (
+  SELECT q.qid, t.doc_id, t.term, count(*)::BIGINT AS tf
+  FROM t JOIN q USING (term) GROUP BY 1, 2, 3
+),
+idf AS (SELECT qid, term, count(*)::BIGINT AS df FROM tf GROUP BY 1, 2),
+contrib AS (
+  SELECT tf.qid, tf.doc_id, tf.term,
+         (ln((stats.n_docs - idf.df + 0.5) / (idf.df + 0.5) + 1.0)
+          * (tf.tf * 2.2))
+           / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / stats.avgdl)) AS contrib
+  FROM tf
+  CROSS JOIN stats
+  JOIN idf USING (qid, term)
+  JOIN l USING (doc_id)
+),
+scored AS (
+  SELECT qid, doc_id,
+         round(list_reduce(list(contrib ORDER BY term), (a, b) -> a + b), 6)
+           AS score,
+         count(*)::BIGINT AS n_terms
+  FROM contrib
+  GROUP BY qid, doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, score, n_terms,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)
+           AS rnk
+  FROM scored
+)
+SELECT qid, doc_id, score, n_terms, rnk
+FROM ranked WHERE rnk <= 5
+ORDER BY qid, rnk
+""",
+    doc="Batch BM25 retrieval — q117's scorer driven by a query TABLE "
+    "instead of one literal query: top-5 documents per query for three "
+    "2-term queries that SHARE a term ('vector' appears in q1 and q3), "
+    "so per-query tf/df isolation through the (qid, term) join is what "
+    "the hash checks. Same exactness-by-construction as q117 (identical "
+    "double expression trees; per-(qid, doc) score folded in sorted "
+    "term order on both engines), plus the per-query top-k as a rank "
+    "window PARTITIONED BY qid — the batch-retrieval shape an offline "
+    "eval harness runs over thousands of queries at once. Scale: the "
+    "query-term table joins INTO the exploded token stream (|Q|-row "
+    "broadcast — rows fan out only per matching (query, term)); one "
+    "(qid, doc, term) shuffle; the rank window shuffles O(matched "
+    "docs) per query, never the corpus. Reference counterpart: none "
+    "(north-star extension).",
+    tags=("search", "bm25", "window", "llm"),
+)
+def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    q = spark.createDataFrame(list(BM25_BATCH_QUERIES), "qid int, term string")
+    tk = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
+    lens = tk.select("doc_id", F.size("tk").cast("long").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    exploded = tk.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("dl"),
+        F.explode("tk").alias("term"),
+    )
+    tf = (
+        exploded.join(F.broadcast(q), "term")
+        .groupBy("qid", "doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+    idf = tf.groupBy("qid", "term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.crossJoin(F.broadcast(stats))
+        .join(F.broadcast(idf), ["qid", "term"])
+        .select(
+            "qid",
+            "doc_id",
+            "term",
+            (
+                (
+                    F.log(
+                        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                        / (F.col("df") + F.lit(0.5))
+                        + F.lit(1.0)
+                    )
+                    * (F.col("tf") * F.lit(2.2))
+                )
+                / (
+                    F.col("tf")
+                    + F.lit(1.2)
+                    * (
+                        F.lit(0.25)
+                        + F.lit(0.75) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("contrib"),
+        )
+    )
+    scored = contrib.groupBy("qid", "doc_id").agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("term", F.col("contrib")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ),
+            6,
+        ).alias("score"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "qid",
+            "doc_id",
+            "score",
+            "n_terms",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+        .orderBy("qid", "rnk")
+    )

@@ -74,6 +74,8 @@ NEW_THIS_ROUND = (
     "q126_centroid_drift",
     "q127_gif_decode",
     "q128_hll_distinct",
+    "q129_copurchase_edge_churn",
+    "q130_bm25_batch_topk",
 )
 
 

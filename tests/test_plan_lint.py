@@ -47,6 +47,8 @@ BNLJ_WHITELIST = {
     "join onto the k-row sample (q50's bounds pattern)",
     "q123_negative_samples": "1-row corpus-count broadcast cross join "
     "(q50's bounds pattern); the partner pairing itself is a hash join",
+    "q130_bm25_batch_topk": "q117's 1-row corpus stats (N, avgdl) "
+    "broadcast, driven per query id",
 }
 
 

@@ -96,8 +96,29 @@ def main() -> None:
     from etl_dag_paris_velib_spark.plans import REGISTRY
 
     streaming = {n for n, s in REGISTRY.specs.items() if "streaming" in s.tags}
+    driver_loop = {
+        n for n, s in REGISTRY.specs.items() if "driver-loop" in s.tags
+    }
 
     def run(name: str, sf: str) -> float:
+        if name in driver_loop:
+            # the query fn itself executes jobs while BUILDING the plan
+            # (per-round take(1) in the BFS loop) and persists per-call
+            # intermediates — warm-timing only the returned DF would
+            # measure a cache read, and cross-call CacheManager plan
+            # matching leaks one cell's cache into the next. Time the
+            # FULL call, genuinely cold each iteration.
+            from etl_dag_paris_velib_spark.cacheutil import clear_plan_caches
+
+            qs[name](spark, sf_dir(sf))  # warm: listing + codegen only
+            best = float("inf")
+            for _ in range(2):
+                clear_plan_caches(spark)
+                t0 = time.perf_counter()
+                df = qs[name](spark, sf_dir(sf))
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            return best
         if name in streaming:
             # a streaming spec executes its availableNow drain INSIDE the
             # query fn and returns a memory-table scan — timing only the
@@ -147,6 +168,12 @@ def main() -> None:
         f"t(sf{top}) - t(sf{prev}): the data-proportional component once",
         "fixed overhead cancels. Flat columns = overhead-bound at this",
         "scale; the plan audit (EXPLAIN.md) is the evidence beyond it.",
+        "Graph rows with internal persists (q121's oriented edge list,",
+        "like q21/q42/q86 before them) time the CONSUMERS of the cached",
+        "artifact per the warm policy; their genuinely cold end-to-end",
+        "costs live in tools/bench_budget.json (bench.py clears every",
+        "plan cache per query). q122 (driver-loop BFS) is timed fully",
+        "cold per cell — its fn executes jobs while building the plan.",
         "Streaming rows (q108/q110) time the FULL availableNow drain —",
         "a fresh StreamingQuery per run, so their floor is the streaming",
         "engine's per-query start/commit overhead (~2s), data-invariant",

@@ -107,13 +107,20 @@ def main() -> None:
             # intermediates — warm-timing only the returned DF would
             # measure a cache read, and cross-call CacheManager plan
             # matching leaks one cell's cache into the next. Time the
-            # FULL call, genuinely cold each iteration.
-            from etl_dag_paris_velib_spark.cacheutil import clear_plan_caches
+            # FULL call, genuinely cold each iteration. Clear ONLY the
+            # graph persist tracker, NOT clear_plan_caches: a global
+            # clear would force a second in-session build of the
+            # pandas-UDF LSH pair cache later in the sweep, which Spark
+            # 4.1.2 cannot do ([INTERNAL_ERROR] in the cache
+            # serializer — the repo-wide persist gotcha).
+            from etl_dag_paris_velib_spark.plans.graph import (
+                clear_graph_persists,
+            )
 
             qs[name](spark, sf_dir(sf))  # warm: listing + codegen only
             best = float("inf")
             for _ in range(2):
-                clear_plan_caches(spark)
+                clear_graph_persists()
                 t0 = time.perf_counter()
                 df = qs[name](spark, sf_dir(sf))
                 df.write.format("noop").mode("overwrite").save()
@@ -173,7 +180,12 @@ def main() -> None:
         "artifact per the warm policy; their genuinely cold end-to-end",
         "costs live in tools/bench_budget.json (bench.py clears every",
         "plan cache per query). q122 (driver-loop BFS) is timed fully",
-        "cold per cell — its fn executes jobs while building the plan.",
+        "cold per cell — its fn executes jobs while building the plan —",
+        "and its column is NON-monotonic by data, not by plan: the",
+        "support-pruned co-purchase graph's density (and therefore the",
+        "number of BFS rounds before the frontier empties) varies",
+        "non-monotonically with sf; each round is a fixed small number",
+        "of jobs, so wall time tracks rounds, not rows.",
         "Streaming rows (q108/q110) time the FULL availableNow drain —",
         "a fresh StreamingQuery per run, so their floor is the streaming",
         "engine's per-query start/commit overhead (~2s), data-invariant",

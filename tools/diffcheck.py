@@ -70,6 +70,17 @@ def main():
         spark = (
             SparkSession.builder.master("local[32]")
             .appName("diffcheck-vanilla")
+            # still vanilla SQL-wise, but the FULL 131-query sweep in one
+            # session accumulates cached intermediates (graph edge lists,
+            # frequency tables, LSH pair sets) that the 1g default heap
+            # cannot hold at sf0.1 — observed: heap OOM at q86 killed the
+            # SparkContext and cascaded 13 phantom failures. Heap size is
+            # not a query-semantics conf, so raising it keeps the
+            # "self-sufficient on a plain session" guarantee intact.
+            .config(
+                "spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
+            )
             .getOrCreate()
         )
     con = duckdb.connect()

@@ -976,3 +976,119 @@ def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# ---------------------------------------------------------------------------
+# q131 — personalized PageRank (teleport mass on one nation's suppliers)
+# ---------------------------------------------------------------------------
+@G.add(
+    "q131_personalized_pagerank",
+    oracle="""
+WITH su AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+),
+edges AS (
+  SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+  FROM su a JOIN su b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+  GROUP BY a.l_suppkey, b.l_suppkey
+),
+deg AS (SELECT src, count(*)::BIGINT AS degree FROM edges GROUP BY src),
+seeds AS (
+  SELECT s.s_suppkey AS node
+  FROM supplier s JOIN deg d ON d.src = s.s_suppkey
+  WHERE s.s_nationkey = 3
+),
+ns AS (SELECT count(*)::BIGINT AS n_seeds FROM seeds),
+tv AS (SELECT node, 0.15 / ns.n_seeds AS tp FROM seeds CROSS JOIN ns),
+r0 AS (SELECT node, 1.0 / ns.n_seeds AS rank FROM seeds CROSS JOIN ns),
+f1 AS (
+  SELECT e.dst AS node, 0.85 * sum(r0.rank / deg.degree) AS flow
+  FROM edges e
+  JOIN r0 ON r0.node = e.src
+  JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+),
+r1 AS (
+  SELECT coalesce(tv.node, f1.node) AS node,
+         coalesce(tv.tp, 0) + coalesce(f1.flow, 0) AS rank
+  FROM tv FULL OUTER JOIN f1 ON tv.node = f1.node
+),
+f2 AS (
+  SELECT e.dst AS node, 0.85 * sum(r1.rank / deg.degree) AS flow
+  FROM edges e
+  JOIN r1 ON r1.node = e.src
+  JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT coalesce(tv.node, f2.node) AS node,
+         coalesce(tv.tp, 0) + coalesce(f2.flow, 0) AS rank
+  FROM tv FULL OUTER JOIN f2 ON tv.node = f2.node
+)
+SELECT node AS s_suppkey, round(rank, 9) AS rank
+FROM r2
+ORDER BY rank DESC, s_suppkey
+LIMIT 20
+""",
+    doc="Personalized PageRank (d=0.85, 2 unrolled power iterations) "
+    "over the co-supply graph with ALL teleport mass on one nation's "
+    "suppliers (s_nationkey = 3) — the random-walk-with-restart "
+    "relevance score a crawl/recommendation pipeline computes around a "
+    "trusted seed set, vs q86's global rank. The teleport is a VECTOR, "
+    "not a scalar: each iteration is the same src-keyed edge join and "
+    "grouped flow sum as q86 (_pr_step's body), then a FULL OUTER join "
+    "against the |seeds|-row teleport vector (coalesce on both sides — "
+    "a seed with no in-flow keeps its restart mass, a non-seed node "
+    "keeps pure flow; identical null algebra in both engines). Rank "
+    "state one double per reached node; seed count rides as a 1-row "
+    "cross join on the seeds frame, nothing collected. Rank mass "
+    "rounded to 9 dp in both engines before hashing (FP sum order, the "
+    "q86 rule). At 100 TB the teleport join broadcasts (|seeds| << "
+    "|nodes|) and the flow iterations reuse the edge list's src "
+    "partitioning. Reference counterpart: none (north-star extension).",
+    tags=("graph", "iterative", "pagerank", "personalized"),
+)
+def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, deg, _n = _cosupply_graph(spark, sf_dir)
+    sup = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3)
+    seeds = sup.join(
+        deg, deg["src"] == sup["s_suppkey"], "left_semi"
+    ).select(F.col("s_suppkey").alias("node"))
+    ns = seeds.agg(F.count(F.lit(1)).alias("n_seeds"))
+    tv = seeds.crossJoin(F.broadcast(ns)).select(
+        "node", (F.lit(0.15) / F.col("n_seeds")).alias("tp")
+    )
+    rank = seeds.crossJoin(F.broadcast(ns)).select(
+        "node", (F.lit(1.0) / F.col("n_seeds")).alias("rank")
+    )
+
+    def step(r: DataFrame) -> DataFrame:
+        flow = (
+            edges.join(r, r["node"] == edges["src"])
+            .join(deg, "src")
+            .select(
+                "dst", (F.col("rank") / F.col("degree")).alias("share")
+            )
+            .groupBy("dst")
+            .agg((F.lit(0.85) * F.sum("share")).alias("flow"))
+            .withColumnRenamed("dst", "fnode")
+        )
+        return tv.join(
+            flow, tv["node"] == flow["fnode"], "full_outer"
+        ).select(
+            F.coalesce(F.col("node"), F.col("fnode")).alias("node"),
+            (
+                F.coalesce(F.col("tp"), F.lit(0.0))
+                + F.coalesce(F.col("flow"), F.lit(0.0))
+            ).alias("rank"),
+        )
+
+    r2 = step(step(rank))
+    return (
+        r2.select(
+            F.col("node").alias("s_suppkey"), F.round("rank", 9).alias("rank")
+        )
+        .orderBy(F.desc("rank"), "s_suppkey")
+        .limit(20)
+    )

@@ -76,6 +76,7 @@ NEW_THIS_ROUND = (
     "q128_hll_distinct",
     "q129_copurchase_edge_churn",
     "q130_bm25_batch_topk",
+    "q131_personalized_pagerank",
 )
 
 

@@ -49,6 +49,8 @@ BNLJ_WHITELIST = {
     "(q50's bounds pattern); the partner pairing itself is a hash join",
     "q130_bm25_batch_topk": "q117's 1-row corpus stats (N, avgdl) "
     "broadcast, driven per query id",
+    "q131_personalized_pagerank": "1-row seed-count broadcast cross join "
+    "onto the |seeds|-row frame (q50's bounds pattern)",
 }
 
 

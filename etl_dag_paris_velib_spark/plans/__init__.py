@@ -55,19 +55,19 @@ REGISTRY.merge(_streamq)
 #   negative sampling), q124 (masked-LM pair generation), q125
 #   (per-source KL drift), q126 (embedding centroid drift), q127
 #   (real GIF/LZW decode), q128 (hierarchical HLL merge law), q129
-#   (graph-snapshot edge churn), q130 (batch BM25 retrieval), and
-#   q131 (personalized PageRank);
+#   (graph-snapshot edge churn), q130 (batch BM25 retrieval), q131
+#   (personalized PageRank), and q132 (quality threshold sweep);
 # - code changed this round: q107 (broadcast hints dropped, shared
 #   basket fan-out) and q106 (null-propagating concat);
 # - all 12 r03-era greens (q05/q06/q10/q11b/q32/q34/q36/q40/q41/q44/
 #   q45/q47 — the oldest driver evidence in the repo);
-# - the 12 oldest r04-era greens (the q43–q60 block;
-#   q61–q81 stepped back to the tail to make room for q111–q131 —
-#   their families keep parity coverage there, and all twenty-one
+# - the 11 oldest r04-era greens (the q43–q59 block;
+#   q60–q81 stepped back to the tail to make room for q111–q132 —
+#   their families keep parity coverage there, and all twenty-two
 #   return in round 7).
 # Demoted: the 48 r05-green specs whose code did not change this round
-# (fresh rows last round, lowest marginal value now) plus the 34
-# youngest r04-era greens (q61–q97 block), which rotate back into the
+# (fresh rows last round, lowest marginal value now) plus the 35
+# youngest r04-era greens (q60–q97 block), which rotate back into the
 # window in round 7.
 DEMOTED = (
     # r05-green, code unchanged since their fresh r05 rows
@@ -119,8 +119,9 @@ DEMOTED = (
     "q102_media_resize",
     "q99_sql_order_distribution",
     "q100_sql_small_qty_revenue",
-    # r04-era greens rotating back into the window in round 7 (the 34
-    # youngest of the 46 — the q43–q60 block went in-window this round)
+    # r04-era greens rotating back into the window in round 7 (the 35
+    # youngest of the 46 — the q43–q59 block went in-window this round)
+    "q60_rolling_range_frame",
     "q61_source_overlap",
     "q62_boilerplate_chunks",
     "q63_quality_selection",

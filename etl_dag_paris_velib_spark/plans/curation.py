@@ -1620,3 +1620,105 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q132 — quality-filter threshold sweep (precision/recall operating curve)
+# ---------------------------------------------------------------------------
+@C.add(
+    "q132_quality_threshold_sweep",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+  FROM documents
+),
+f AS (
+  SELECT lang,
+         round(0.3 * least(len(tk) / 100.0, 1.0)
+               + 0.3 * (len(list_distinct(tk))::DOUBLE / len(tk))
+               + 0.2 * (len(list_filter(tk,
+                   x -> list_contains(['the','a','and','of','is','to'], x)
+                 ))::DOUBLE / len(tk))
+               + 0.2 * (length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))::DOUBLE
+                        / length(text)), 6) AS score
+  FROM t
+),
+b AS (
+  SELECT least(floor(score * 20), 19)::BIGINT AS bucket,
+         count(*)::BIGINT AS n,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS pos
+  FROM f GROUP BY 1
+),
+c AS (
+  SELECT bucket, n, pos,
+         sum(n) OVER (ORDER BY bucket DESC) AS cum_n,
+         sum(pos) OVER (ORDER BY bucket DESC) AS cum_pos,
+         sum(pos) OVER () AS tot_pos
+  FROM b
+)
+SELECT (bucket / 20.0) AS threshold,
+       cum_n::BIGINT AS n_kept,
+       cum_pos::BIGINT AS n_pos_kept,
+       round(cum_pos::DOUBLE / cum_n, 6) AS precision_at,
+       round(cum_pos::DOUBLE / tot_pos, 6) AS recall_at
+FROM c
+ORDER BY threshold DESC
+""",
+    doc="Quality-filter OPERATING CURVE: precision and recall of the "
+    "q26 quality score against an English-prose proxy label "
+    "(lang = 'en') at every score threshold — the eval table a "
+    "curation pipeline publishes before picking its filter cutoff "
+    "(the eval-harness member of the family: q26 scores docs, q63 "
+    "selects by score, THIS spec says what any cutoff costs). "
+    "Scale-safe by construction: scores collapse into 20 fixed-width "
+    "buckets FIRST (one corpus scan + one tiny groupBy — never a "
+    "global sort of documents), then the cumulative precision/recall "
+    "fold runs over <= 20 bucket rows (the single-partition window is "
+    "O(buckets), not O(corpus)). Bucketing keys off the ROUNDED score "
+    "(round 6, the repo canonicalization q26's hash already proves "
+    "identical cross-engine), so no ulp can flip a bucket edge. "
+    "Counts are exact BIGINTs; precision/recall are one division "
+    "each, rounded. Reference counterpart: none (north-star "
+    "extension).",
+    tags=("llm", "quality", "eval", "monitoring"),
+)
+def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    f = quality_features(d).select(
+        "lang", F.col("quality_score").alias("score")
+    )
+    b = (
+        f.select(
+            F.least(F.floor(F.col("score") * 20), F.lit(19))
+            .cast("bigint")
+            .alias("bucket"),
+            "lang",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum((F.col("lang") == "en").cast("int"))
+            .cast("bigint")
+            .alias("pos"),
+        )
+    )
+    w_cum = Window.orderBy(F.desc("bucket"))
+    w_all = Window.partitionBy()
+    c = b.select(
+        "bucket",
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("pos").over(w_cum).alias("cum_pos"),
+        F.sum("pos").over(w_all).alias("tot_pos"),
+    )
+    return c.select(
+        (F.col("bucket") / F.lit(20.0)).alias("threshold"),
+        F.col("cum_n").cast("bigint").alias("n_kept"),
+        F.col("cum_pos").cast("bigint").alias("n_pos_kept"),
+        F.round(
+            F.col("cum_pos").cast("double") / F.col("cum_n"), 6
+        ).alias("precision_at"),
+        F.round(
+            F.col("cum_pos").cast("double") / F.col("tot_pos"), 6
+        ).alias("recall_at"),
+    ).orderBy(F.desc("threshold"))

@@ -77,6 +77,7 @@ NEW_THIS_ROUND = (
     "q129_copurchase_edge_churn",
     "q130_bm25_batch_topk",
     "q131_personalized_pagerank",
+    "q132_quality_threshold_sweep",
 )
 
 

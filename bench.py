@@ -155,6 +155,9 @@ def main():
     short = {name.split("_", 1)[0]: round(t, 2) for name, t in sorted(timings.items())}
     assert len(short) == len(timings), "short query keys must stay unique"
     print("\n" + render_line(total, short, sf, sorted(regressions)), flush=True)
+    if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
+        print(f"PERF REGRESSIONS: {sorted(regressions)}", file=sys.stderr)
+        sys.exit(2)
 
 
 def render_line(total, short, sf, regressions, limit=1800):
@@ -192,9 +195,6 @@ def render_line(total, short, sf, regressions, limit=1800):
         if len(line) <= limit:
             return line
     return line
-    if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
-        print(f"PERF REGRESSIONS: {sorted(regressions)}", file=sys.stderr)
-        sys.exit(2)
 
 
 if __name__ == "__main__":

@@ -1174,13 +1174,17 @@ topk1 AS (
   SELECT doc_id, n_chars, priority
   FROM pr ORDER BY priority DESC, doc_id LIMIT 201
 ),
-t AS (SELECT min(priority) AS tau FROM topk1)
-SELECT doc_id, n_chars, priority,
-       greatest(n_chars::DOUBLE, tau) AS est_weight
-FROM (
+r AS (
   SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rn
   FROM topk1
-) x
+),
+-- tau = the (k+1)-th priority, NULL when the corpus has <= k docs: DLT
+-- prescribes the EXACT weight w when n <= k, so est_weight falls back
+-- to w via coalesce instead of inflating through max(w, min-priority)
+t AS (SELECT max(CASE WHEN rn = 201 THEN priority END) AS tau FROM r)
+SELECT doc_id, n_chars, priority,
+       greatest(n_chars::DOUBLE, coalesce(tau, n_chars::DOUBLE)) AS est_weight
+FROM r
 CROSS JOIN t
 WHERE rn <= 200
 """,
@@ -1190,12 +1194,16 @@ WHERE rn <= 200
     "form the sample, and est_weight = max(w, tau) with tau the "
     "(k+1)-th priority is the DLT unbiased per-item weight estimator "
     "(sum over the sample estimates the corpus total — tested "
-    "invariant). The one-pass, merge-friendly alternative to "
-    "sort-by-random() for weighted corpus subsampling: at 100 TB the "
-    "sample is TakeOrderedAndProject (per-partition top-k, merged on "
-    "the driver — no global sort, no shuffle of the corpus), the "
-    "row_number window runs over k+1 rows only, and tau joins back as "
-    "a whitelisted 1-row broadcast. FP-safety of the cross-engine "
+    "invariant); when the corpus has <= k docs there IS no (k+1)-th "
+    "priority and DLT prescribes the exact weight w, so tau is NULL "
+    "and est_weight coalesces to w (no inflation at tiny scale). The "
+    "one-pass, merge-friendly alternative to sort-by-random() for "
+    "weighted corpus subsampling: at 100 TB the sample is ONE "
+    "TakeOrderedAndProject (per-partition top-k, merged on the driver "
+    "— no global sort, no shuffle of the corpus, and the corpus is "
+    "scanned exactly once: rank and tau both derive from the same "
+    "k+1-row frame via bounded single-partition windows, not a second "
+    "orderBy().limit() lineage). FP-safety of the cross-engine "
     "hash: u = (h48 + 1) / 2^48 with h48 from 12 md5 hex chars — "
     "h+1 <= 2^48 < 2^53 is exact in a double and the power-of-two "
     "division is exact, so priority = w/u is ONE correctly-rounded "
@@ -1219,23 +1227,27 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars").cast("double") / u).alias("priority"),
     )
     topk1 = pr.orderBy(F.desc("priority"), "doc_id").limit(k + 1)
-    # the window is single-partition by construction but bounded at k+1
-    # rows — the same bounded-window argument as q63's within-bucket rank
+    # both windows are single-partition by construction but bounded at
+    # k+1 rows — the same bounded-window argument as q63's within-bucket
+    # rank. Deriving tau from the rn == k+1 row (instead of a second
+    # min() aggregate over topk1) keeps the corpus scan + top-k to ONE
+    # TakeOrderedAndProject in the executed plan, and makes tau NULL
+    # when the corpus has <= k docs — where DLT prescribes the exact
+    # weight w, restored by the coalesce below.
     ranked = topk1.withColumn(
         "rn", F.row_number().over(Window.orderBy(F.desc("priority"), "doc_id"))
+    ).withColumn(
+        "tau",
+        F.max(F.when(F.col("rn") == k + 1, F.col("priority"))).over(
+            Window.partitionBy()
+        ),
     )
-    tau = topk1.agg(F.min("priority").alias("tau"))
-    return (
-        ranked.filter(F.col("rn") <= k)
-        .crossJoin(F.broadcast(tau))
-        .select(
-            "doc_id",
-            "n_chars",
-            "priority",
-            F.greatest(F.col("n_chars").cast("double"), F.col("tau")).alias(
-                "est_weight"
-            ),
-        )
+    w = F.col("n_chars").cast("double")
+    return ranked.filter(F.col("rn") <= k).select(
+        "doc_id",
+        "n_chars",
+        "priority",
+        F.greatest(w, F.coalesce(F.col("tau"), w)).alias("est_weight"),
     )
 
 

@@ -445,11 +445,20 @@ n AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_total FROM basket),
 item AS (
   SELECT l_partkey, count(*)::BIGINT AS n_item FROM basket GROUP BY l_partkey
 ),
+-- mirrors the Spark side's DEFAULT_MAX_BASKET=10000 fan-out guard
+-- (basket_arrays): baskets over the cap are excluded from the PAIR
+-- fan-out on BOTH engines, so parity holds on any data, not just data
+-- that happens to stay under the cap. n/item stay uncapped, matching
+-- the Spark plan (total and item supports count every basket).
+capped AS (
+  SELECT l_orderkey FROM basket GROUP BY l_orderkey HAVING count(*) <= 10000
+),
 pairs AS (
   SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
          count(*)::BIGINT AS n_ab
   FROM basket a JOIN basket b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  JOIN capped c ON c.l_orderkey = a.l_orderkey
   GROUP BY 1, 2
 )
 SELECT part_a, part_b, n_ab,
@@ -535,10 +544,20 @@ def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q109_frequent_triples",
     oracle="""
 WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+-- mirrors Spark's DEFAULT_MAX_BASKET=10000 guard at BOTH fan-out sites:
+-- cap1 on the raw baskets feeding pair support (basket_pair_counts),
+-- cap2 on the item-pruned baskets feeding the triple fan-out
+-- (basket_arrays(fbasket)). A basket over the raw cap but under the
+-- post-prune cap contributes triples but not pair support on both
+-- engines alike — the double-cap judgement is mirrored, not assumed away.
+cap1 AS (
+  SELECT l_orderkey FROM basket GROUP BY l_orderkey HAVING count(*) <= 10000
+),
 fp AS (
   SELECT a.l_partkey AS pa, b.l_partkey AS pb
   FROM basket a JOIN basket b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  JOIN cap1 ON cap1.l_orderkey = a.l_orderkey
   GROUP BY 1, 2 HAVING count(*) >= 2
 ),
 fitems AS (SELECT pa AS l_partkey FROM fp UNION SELECT pb FROM fp),
@@ -546,11 +565,15 @@ fb AS (
   SELECT b.l_orderkey, b.l_partkey FROM basket b
   WHERE b.l_partkey IN (SELECT l_partkey FROM fitems)
 ),
+cap2 AS (
+  SELECT l_orderkey FROM fb GROUP BY l_orderkey HAVING count(*) <= 10000
+),
 triples AS (
   SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, c.l_partkey AS part_c
   FROM fb a
   JOIN fb b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   JOIN fb c ON b.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+  JOIN cap2 ON cap2.l_orderkey = a.l_orderkey
 )
 SELECT part_a, part_b, part_c, count(*)::BIGINT AS n_orders
 FROM triples
@@ -735,11 +758,16 @@ def oriented_triangles(
     "q121_copurchase_triangles",
     oracle="""
 WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+-- mirrors Spark's DEFAULT_MAX_BASKET=10000 pair fan-out guard
+capped AS (
+  SELECT l_orderkey FROM basket GROUP BY l_orderkey HAVING count(*) <= 10000
+),
 e AS (
   SELECT a.l_partkey AS pa, b.l_partkey AS pb
   FROM basket a
   JOIN basket b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  JOIN capped c ON c.l_orderkey = a.l_orderkey
   GROUP BY 1, 2
   HAVING count(*) >= 2
 )
@@ -828,11 +856,16 @@ def bfs_hops(
     "q122_copurchase_bfs_hops",
     oracle="""
 WITH RECURSIVE basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+-- mirrors Spark's DEFAULT_MAX_BASKET=10000 pair fan-out guard
+capped AS (
+  SELECT l_orderkey FROM basket GROUP BY l_orderkey HAVING count(*) <= 10000
+),
 ep AS (
   SELECT a.l_partkey AS pa, b.l_partkey AS pb
   FROM basket a
   JOIN basket b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  JOIN capped c ON c.l_orderkey = a.l_orderkey
   GROUP BY 1, 2
   HAVING count(*) >= 2
 ),

@@ -59,6 +59,31 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(raw)
 
 
+def _span_covering_delay(spark: SparkSession, sf_dir: str) -> str:
+    """Watermark delay that provably covers the events table's full time
+    span: ceil(max(ts) - min(ts)) + 1 day, read with one 1-row batch
+    aggregate (bounded-collect family: graph.py's delta probe, bpe.py's
+    argmax). q110's dedup correctness REQUIRES the delay to exceed the
+    data span — a duplicate's first sighting must still be in state when
+    the second arrives, whatever micro-batch boundary falls between them.
+    Deriving the delay from the data replaces the r06 hardcoded
+    "31 days", which silently depended on the testdata never spanning
+    more than a month (the ADVICE r06 coupling): a wider-span generator
+    now just gets a wider watermark instead of a data-dependent hash
+    mismatch. In production this constant comes from the pipeline's
+    late-data contract, not from a scan — the scan stands in for the
+    contract in the harness, where the "contract" is the testdata file."""
+    from ..sources.tpch import load_table
+
+    lo, hi = (
+        load_table(spark, "events", sf_dir)
+        .agg(F.min("ts"), F.max("ts"))
+        .first()
+    )
+    days = max(1, (hi - lo).days + 2)
+    return f"{days} days"
+
+
 def _drain_to_memory(
     df: DataFrame, prefix: str, output_mode: str, timeout_sec: int = 300
 ) -> str:
@@ -174,9 +199,12 @@ GROUP BY event_type
 def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _events_stream(spark, sf_dir)
     doubled = s.unionByName(s)  # every event arrives twice
-    deduped = doubled.withWatermark("ts", "31 days").dropDuplicatesWithinWatermark(
-        ["event_id"]
-    )
+    # delay derived from the data's actual span (_span_covering_delay):
+    # dedup state must outlive the whole drain for the planted duplicates
+    # to be suppressed regardless of micro-batch boundaries
+    deduped = doubled.withWatermark(
+        "ts", _span_covering_delay(spark, sf_dir)
+    ).dropDuplicatesWithinWatermark(["event_id"])
     agg = deduped.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),

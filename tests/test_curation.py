@@ -281,3 +281,32 @@ def test_priority_sample_estimator_and_determinism(spark):
     # determinism: a second run returns the identical sample
     again = fn(spark, SF_ORACLE).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_priority_sample_single_scan_plan(spark):
+    """Rank and tau both derive from the same k+1-row top-k frame: the
+    executed plan must contain exactly ONE TakeOrderedAndProject and ONE
+    parquet scan of documents (the r06 shape built the orderBy().limit()
+    lineage twice — once for ranked, once for the tau aggregate)."""
+    fn = entrymod.queries()["q111_priority_sample"]
+    plan = (
+        fn(spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("TakeOrderedAndProject") == 1, plan
+    assert plan.count("documents.parquet") == 1, plan
+
+
+def test_priority_sample_exact_weights_when_corpus_fits(spark, tmp_path):
+    """DLT prescribes the EXACT weight w when the corpus has <= k docs
+    (there is no (k+1)-th priority to truncate at): with 50 documents
+    and k=200 every doc is sampled and est_weight == n_chars exactly —
+    the estimator sums to the true total, not an inflated one."""
+    docs = (
+        spark.read.parquet(f"{SF_ORACLE}/documents.parquet").limit(50)
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    fn = entrymod.queries()["q111_priority_sample"]
+    rows = fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r["est_weight"] == float(r["n_chars"]), r

@@ -53,6 +53,50 @@ BNLJ_WHITELIST = {
     "onto the |seeds|-row frame (q50's bounds pattern)",
 }
 
+#: query -> why its unpartitioned Window (single-partition WindowExec —
+#: ALL rows through one task) is legitimate: every whitelisted window runs
+#: over an input whose row count is bounded by something data-independent
+#: or corpus-sublinear (a group-by on a low-cardinality key, a top-k
+#: frame, a vocab table), never over a fact table. A new unpartitioned
+#: window requires a conscious decision here — a global window on a fact
+#: table is the single-reducer sort, the one shape that cannot survive
+#: 100 TB.
+UNPARTITIONED_WINDOW_WHITELIST = {
+    "q58_mixture_weights": "window input is the per-lang group table — "
+    "|langs| rows regardless of corpus size (curation.py)",
+    "q70_weighted_sample": "window input is the per-source count table — "
+    "|sources| rows (curation.py)",
+    "q111_priority_sample": "rank + tau windows both run over the k+1-row "
+    "TakeOrderedAndProject output (curation.py)",
+    "q125_source_kl_drift": "corpus-total window over the token-vocab "
+    "frequency table — |vocab| rows through one reducer, already the "
+    "documented trade against a third corpus scan (curation.py)",
+    "q132_quality_threshold_sweep": "cumulative + total windows over the "
+    "<= 20-row score-bucket table (curation.py)",
+    "q68_unigram_logprob": "corpus-total window over the vocab-sized "
+    "frequency table, replacing a second text scan (llm.py)",
+    "q95_bigram_logprob": "vocab scalar rides the |V|-row unigram table "
+    "as an unpartitioned window, no extra text scan (mining.py)",
+}
+
+
+def iter_logical_nodes(node):
+    """Walk a logical plan tree (py4j: children() is a Scala Seq)."""
+    yield node
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from iter_logical_nodes(ch.apply(i))
+
+
+def count_unpartitioned_windows(df) -> int:
+    lp = df._jdf.queryExecution().optimizedPlan()
+    return sum(
+        1
+        for n in iter_logical_nodes(lp)
+        if n.getClass().getSimpleName() == "Window"
+        and n.partitionSpec().size() == 0
+    )
+
 
 # Known cross-engine FP trap (documented here with the HUGEINT rule as
 # institutional memory): round(x, 2) on a DOUBLE diverges by a cent when
@@ -126,3 +170,29 @@ def test_plan_has_no_pathological_nodes(spark, name):
             "bounded broadcast, whitelist it here with the reason; if not, "
             "fix the join"
         )
+    if count_unpartitioned_windows(df) > 0:
+        assert name in UNPARTITIONED_WINDOW_WHITELIST, (
+            f"{name}: new unpartitioned Window (single-partition "
+            "WindowExec) — if its input is provably bounded (group table, "
+            "top-k frame, vocab), whitelist it here with the reason; if "
+            "it runs over a fact table, add a partitionBy or restructure"
+        )
+
+
+def test_unpartitioned_window_lint_catches_global_window(spark):
+    """The lint's detector must flag a planted global window over a fact
+    table (the exact shape the whitelist exists to keep out)."""
+    from pyspark.sql import Window, functions as F
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    planted = li.withColumn(
+        "rn", F.row_number().over(Window.orderBy("l_orderkey"))
+    )
+    assert count_unpartitioned_windows(planted) == 1
+    ok = li.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+        ),
+    )
+    assert count_unpartitioned_windows(ok) == 0

@@ -822,6 +822,86 @@ def ivf_topk(
     )
 
 
+def ivf_topk_sweep(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    centroid_mod: int = 50,
+    nprobes: tuple[int, ...] = (1, 2, 4, 8),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_cap: int | None = None,
+) -> DataFrame:
+    """:func:`ivf_topk` swept over several ``nprobe`` settings in ONE pass.
+
+    Returns (nprobe, q_id, vec_id, score) — per setting, the same rows
+    ``ivf_topk(..., nprobe=setting)`` would return. The sweep shares all
+    the expensive work across settings instead of running |settings|
+    independent IVF queries: the corpus is assigned to centroids once,
+    queries are probed once to rank <= max(nprobes) (keeping the probe
+    rank), and every candidate is scored with the exact cosine once; the
+    per-setting fan-out then only replicates (id, score) rows — a
+    candidate belongs to setting s iff its probed centroid's rank <= s,
+    which is exactly the nested-probe-set structure of IVF. The settings
+    table is a bounded literal broadcast (|settings| rows — the q50
+    scalar-bounds idiom), and the per-(setting, query) top-k windows run
+    over candidate lists, never the corpus."""
+    max_np = max(nprobes)
+    base = _as_double(embeddings, id_col, vec_col)
+    is_cent = F.col("vec_id") % centroid_mod == 0
+    if centroid_cap is not None:
+        is_cent = is_cent & (F.col("vec_id") < centroid_cap)
+    cents = base.filter(is_cent).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("cv"),
+        F.col("nv").alias("cn"),
+    )
+
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("c_id"))
+    assigned = (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("cos_c", dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("cn")))
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "v", "nv", "c_id")
+    )
+
+    w_probe = Window.partitionBy("q_id").orderBy(F.desc("cos_c"), F.asc("c_id"))
+    probed = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("cos_c", dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("cn")))
+        .withColumn("probe_rn", F.row_number().over(w_probe))
+        .filter(F.col("probe_rn") <= max_np)
+        .select("q_id", "qv", "nq", "c_id", "probe_rn")
+    )
+
+    scored = (
+        probed.join(assigned, "c_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "probe_rn",
+            _cos(F.col("qv"), "nq", F.col("v"), "nv"),
+        )
+    )
+    spark = embeddings.sparkSession
+    settings = spark.createDataFrame(
+        [(int(s),) for s in sorted(nprobes)], "nprobe int"
+    )
+    fanned = scored.join(
+        F.broadcast(settings), F.col("probe_rn") <= F.col("nprobe")
+    )
+    w_final = Window.partitionBy("nprobe", "q_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    return (
+        fanned.withColumn("_rn", F.row_number().over(w_final))
+        .filter(F.col("_rn") <= k)
+        .select("nprobe", "q_id", "vec_id", "score")
+    )
+
+
 def all_pairs_nn(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -1031,6 +1111,38 @@ def srp_masks(planes: int = SRP_PLANES, dim: int = 64) -> list[list[int]]:
         ]
         for j in range(planes)
     ]
+
+
+def srp_bits(
+    embeddings: DataFrame,
+    planes: int = SRP_PLANES,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector SRP sign bits as an array column: (vec_id, bits) with
+    ``bits[j] = [⟨v, h_j⟩ >= 0]`` for the deterministic :func:`srp_masks`
+    hyperplanes — the banding-independent half of :func:`srp_lsh_topk`,
+    exposed so a band-count sweep can regroup ONE set of bits into
+    several code layouts instead of re-running the projection per
+    setting. Same fixed-point integer GEMM (bit-exact across engines),
+    one Arrow batch per partition, zero shuffle."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    mask_mat = np.asarray(srp_masks(planes, dim), dtype=np.int64)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def sign_bits(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64) * SRP_QUANT
+        q = np.where(m >= 0, np.floor(m + 0.5), np.ceil(m - 0.5)).astype(np.int64)
+        bits = (q @ mask_mat.T >= 0).astype(np.int32)  # n×planes
+        return pd.Series(list(bits))
+
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        sign_bits(F.col(vec_col)).alias("bits"),
+    )
 
 
 def srp_lsh_topk(

@@ -1716,3 +1716,327 @@ def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q133 — IVF recall operating curve (nprobe sweep vs brute-force oracle)
+# ---------------------------------------------------------------------------
+@L.add(
+    "q133_ivf_recall_curve",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS c_id, v AS cv FROM e
+          WHERE vec_id % 50 = 0 AND vec_id < 3200),
+asg AS (
+  SELECT vec_id, v, c_id FROM (
+    SELECT e.vec_id, e.v, cents.c_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.v, cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv)))
+             DESC, c_id) AS rn
+    FROM e, cents
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+probe AS (
+  SELECT q_id, qv, c_id, rn AS probe_rn FROM (
+    SELECT q.q_id, q.qv, cents.c_id,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+             DESC, c_id) AS rn
+    FROM q, cents
+  ) WHERE rn <= 8
+),
+s AS (
+  SELECT p.q_id, a.vec_id, p.probe_rn,
+         list_dot_product(p.qv, a.v)
+           / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v)))
+           AS c
+  FROM probe p JOIN asg a ON a.c_id = p.c_id AND a.vec_id <> p.q_id
+),
+settings(nprobe) AS (VALUES (1), (2), (4), (8)),
+appr AS (
+  SELECT nprobe, q_id, vec_id FROM (
+    SELECT st.nprobe, s.q_id, s.vec_id,
+           row_number() OVER (PARTITION BY st.nprobe, s.q_id
+                              ORDER BY s.c DESC, s.vec_id) AS rn
+    FROM s JOIN settings st ON s.probe_rn <= st.nprobe
+  ) WHERE rn <= 10
+),
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+             list_dot_product(qv, e.v)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v)))
+             DESC, e.vec_id) AS rn
+    FROM q, e WHERE e.vec_id <> q.q_id
+  ) WHERE rn <= 10
+),
+nq AS (SELECT count(*)::BIGINT AS n_queries FROM q),
+h AS (
+  SELECT a.nprobe, count(*)::BIGINT AS n_hits
+  FROM appr a JOIN exact x ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+  GROUP BY 1
+)
+SELECT st.nprobe, nq.n_queries,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       round(coalesce(h.n_hits, 0)::DOUBLE / (10.0 * nq.n_queries), 6)
+         AS recall_at_10
+FROM settings st CROSS JOIN nq LEFT JOIN h ON h.nprobe = st.nprobe
+""",
+    doc="IVF recall operating curve — the q132 threshold-sweep pattern "
+    "applied to vector search (the r06 verdict's #4 ask): recall@10 of "
+    "q29's IVF index against q22's brute-force exact top-10, swept over "
+    "nprobe in {1, 2, 4, 8} for 8 query vectors. The oracle is "
+    "exact-BY-CONSTRUCTION: both engines materialize the approximate "
+    "AND the exact neighbor sets and count the intersection — so a "
+    "green row certifies the whole curve, not a tolerance. The sweep "
+    "is ONE pass, not |settings| IVF runs "
+    "(operators/similarity.py:ivf_topk_sweep): vectors are assigned to "
+    "centroids once, queries probed once to rank <= max(nprobe) "
+    "keeping the probe rank, every candidate scored with the exact "
+    "cosine once; a candidate belongs to setting s iff probe_rn <= s "
+    "(IVF probe sets are nested), so the per-setting fan-out "
+    "replicates only (id, score) rows against a 4-row literal "
+    "broadcast. Recall is computed from exact integers — n_hits / "
+    "(k * n_queries) is the single FP division, bit-identical in both "
+    "engines — and every window is per-(setting, query) over candidate "
+    "lists (never the corpus; the q130 per-query-rank rule). At 100 TB "
+    "the curve costs one assign pass + one candidate-scoring join — "
+    "the operating data a user needs to pick nprobe before committing "
+    "the real index. Reference counterpart: none (north-star "
+    "extension).",
+    tags=("vector", "ann", "recall", "llm"),
+)
+def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk_sweep
+
+    settings = (1, 2, 4, 8)
+    emb = _emb(spark, sf_dir)
+    qs = make_query_set(emb, F.col("vec_id") < 8)
+    exact = brute_force_topk(emb, qs, k=10).select("q_id", "vec_id")
+    sweep = ivf_topk_sweep(
+        emb, qs, k=10, centroid_mod=50, nprobes=settings, centroid_cap=3200
+    )
+    hits = (
+        sweep.join(exact, ["q_id", "vec_id"])
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    sdf = spark.createDataFrame([(int(s),) for s in settings], "nprobe int")
+    nq = qs.agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))
+    return (
+        sdf.crossJoin(F.broadcast(nq))
+        .join(hits, "nprobe", "left")
+        .select(
+            "nprobe",
+            "n_queries",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / (F.lit(10.0) * F.col("n_queries")),
+                6,
+            ).alias("recall_at_10"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q134 — SRP-LSH recall operating curve (band-count sweep)
+# ---------------------------------------------------------------------------
+def _srp_recall_oracle() -> str:
+    """Generated from the SAME srp_masks() as the Spark operator (the
+    q81 pattern): the sign bits are bit-identical by construction, so
+    the sweep differential checks the banding geometry itself."""
+    from ..operators.similarity import SRP_PLANES, SRP_QUANT, srp_masks
+
+    masks = srp_masks(SRP_PLANES, 64)
+    values = ",\n           ".join(
+        f"({j}, {masks[j]})" for j in range(SRP_PLANES)
+    )
+    return f"""
+WITH qz AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> round(v::DOUBLE * {SRP_QUANT})::BIGINT) AS qv
+  FROM embeddings
+),
+masks(j, m) AS (
+  VALUES {values}
+),
+bits AS (
+  SELECT qz.vec_id, masks.j,
+         CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                                           i -> qz.qv[i] * masks.m[i])) >= 0
+              THEN 1 ELSE 0 END AS bit
+  FROM qz CROSS JOIN masks
+),
+settings(nbands, pb) AS (VALUES (2, 12), (3, 8), (4, 6), (6, 4)),
+codes AS (
+  SELECT s.nbands, b.vec_id, b.j // s.pb AS band_idx,
+         sum(b.bit::BIGINT << (b.j % s.pb))::BIGINT AS code
+  FROM bits b CROSS JOIN settings s
+  GROUP BY 1, 2, 3
+),
+cand AS (
+  SELECT DISTINCT c1.nbands, c1.vec_id AS q_id, c2.vec_id
+  FROM codes c1 JOIN codes c2
+    ON c1.nbands = c2.nbands AND c1.band_idx = c2.band_idx
+   AND c1.code = c2.code
+  WHERE c1.vec_id < 8 AND c2.vec_id <> c1.vec_id
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+pairs AS (SELECT DISTINCT q_id, vec_id FROM cand),
+sc AS (
+  SELECT p.q_id, p.vec_id,
+         list_dot_product(eq.v, ev.v)
+           / (sqrt(list_dot_product(eq.v, eq.v))
+              * sqrt(list_dot_product(ev.v, ev.v))) AS c
+  FROM pairs p
+  JOIN e eq ON eq.vec_id = p.q_id
+  JOIN e ev ON ev.vec_id = p.vec_id
+),
+appr AS (
+  SELECT nbands, q_id, vec_id FROM (
+    SELECT cd.nbands, cd.q_id, cd.vec_id,
+           row_number() OVER (PARTITION BY cd.nbands, cd.q_id
+                              ORDER BY sc.c DESC, cd.vec_id) AS rn
+    FROM cand cd JOIN sc ON sc.q_id = cd.q_id AND sc.vec_id = cd.vec_id
+  ) WHERE rn <= 10
+),
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+             list_dot_product(qv, e.v)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v)))
+             DESC, e.vec_id) AS rn
+    FROM q, e WHERE e.vec_id <> q.q_id
+  ) WHERE rn <= 10
+),
+nq AS (SELECT count(*)::BIGINT AS n_queries FROM q),
+h AS (
+  SELECT a.nbands, count(*)::BIGINT AS n_hits
+  FROM appr a JOIN exact x ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+  GROUP BY 1
+)
+SELECT st.nbands, nq.n_queries,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       round(coalesce(h.n_hits, 0)::DOUBLE / (10.0 * nq.n_queries), 6)
+         AS recall_at_10
+FROM settings st CROSS JOIN nq LEFT JOIN h ON h.nbands = st.nbands
+"""
+
+
+@L.add(
+    "q134_srp_recall_curve",
+    oracle=_srp_recall_oracle(),
+    doc="SRP-LSH recall operating curve — q133's sweep for the "
+    "hyperplane-LSH family: recall@10 of q81's banded index against the "
+    "brute-force exact top-10, swept over band count in {2, 3, 4, 6} "
+    "(24 sign bits regrouped as 2x12, 3x8, 4x6, 6x4 — more/shorter "
+    "bands = more collisions = higher recall at higher candidate cost). "
+    "The 24-plane projection runs ONCE (operators/similarity.py:"
+    "srp_bits — the fixed-point Arrow GEMM, bit-exact across engines); "
+    "each setting derives its band codes by REGROUPING those bits "
+    "JVM-side (posexplode -> div/mod band math -> sum of shifted bits, "
+    "one shuffle keyed (setting, vec_id, band)), so the sweep never "
+    "re-projects. Candidate pairs dedup across settings before the ONE "
+    "exact-cosine scoring join; per-(setting, query) top-10 windows "
+    "over candidate lists; recall = n_hits / (k * n_queries) from "
+    "exact integers, one FP division. The curve is the tuning data for "
+    "q81's banding choice, with the exact-by-construction oracle "
+    "generated from the same srp_masks() (the q81 pattern). Reference "
+    "counterpart: none (north-star extension).",
+    tags=("vector", "lsh", "ann", "recall", "llm"),
+)
+def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.vector import dot
+    from ..operators.similarity import _as_double, srp_bits
+
+    settings = ((2, 12), (3, 8), (4, 6), (6, 4))
+    emb = _emb(spark, sf_dir)
+    qs = make_query_set(emb, F.col("vec_id") < 8)
+    exact = brute_force_topk(emb, qs, k=10).select("q_id", "vec_id")
+
+    bitrows = srp_bits(emb).select(
+        "vec_id", F.posexplode("bits").alias("j", "bit")
+    )
+    sdf = spark.createDataFrame(
+        [(int(b), int(pb)) for b, pb in settings], "nbands int, pb int"
+    )
+    # 2^(j % pb) is exact in a double for pb <= 12 (max exponent 11)
+    codes = (
+        bitrows.crossJoin(F.broadcast(sdf))
+        .select(
+            "nbands",
+            "vec_id",
+            F.floor(F.col("j") / F.col("pb")).cast("int").alias("band_idx"),
+            (
+                F.col("bit").cast("long")
+                * F.pow(F.lit(2.0), (F.col("j") % F.col("pb"))).cast("long")
+            ).alias("w"),
+        )
+        .groupBy("nbands", "vec_id", "band_idx")
+        .agg(F.sum("w").cast("long").alias("code"))
+    )
+    qcodes = codes.filter(F.col("vec_id") < 8).select(
+        "nbands", F.col("vec_id").alias("q_id"), "band_idx", "code"
+    )
+    cand = (
+        codes.join(qcodes, ["nbands", "band_idx", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("nbands", "q_id", "vec_id")
+        .distinct()
+    )
+    base_d = _as_double(emb, "vec_id", "embedding")
+    qside = base_d.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qvec"),
+        F.col("nv").alias("nq"),
+    )
+    pair_scores = (
+        cand.select("q_id", "vec_id")
+        .distinct()
+        .join(base_d, "vec_id")
+        .join(F.broadcast(qside), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            (dot(F.col("qvec"), F.col("v")) / (F.col("nq") * F.col("nv"))).alias(
+                "c"
+            ),
+        )
+    )
+    w = Window.partitionBy("nbands", "q_id").orderBy(F.desc("c"), F.asc("vec_id"))
+    appr = (
+        cand.join(pair_scores, ["q_id", "vec_id"])
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 10)
+        .select("nbands", "q_id", "vec_id")
+    )
+    hits = (
+        appr.join(exact, ["q_id", "vec_id"])
+        .groupBy("nbands")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    nq = qs.agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))
+    return (
+        sdf.select("nbands")
+        .crossJoin(F.broadcast(nq))
+        .join(hits, "nbands", "left")
+        .select(
+            "nbands",
+            "n_queries",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / (F.lit(10.0) * F.col("n_queries")),
+                6,
+            ).alias("recall_at_10"),
+        )
+    )

@@ -139,3 +139,63 @@ def test_trained_centroids_feed_ivf(spark):
     )
     assert trained >= id_picked
     assert trained >= 0.5
+
+
+def test_kmeans_feeds_semantic_dedup_composition(spark):
+    """embedding_kmeans assignments -> semantic_dedup -> anti-join prune is
+    the production SemDeDup composition (q118's spec scores id-picked
+    cluster columns; this is the trained-assignment path, the same
+    composition upgrade kmeans_centroids -> ivf_topk got for ANN).
+
+    Planted geometry: 4 orthogonal cluster directions; within each
+    cluster, a 'parallel' family lies exactly on the cluster direction
+    (cosine 1.0 to the representative, which is the lowest id and
+    parallel by construction) and an 'angled' family sits at 30 degrees
+    (cosine ~0.866). At threshold 0.95 the prune list must be exactly
+    the non-representative parallel members — across the REAL kmeans
+    assignments, not hand-made labels."""
+    import math
+
+    from etl_dag_paris_velib_spark.operators.clustering import embedding_kmeans
+    from etl_dag_paris_velib_spark.operators.dedup import semantic_dedup
+
+    cos30, sin30 = math.cos(math.pi / 6), math.sin(math.pi / 6)
+    rows, parallel_ids = [], set()
+    for i in range(200):
+        c = i % 4
+        scale = 10.0 * (1.0 + 0.001 * i)
+        v = [0.0] * 8
+        if (i // 4) % 3 == 0:  # parallel family (includes ids 0..3 = reps)
+            v[2 * c] = scale
+            parallel_ids.add(i)
+        else:  # angled family: 30 degrees off the cluster direction
+            v[2 * c] = scale * cos30
+            v[2 * c + 1] = scale * sin30
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # seed_mod=51 picks ids 0/51/102/153 — exactly four seeds, one per
+    # direction (directions 0/3/2/1); a modulus selecting two seeds in
+    # one direction would legitimately split that direction's two rays
+    # into separate clusters and the angled ray would become its own
+    # rep — correct SemDeDup behavior, but not this test's geometry
+    assigned = embedding_kmeans(emb, seed_mod=51, iterations=3).select(
+        "vec_id", "c_id"
+    )
+    labeled = emb.join(assigned, "vec_id")
+    prune = semantic_dedup(
+        labeled, cluster_col="c_id", threshold=0.95
+    ).collect()
+
+    assert {r["vec_id"] for r in prune} == parallel_ids - {0, 1, 2, 3}
+    assert all(round(r["score"], 6) == 1.0 for r in prune)
+    assert {r["rep_id"] for r in prune} == {0, 1, 2, 3}
+    # the anti-join prune: survivors = corpus minus the prune list
+    kept = emb.join(
+        prune and spark.createDataFrame(
+            [(r["vec_id"],) for r in prune], "vec_id long"
+        ),
+        "vec_id",
+        "left_anti",
+    )
+    assert kept.count() == 200 - len(prune)

@@ -46,42 +46,16 @@ def test_demoted_queries_are_at_the_tail():
     assert len(names) - len(DEMOTED) <= 50
 
 
-# Specs added this round sit in the WINDOW but have no driver row yet;
-# give them the same local evidence until CORRECTNESS_r06 lands. q106/
-# q107 re-earn their slot after this round's code changes, so they get
-# local rows too.
-NEW_THIS_ROUND = (
-    "q106_content_checksum",
-    "q107_association_rules",
-    "q108_stream_hourly_rollup",
-    "q109_frequent_triples",
-    "q110_stream_dedup_rollup",
-    "q111_priority_sample",
-    "q112_stream_enrich_rollup",
-    "q113_png_decode",
-    "q114_adpcm_decode",
-    "q115_bpe_pair_stats",
-    "q116_stream_interval_join",
-    "q117_bm25_topk",
-    "q118_semantic_dedup",
-    "q119_bpe_encode_counts",
-    "q120_stream_kmv_distinct",
-    "q121_copurchase_triangles",
-    "q122_copurchase_bfs_hops",
-    "q123_negative_samples",
-    "q124_masked_lm_pairs",
-    "q125_source_kl_drift",
-    "q126_centroid_drift",
-    "q127_gif_decode",
-    "q128_hll_distinct",
-    "q129_copurchase_edge_churn",
-    "q130_bm25_batch_topk",
-    "q131_personalized_pagerank",
-    "q132_quality_threshold_sweep",
-)
+# As of round 7 the sweep covers the WINDOW specs too (everything in the
+# registry): window specs whose driver row predates a code change — or
+# that never had one — get the same local differential evidence as the
+# demoted tail, and nothing can fall through a rotation gap. The extra
+# cost over the old DEMOTED+NEW_THIS_ROUND split is the ~50 window specs,
+# a couple of minutes at sf0.01.
+WINDOW = tuple(n for n in REGISTRY.specs if n not in set(DEMOTED))
 
 
-@pytest.mark.parametrize("name", DEMOTED + NEW_THIS_ROUND)
+@pytest.mark.parametrize("name", DEMOTED + WINDOW)
 def test_demoted_query_matches_oracle(spark, oracle_con, name):
     spec = REGISTRY.specs[name]
     assert spec.oracle is not None, f"{name} demoted without an oracle"

@@ -51,6 +51,13 @@ BNLJ_WHITELIST = {
     "broadcast, driven per query id",
     "q131_personalized_pagerank": "1-row seed-count broadcast cross join "
     "onto the |seeds|-row frame (q50's bounds pattern)",
+    "q133_ivf_recall_curve": "q29's centroid-list broadcast (assign + "
+    "probe), the 4-row nprobe-settings broadcast band join "
+    "(probe_rn <= nprobe), and the 1-row query-count broadcast — all "
+    "bounded, data-independent build sides",
+    "q134_srp_recall_curve": "q22's query-vector broadcast, the 4-row "
+    "band-settings broadcast, and the 1-row query-count broadcast — "
+    "all bounded, data-independent build sides",
 }
 
 #: query -> why its unpartitioned Window (single-partition WindowExec —

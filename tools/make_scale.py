@@ -1,5 +1,7 @@
-"""Generate a 10x replica of /root/testdata/sf0.1 at .scale/sf1.0 for
-scaling measurements (~6M lineitem, 1M events, 50k documents).
+"""Generate an Nx replica of /root/testdata/sf0.1 under .scale/ for
+scaling measurements (default 10x -> .scale/sf1.0: ~6M lineitem, 1M
+events, 50k documents; 30 -> .scale/sf3.0, the r07 tier for the graph /
+stream movers — the output name is sf{replicas/10}).
 
 Replication preserves the star schema's join structure: every key column
 gets a per-replica offset large enough to keep replicas disjoint, so
@@ -24,7 +26,6 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(ROOT, ".scale", "sf1.0")
 
 #: id-offset stride per replica — far above every source key range
 STRIDE = 10_000_000
@@ -47,19 +48,29 @@ SINGLE = ("region", "nation")
 
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    # sf name follows the replica count: 10x sf0.1 -> sf1.0, 30x -> sf3.0
+    dst = os.path.join(ROOT, ".scale", f"sf{replicas / 10:.1f}")
     from pyspark.sql import functions as F
 
     from etl_dag_paris_velib_spark.session import get_spark
 
+    # this process launches the JVM itself, so driver memory set here is
+    # honored; the default 1g heap OOMs on the 30-replica repartition(32)
     spark = get_spark(
-        "make-scale", extra_conf={"spark.ui.showConsoleProgress": "false"}
+        "make-scale",
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "48g"
+            ),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
-    os.makedirs(DST, exist_ok=True)
+    os.makedirs(dst, exist_ok=True)
 
     for t in SINGLE:
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
-            f"{DST}/{t}.parquet"
+            f"{dst}/{t}.parquet"
         )
         print(f"{t}: single copy")
 
@@ -82,8 +93,8 @@ def main() -> None:
         # one file per core, not one per replica branch: a 10-file table
         # caps local[32] scan parallelism at 10 tasks and distorts the
         # scaling measurements this replica exists for
-        out.repartition(32).write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
-        n = spark.read.parquet(f"{DST}/{t}.parquet").count()
+        out.repartition(32).write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+        n = spark.read.parquet(f"{dst}/{t}.parquet").count()
         print(f"{t}: {n} rows ({replicas} replicas)")
 
 

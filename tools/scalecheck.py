@@ -49,8 +49,10 @@ HEADLINE = (
     "q117_bm25_topk",           # query-filtered tf shuffle + stats broadcast (r06)
     "q118_semantic_dedup",      # O(clusters) rep broadcast, map-side scoring (r06)
     "q119_bpe_encode_counts",   # vocab-level merge passes + word-keyed join (r06)
+    "q116_stream_interval_join",  # stream-stream state join, r07 sf3 tier
     "q121_copurchase_triangles",  # degree-oriented wedge join (r06)
     "q122_copurchase_bfs_hops",   # frontier-join BFS rounds (r06)
+    "q131_personalized_pagerank",  # seeded rank loop, r07 sf3 tier
     "q124_masked_lm_pairs",     # posexplode + order-preserving reassembly (r06)
     "q125_source_kl_drift",     # two grouped passes + vocab window (r06)
     "q126_centroid_drift",      # exploded-dim partials, folded global (r06)
@@ -62,14 +64,15 @@ HEADLINE = (
     "q52_embedding_dedup",      # exact block-matmul threshold pairs, O(n²) GEMM
 )
 
-SFS = ("0.001", "0.01", "0.1", "1.0")
+SFS = ("0.001", "0.01", "0.1", "1.0", "3.0")
 
 
 def sf_dir(sf: str) -> str:
-    """testdata holds sf ≤ 0.1; sf1.0 is the local 10x replica
-    (tools/make_scale.py) under the repo's gitignored .scale/."""
-    if sf == "1.0":
-        return os.path.join(ROOT, ".scale", "sf1.0")
+    """testdata holds sf ≤ 0.1; sf1.0 / sf3.0 are local 10x / 30x
+    replicas (tools/make_scale.py) under the repo's gitignored .scale/.
+    Missing tiers are skipped (main() filters on isdir)."""
+    if float(sf) >= 1.0:
+        return os.path.join(ROOT, ".scale", f"sf{sf}")
     return f"/root/testdata/sf{sf}"
 
 
@@ -155,17 +158,35 @@ def main() -> None:
     # per-query min-of-2; two sweeps separated by the rest of the suite
     # rarely both land in one (observed: the same cell 0.2s vs 26s across
     # back-to-back runs with identical plans).
+    # the dedup-stress tier is measured up to sf1.0 only: its cost tracks
+    # TRUE candidate-pair count, which the replica construction grows
+    # quadratically — sf3.0 would spend ~9x sf1.0's superlinear cost to
+    # re-demonstrate a regime the sf1.0 cells already pin (and q52 is the
+    # deliberate exact-GEMM baseline whose documented scale path is
+    # IVF/SRP-LSH anyway)
+    STRESS_CAP = {
+        "q28_simhash_pairs": 1.0,
+        "q46_edit_distance_pairs": 1.0,
+        "q52_embedding_dedup": 1.0,
+    }
+
+    def cells_for(name):
+        return [sf for sf in sfs if float(sf) <= STRESS_CAP.get(name, 1e9)]
+
     t: dict[tuple[str, str], float] = {}
     for _ in range(2):
         for name in names:
-            for sf in sfs:
+            for sf in cells_for(name):
                 v = run(name, sf)
                 k = (name, sf)
                 t[k] = min(t.get(k, float("inf")), v)
     rows = []
     for name in names:
-        marg = t[(name, top)] - t[(name, prev)]
-        rows.append((name, [t[(name, sf)] for sf in sfs], marg))
+        have = cells_for(name)
+        marg = t[(name, have[-1])] - t[(name, have[-2])]
+        rows.append(
+            (name, [t.get((name, sf)) for sf in sfs], marg)
+        )
 
     span = f"{int(float(top) / float(sfs[0])):,}x"
     out = [
@@ -190,11 +211,13 @@ def main() -> None:
         "a fresh StreamingQuery per run, so their floor is the streaming",
         "engine's per-query start/commit overhead (~2s), data-invariant",
         "until the event volume dominates it.",
-        "sf1.0 (when present) is the 10x key-offset replica of sf0.1",
-        "(tools/make_scale.py): ~6M lineitem / 1M events / 50k documents,",
-        "with each document replica group a planted near-dup cluster —",
-        "the dedup tier's candidate volume grows superlinearly there by",
-        "construction.",
+        "sf1.0 / sf3.0 (when present) are the 10x / 30x key-offset",
+        "replicas of sf0.1 (tools/make_scale.py): sf1.0 ~6M lineitem /",
+        "1M events / 50k documents; sf3.0 triples that — the r07 tier",
+        "for the graph/stream movers (q116/q121/q122/q131), whose r06",
+        "evidence topped out at sf1.0. Each document replica group is a",
+        "planted near-dup cluster — the dedup tier's candidate volume",
+        "grows superlinearly there by construction.",
         "",
         "| query | " + " | ".join(f"sf{sf}" for sf in sfs) + " | marginal (s) |",
         "|---|" + "---|" * (len(sfs) + 1),
@@ -207,7 +230,10 @@ def main() -> None:
         "\n~(replicas^2)x by construction — the right behavior for a"
         "\ndedup operator; q52 is additionally the exact O(n^2) GEMM"
         "\nbaseline whose documented scale path is IVF/SRP-LSH"
-        "\n(q29/q81, flat rows above).\n"
+        "\n(q29/q81, flat rows above). The tier is measured up to sf1.0"
+        "\n(— cells beyond): sf3.0's 30-replica clusters would spend ~9x"
+        "\nsf1.0's superlinear cost to re-demonstrate the same"
+        "\nquadratic-by-construction regime.\n"
         "\nNear-zero warm times on q21/q42 are the session pair cache"
         "\n(operators/similarity.py:_PAIR_CACHE): the LSH pair set is"
         "\nmaterialized once per (session, input, params) and every"
@@ -215,7 +241,7 @@ def main() -> None:
         "\nreuse-not-recompute behavior a production pipeline wants.\n"
     )
     for name, ts, m in rows:
-        cells = " | ".join(f"{t:.2f}" for t in ts)
+        cells = " | ".join("—" if t is None else f"{t:.2f}" for t in ts)
         out.append(f"| {name} | {cells} | {m:+.2f} |")
     text = "\n".join(out) + "\n" + note
     with open(os.path.join(ROOT, "SCALING.md"), "w") as f:

@@ -46,12 +46,13 @@ REGISTRY.merge(_streamq)
 #   estimator), q110 (span-derived watermark delay);
 # - NEW this round: q133 (IVF nprobe recall curve), q134 (SRP band-count
 #   recall curve), q135 (streaming crash-restart exactly-once — two
-#   query incarnations over one checkpoint);
-# - six r05-era refreshers spanning distinct families: q01 (flagship
-#   agg), q15 (as-of join), q21 (MinHash LSH), q37 (salted skew join),
-#   q48 (k-means), q99 (shared-text SQL).
+#   query incarnations over one checkpoint), q136 (PQ/ADC recall curve
+#   — the fifth ANN family), q137 (hybrid BM25+dense reciprocal-rank
+#   fusion);
+# - four r05-era refreshers spanning distinct families: q01 (flagship
+#   agg), q15 (as-of join), q48 (k-means), q99 (shared-text SQL).
 # After round 7 lands, every spec's newest driver row is r05 or younger.
-# Demoted: the 86 below — every r05/r06-green spec whose code did not
+# Demoted: the 88 below — every r05/r06-green spec whose code did not
 # change this round.
 DEMOTED = (
     # r06-green, code unchanged (freshest driver evidence, lowest
@@ -117,6 +118,7 @@ DEMOTED = (
     "q19_brand_revenue",
     "q39_grouping_sets",
     "q20_exact_dedup",
+    "q21_near_dup_pairs",
     "q22_vector_topk",
     "q23_text_stats",
     "q24_full_outer",
@@ -128,6 +130,7 @@ DEMOTED = (
     "q30_winnow_fingerprints",
     "q31_doc_chunks",
     "q35_ngram_jaccard",
+    "q37_salted_join_revenue",
     "q38_value_percentiles",
     "q42_dedup_clusters",
     "q46_edit_distance_pairs",

@@ -1641,12 +1641,27 @@ ORDER BY qid, rnk
     tags=("search", "bm25", "window", "llm"),
 )
 def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bm25_batch_ranked(spark, sf_dir, BM25_BATCH_QUERIES, k=5).orderBy(
+        "qid", "rnk"
+    )
+
+
+def _bm25_batch_ranked(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: tuple[tuple[int, str], ...],
+    k: int,
+) -> DataFrame:
+    """q130's batch BM25 scorer as a reusable leg: (qid, doc_id, score,
+    n_terms, rnk) for the top-``k`` docs per query. q137's hybrid-RRF
+    spec reuses it at k=20 as the lexical leg — one definition, one
+    oracle-mirrored expression tree."""
     from pyspark.sql import Window
 
     from ..functions.text import tokens
 
     docs = _docs(spark, sf_dir)
-    q = spark.createDataFrame(list(BM25_BATCH_QUERIES), "qid int, term string")
+    q = spark.createDataFrame(list(queries), "qid int, term string")
     tk = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
     lens = tk.select("doc_id", F.size("tk").cast("long").alias("dl"))
     stats = lens.agg(
@@ -1706,7 +1721,7 @@ def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.desc("score"), "doc_id")
     return (
         scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
+        .filter(F.col("rnk") <= k)
         .select(
             "qid",
             "doc_id",
@@ -1714,7 +1729,6 @@ def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_terms",
             F.col("rnk").cast("long").alias("rnk"),
         )
-        .orderBy("qid", "rnk")
     )
 
 
@@ -2039,4 +2053,350 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("recall_at_10"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q136 — Product-Quantization ADC recall curve (subspace-count sweep)
+# ---------------------------------------------------------------------------
+@L.add(
+    "q136_pq_adc_recall",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS c_id, v AS cv FROM e
+          WHERE vec_id % 50 = 0 AND vec_id < 3200),
+settings(m, sd) AS (VALUES (4, 16), (8, 8), (16, 4)),
+sub AS (SELECT m, sd, unnest(generate_series(0, m - 1)) AS j FROM settings),
+vsub AS (
+  SELECT s.m, s.j, e.vec_id, e.v[s.j * s.sd + 1 : (s.j + 1) * s.sd] AS vs
+  FROM e CROSS JOIN sub s
+),
+csub AS (
+  SELECT s.m, s.j, c.c_id, c.cv[s.j * s.sd + 1 : (s.j + 1) * s.sd] AS cs
+  FROM cents c CROSS JOIN sub s
+),
+enc AS (
+  SELECT m, j, vec_id, c_id AS code FROM (
+    SELECT v.m, v.j, v.vec_id, c.c_id,
+           row_number() OVER (PARTITION BY v.m, v.vec_id, v.j ORDER BY
+             list_dot_product(v.vs, v.vs) + list_dot_product(c.cs, c.cs)
+               - 2 * list_dot_product(v.vs, c.cs), c.c_id) AS rn
+    FROM vsub v JOIN csub c ON c.m = v.m AND c.j = v.j
+  ) WHERE rn = 1
+),
+qsub AS (SELECT m, j, vec_id AS q_id, vs AS qs FROM vsub WHERE vec_id < 8),
+lut AS (
+  SELECT q.m, q.j, q.q_id, c.c_id,
+         list_dot_product(q.qs, q.qs) + list_dot_product(c.cs, c.cs)
+           - 2 * list_dot_product(q.qs, c.cs) AS dq
+  FROM qsub q JOIN csub c ON c.m = q.m AND c.j = q.j
+),
+adc AS (
+  SELECT en.m, l.q_id, en.vec_id,
+         list_reduce(list(l.dq ORDER BY en.j), (a, b) -> a + b) AS adc
+  FROM enc en JOIN lut l ON l.m = en.m AND l.j = en.j AND l.c_id = en.code
+  WHERE en.vec_id <> l.q_id
+  GROUP BY 1, 2, 3
+),
+appr AS (
+  SELECT m, q_id, vec_id FROM (
+    SELECT m, q_id, vec_id,
+           row_number() OVER (PARTITION BY m, q_id ORDER BY adc, vec_id) AS rn
+    FROM adc
+  ) WHERE rn <= 10
+),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+             list_dot_product(qv, qv) + list_dot_product(e.v, e.v)
+               - 2 * list_dot_product(qv, e.v), e.vec_id) AS rn
+    FROM q, e WHERE e.vec_id <> q.q_id
+  ) WHERE rn <= 10
+),
+nq AS (SELECT count(*)::BIGINT AS n_queries FROM q),
+h AS (
+  SELECT a.m, count(*)::BIGINT AS n_hits
+  FROM appr a JOIN exact x ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+  GROUP BY 1
+)
+SELECT st.m, nq.n_queries,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       round(coalesce(h.n_hits, 0)::DOUBLE / (10.0 * nq.n_queries), 6)
+         AS recall_at_10
+FROM settings st CROSS JOIN nq LEFT JOIN h ON h.m = st.m
+""",
+    doc="Product-Quantization ADC recall curve — the FIFTH ANN family "
+    "(Jegou/Douze/Schmid TPAMI'11) beside brute force (q22), IVF "
+    "(q29/q133), SRP-LSH (q81/q134) and SimHash (q28): each vector is "
+    "encoded as m sub-codes (nearest sub-centroid per 64/m-dim "
+    "subspace, deterministic id-picked sub-codebooks — the q29 "
+    "convention, so the oracle is exact), queries stay uncompressed, "
+    "and distance is estimated by the classic Asymmetric Distance "
+    "Computation: a per-(query, subspace) lookup table of "
+    "query-to-centroid squared-L2 distances JOINS the code table and "
+    "folds per (query, vector) — the relational form of the ADC table "
+    "trick. Swept over m in {4, 8, 16} (finer subspaces = higher "
+    "recall at m bytes/vector); recall@10 vs the exact squared-L2 "
+    "top-10. All distances use the dot-product identity "
+    "|a-b|^2 = <a,a>+<b,b>-2<a,b> (the proven bit-identical fold) and "
+    "the ADC fold runs in sorted subspace order (the q117 "
+    "sorted-fold rule), so ranks are deterministic cross-engine. "
+    "Scale: encoding is |vectors| x |codebook| x m sub-distance rows "
+    "per setting — embarrassingly parallel, one rank-1 window keyed "
+    "(m, vec, j); ADC is a hash join on the code key + one "
+    "(m, q, vec)-keyed fold; at 100 TB the code table is m bytes/row "
+    "(64x compression at m=8) and the LUT is O(|Q| x codebook x m), "
+    "always broadcast. Reference counterpart: none (north-star "
+    "extension).",
+    tags=("vector", "ann", "pq", "recall", "llm"),
+)
+def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.vector import dot
+
+    settings = ((4, 16), (8, 8), (16, 4))
+    emb = _emb(spark, sf_dir)
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = base.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
+    ).select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    sdf = spark.createDataFrame(
+        [(int(m), int(sd)) for m, sd in settings], "m int, sd int"
+    )
+    sub = sdf.select(
+        "m", "sd", F.explode(F.sequence(F.lit(0), F.col("m") - 1)).alias("j")
+    )
+    start = F.col("j") * F.col("sd") + 1
+    vsub = base.crossJoin(F.broadcast(sub)).select(
+        "m", "j", "vec_id", F.slice("v", start, F.col("sd")).alias("vs")
+    )
+    csub = cents.crossJoin(F.broadcast(sub)).select(
+        "m", "j", "c_id", F.slice("cv", start, F.col("sd")).alias("cs")
+    )
+
+    def sq_l2(a, b):
+        return dot(a, a) + dot(b, b) - F.lit(2.0) * dot(a, b)
+
+    w_enc = Window.partitionBy("m", "vec_id", "j").orderBy("d", "c_id")
+    enc = (
+        vsub.join(F.broadcast(csub), ["m", "j"])
+        .withColumn("d", sq_l2(F.col("vs"), F.col("cs")))
+        .withColumn("_rn", F.row_number().over(w_enc))
+        .filter(F.col("_rn") == 1)
+        .select("m", "j", "vec_id", F.col("c_id").alias("code"))
+    )
+    qsub = vsub.filter(F.col("vec_id") < 8).select(
+        "m", "j", F.col("vec_id").alias("q_id"), F.col("vs").alias("qs")
+    )
+    lut = qsub.join(F.broadcast(csub), ["m", "j"]).select(
+        "m", "j", "q_id", "c_id", sq_l2(F.col("qs"), F.col("cs")).alias("dq")
+    )
+    adc = (
+        enc.join(lut, (lut["m"] == enc["m"]) & (lut["j"] == enc["j"]) & (lut["c_id"] == enc["code"]))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(enc["m"].alias("m"), "q_id", "vec_id", enc["j"].alias("j"), "dq")
+        .groupBy("m", "q_id", "vec_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("j", "dq"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["dq"],
+            ).alias("adc")
+        )
+    )
+    w_appr = Window.partitionBy("m", "q_id").orderBy("adc", "vec_id")
+    appr = (
+        adc.withColumn("_rn", F.row_number().over(w_appr))
+        .filter(F.col("_rn") <= 10)
+        .select("m", "q_id", "vec_id")
+    )
+    qv = base.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    w_ex = Window.partitionBy("q_id").orderBy("d", "vec_id")
+    exact = (
+        base.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("d", sq_l2(F.col("qv"), F.col("v")))
+        .withColumn("_rn", F.row_number().over(w_ex))
+        .filter(F.col("_rn") <= 10)
+        .select("q_id", "vec_id")
+    )
+    hits = (
+        appr.join(exact, ["q_id", "vec_id"])
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    nq = qv.agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))
+    return (
+        sdf.select("m")
+        .crossJoin(F.broadcast(nq))
+        .join(hits, "m", "left")
+        .select(
+            "m",
+            "n_queries",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / (F.lit(10.0) * F.col("n_queries")),
+                6,
+            ).alias("recall_at_10"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q137 — hybrid retrieval: reciprocal-rank fusion of BM25 + dense legs
+# ---------------------------------------------------------------------------
+@L.add(
+    "q137_rrf_hybrid_retrieval",
+    oracle="""
+WITH q(qid, term) AS (
+  VALUES (1, 'dup'), (1, 'vector'), (2, 'spark'), (2, 'stream'),
+         (3, 'vector'), (3, 'window')
+),
+d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+  FROM documents
+),
+l AS (SELECT doc_id, len(tk)::BIGINT AS dl FROM d),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM l),
+t AS (SELECT doc_id, unnest(tk) AS term FROM d),
+tf AS (
+  SELECT q.qid, t.doc_id, t.term, count(*)::BIGINT AS tf
+  FROM t JOIN q USING (term) GROUP BY 1, 2, 3
+),
+idf AS (SELECT qid, term, count(*)::BIGINT AS df FROM tf GROUP BY 1, 2),
+contrib AS (
+  SELECT tf.qid, tf.doc_id, tf.term,
+         (ln((stats.n_docs - idf.df + 0.5) / (idf.df + 0.5) + 1.0)
+          * (tf.tf * 2.2))
+           / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / stats.avgdl)) AS contrib
+  FROM tf
+  CROSS JOIN stats
+  JOIN idf USING (qid, term)
+  JOIN l USING (doc_id)
+),
+scored AS (
+  SELECT qid, doc_id,
+         round(list_reduce(list(contrib ORDER BY term), (a, b) -> a + b), 6)
+           AS score
+  FROM contrib
+  GROUP BY qid, doc_id
+),
+bm AS (
+  SELECT qid, doc_id, rnk FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)
+             AS rnk
+    FROM scored
+  ) WHERE rnk <= 20
+),
+seed AS (SELECT qid, doc_id AS seed_id FROM bm WHERE rnk = 1),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sv AS (
+  SELECT s.qid, s.seed_id, e.v AS svec FROM seed s
+  JOIN e ON e.vec_id = s.seed_id
+),
+dense AS (
+  SELECT qid, vec_id AS doc_id, rnk FROM (
+    SELECT sv.qid, e.vec_id,
+           row_number() OVER (PARTITION BY sv.qid ORDER BY
+             list_dot_product(sv.svec, e.v)
+               / (sqrt(list_dot_product(sv.svec, sv.svec))
+                  * sqrt(list_dot_product(e.v, e.v))) DESC, e.vec_id) AS rnk
+    FROM sv JOIN e ON e.vec_id <> sv.seed_id
+  ) WHERE rnk <= 20
+),
+fused AS (
+  SELECT coalesce(b.qid, de.qid) AS qid,
+         coalesce(b.doc_id, de.doc_id) AS doc_id,
+         b.rnk AS r_bm25, de.rnk AS r_dense,
+         round(coalesce(1.0 / (60 + b.rnk), 0.0)
+               + coalesce(1.0 / (60 + de.rnk), 0.0), 6) AS rrf
+  FROM bm b
+  FULL OUTER JOIN dense de ON de.qid = b.qid AND de.doc_id = b.doc_id
+)
+SELECT qid, doc_id, r_bm25, r_dense, rrf FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id)
+           AS out_rnk
+  FROM fused
+) WHERE out_rnk <= 10
+""",
+    doc="Hybrid retrieval via reciprocal-rank fusion (Cormack/Clarke/"
+    "Buettcher SIGIR'09, the fusion every RAG stack runs): per query, "
+    "the LEXICAL leg is q130's batch BM25 top-20 (shared helper "
+    "_bm25_batch_ranked — one definition, one expression tree) and the "
+    "DENSE leg is cosine top-20 by query-by-example: the BM25 rank-1 "
+    "doc's embedding is the dense query (pseudo-relevance feedback — "
+    "deterministic, no averaged centroid whose summation order would "
+    "break cross-engine parity). The legs FULL-OUTER merge on (query, "
+    "doc) and fuse as rrf = 1/(60+r_lex) + 1/(60+r_dense) (absent leg "
+    "contributes 0), top-10 per query by fused score. FP-exactness: "
+    "ranks are integers, each reciprocal is one correctly-rounded "
+    "division, the sum is two terms in literal order — bit-identical "
+    "in both engines, no aggregation-order hazard. Scale: the BM25 leg "
+    "is q130's (query-filtered tf shuffle, O(matched docs) windows); "
+    "the dense leg broadcasts |Q| seed vectors against the embedding "
+    "table (q22's shape; IVF/PQ drop in at scale); the fusion join "
+    "touches 40 rows/query. Reference counterpart: none (north-star "
+    "extension — the retrieval front-end of an LLM data pipeline's "
+    "search tier).",
+    tags=("search", "bm25", "vector", "fusion", "llm"),
+)
+def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.vector import dot, l2_norm
+
+    bm = _bm25_batch_ranked(spark, sf_dir, BM25_BATCH_QUERIES, k=20).select(
+        "qid", "doc_id", F.col("rnk").alias("r_bm25")
+    )
+    seed = bm.filter(F.col("r_bm25") == 1).select(
+        "qid", F.col("doc_id").alias("seed_id")
+    )
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sv = seed.join(e, seed["seed_id"] == e["vec_id"]).select(
+        "qid", "seed_id", F.col("v").alias("svec"), l2_norm("v").alias("sn")
+    )
+    w_d = Window.partitionBy("qid").orderBy(F.desc("c"), "vec_id")
+    dense = (
+        e.withColumn("nv", l2_norm("v"))
+        .crossJoin(F.broadcast(sv))
+        .filter(F.col("vec_id") != F.col("seed_id"))
+        .select(
+            "qid",
+            "vec_id",
+            (dot(F.col("svec"), F.col("v")) / (F.col("sn") * F.col("nv"))).alias("c"),
+        )
+        .withColumn("rnk", F.row_number().over(w_d))
+        .filter(F.col("rnk") <= 20)
+        .select("qid", F.col("vec_id").alias("doc_id"), F.col("rnk").cast("long").alias("r_dense"))
+    )
+    fused = (
+        bm.join(dense, ["qid", "doc_id"], "full_outer")
+        .select(
+            "qid",
+            "doc_id",
+            "r_bm25",
+            "r_dense",
+            F.round(
+                F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_bm25")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_dense")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    w_out = Window.partitionBy("qid").orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.withColumn("out_rnk", F.row_number().over(w_out))
+        .filter(F.col("out_rnk") <= 10)
+        .select("qid", "doc_id", "r_bm25", "r_dense", "rrf")
     )

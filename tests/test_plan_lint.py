@@ -58,6 +58,12 @@ BNLJ_WHITELIST = {
     "q134_srp_recall_curve": "q22's query-vector broadcast, the 4-row "
     "band-settings broadcast, and the 1-row query-count broadcast — "
     "all bounded, data-independent build sides",
+    "q136_pq_adc_recall": "the 3-row (m, subdim) settings / subspace-grid "
+    "broadcasts, the fixed-size sub-codebook broadcast (encode + LUT "
+    "legs), the |Q|-row query broadcast, and the 1-row query-count "
+    "broadcast — all bounded, data-independent build sides",
+    "q137_rrf_hybrid_retrieval": "the |Q|-row seed-vector broadcast "
+    "against the embedding table (q22's query-by-example shape)",
 }
 
 #: query -> why its unpartitioned Window (single-partition WindowExec —

@@ -227,6 +227,56 @@ def _gen_subquery_query(rng: random.Random) -> str:
     )
 
 
+def _gen_membership_query(rng: random.Random) -> str:
+    """Membership three-valued logic (r07 grammar #17): NOT IN over a
+    NULL-injecting subquery projection (ONE null in the list makes
+    `x NOT IN (...)` never-true — the classic 3VL trap; both engines
+    must agree row-for-row whether the threshold happened to inject
+    nulls or not), IN over the same projection, expression-keyed IN,
+    and EXISTS whose subquery predicate itself nests an IN. Complements
+    _gen_subquery_query, whose subquery projections are always
+    non-null. Quantified comparisons (> ALL / > ANY) are pinned
+    separately as Spark-unsupported (test_quantified_comparison_
+    unsupported_in_spark)."""
+    form = rng.choice(["null_in", "null_not_in", "expr_in", "exists_in"])
+    if form in ("null_in", "null_not_in"):
+        neg = "NOT " if form == "null_not_in" else ""
+        thresh = rng.choice([-10000, 0, 1000, 5000, 100000])
+        cmpop = rng.choice(["<", ">"])
+        sub_pred = _predicate(rng, TABLES["customer"])
+        return (
+            "SELECT o_orderstatus, count(*) AS n FROM orders"
+            f" WHERE o_custkey {neg}IN"
+            f" (SELECT CASE WHEN c_acctbal {cmpop} {thresh} THEN NULL"
+            " ELSE c_custkey END FROM customer"
+            f" WHERE {sub_pred})"
+            " GROUP BY o_orderstatus"
+        )
+    if form == "expr_in":
+        # expression-valued membership on both sides of IN (tuple-IN over
+        # a subquery would be the natural multi-column form, but DuckDB
+        # rejects `(a, b) IN (SELECT a, b ...)` — "Subquery returns 2
+        # columns" — while Spark accepts it: a dialect asymmetry this
+        # grammar documents by avoidance; the modulus expression keys
+        # exercise the same non-column membership surface)
+        neg = rng.choice(["", "NOT "])
+        mod = rng.choice([7, 13, 100])
+        return (
+            "SELECT o_orderpriority, count(*) AS n FROM orders"
+            f" WHERE o_custkey % {mod} {neg}IN"
+            f" (SELECT c_custkey % {mod} FROM customer"
+            f" WHERE {_predicate(rng, TABLES['customer'])})"
+            " GROUP BY o_orderpriority"
+        )
+    return (
+        "SELECT o_orderpriority, count(*) AS n FROM orders"
+        " WHERE EXISTS (SELECT 1 FROM lineitem"
+        " WHERE l_orderkey = o_orderkey AND l_partkey IN"
+        f" (SELECT l_partkey FROM lineitem WHERE {_predicate(rng, TABLES['lineitem'])}))"
+        " GROUP BY o_orderpriority"
+    )
+
+
 #: key column lists per table — appended to window ORDER BY as a tiebreak.
 #: TRAP (found by the r06 frame-grammar sweep): lineitem's (l_orderkey,
 #: l_linenumber) is NOT unique in this testdata (14k duplicate pairs at
@@ -856,6 +906,30 @@ def test_fuzzed_case_like_matches_duckdb(engines, seed):
 @pytest.mark.parametrize("seed", list(range(15)))
 def test_fuzzed_recursive_matches_duckdb(engines, seed):
     _compare(engines, _gen_recursive_query(random.Random(22000 + seed)))
+
+
+@pytest.mark.parametrize("seed", list(range(15)))
+def test_fuzzed_membership_matches_duckdb(engines, seed):
+    _compare(engines, _gen_membership_query(random.Random(23000 + seed)))
+
+
+def test_quantified_comparison_unsupported_in_spark(engines):
+    """Pinned dialect divergence (found writing the membership grammar):
+    Spark 4.1.2 rejects quantified comparison subqueries (`x > ALL
+    (...)`, `x > ANY (...)`) at parse/analysis time, while DuckDB
+    evaluates them (standard SQL). Shared-text SQL must therefore spell
+    the quantifier out as `x > (SELECT max(...))` / `x > (SELECT
+    min(...))` — which the scalar-subquery branch of
+    _gen_subquery_query covers — and the membership grammar sticks to
+    IN / NOT IN / EXISTS forms both engines parse."""
+    spark, con = engines
+    sql = (
+        "SELECT count(*) AS n FROM orders WHERE o_orderkey > ALL"
+        " (SELECT o_custkey FROM orders WHERE o_custkey < 10)"
+    )
+    assert con.execute(sql).fetchall()[0][0] >= 0  # DuckDB evaluates it
+    with pytest.raises(Exception):
+        spark.sql(sql).collect()
 
 
 def test_union_recursion_unsupported_in_spark(engines):

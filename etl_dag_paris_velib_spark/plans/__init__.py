@@ -48,11 +48,12 @@ REGISTRY.merge(_streamq)
 #   recall curve), q135 (streaming crash-restart exactly-once — two
 #   query incarnations over one checkpoint), q136 (PQ/ADC recall curve
 #   — the fifth ANN family), q137 (hybrid BM25+dense reciprocal-rank
-#   fusion);
-# - four r05-era refreshers spanning distinct families: q01 (flagship
-#   agg), q15 (as-of join), q48 (k-means), q99 (shared-text SQL).
+#   fusion), q138 (retrieval eval metrics: MRR + binary nDCG@10 with a
+#   literal-discount table);
+# - three r05-era refreshers spanning distinct families: q01 (flagship
+#   agg), q48 (k-means), q99 (shared-text SQL).
 # After round 7 lands, every spec's newest driver row is r05 or younger.
-# Demoted: the 88 below — every r05/r06-green spec whose code did not
+# Demoted: the 89 below — every r05/r06-green spec whose code did not
 # change this round.
 DEMOTED = (
     # r06-green, code unchanged (freshest driver evidence, lowest
@@ -112,6 +113,7 @@ DEMOTED = (
     "q12_set_ops",
     "q13_hourly_events",
     "q14_event_pivot",
+    "q15_asof_purchase_click",
     "q16_topk_per_group",
     "q17_customers_without_orders",
     "q18_scalar_functions",

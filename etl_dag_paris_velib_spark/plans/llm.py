@@ -2400,3 +2400,199 @@ def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("out_rnk") <= 10)
         .select("qid", "doc_id", "r_bm25", "r_dense", "rrf")
     )
+
+
+# ---------------------------------------------------------------------------
+# q138 — retrieval eval metrics: MRR + binary nDCG@10 over BM25 rankings
+# ---------------------------------------------------------------------------
+def _retrieval_eval_oracle() -> str:
+    """Generated so the rank-discount table 1/log2(r+1) is a LITERAL list
+    shared by both engines (the _srp_oracle pattern): transcendental
+    log2 never evaluates inside either engine, so the metric arithmetic
+    is sorted folds over identical doubles plus exact divisions."""
+    import math
+
+    disc = ",\n           ".join(
+        f"({r}, {1.0 / math.log2(r + 1)!r})" for r in range(1, 21)
+    )
+    return f"""
+WITH q(qid, term) AS (
+  VALUES (1, 'dup'), (1, 'vector'), (2, 'spark'), (2, 'stream'),
+         (3, 'vector'), (3, 'window')
+),
+qsize AS (SELECT qid, count(*)::BIGINT AS n_terms_q FROM q GROUP BY qid),
+d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+  FROM documents
+),
+l AS (SELECT doc_id, len(tk)::BIGINT AS dl FROM d),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM l),
+t AS (SELECT DISTINCT doc_id, unnest(tk) AS term FROM d),
+rel AS (
+  SELECT tm.qid, tm.doc_id
+  FROM (SELECT q.qid, t.doc_id, count(*)::BIGINT AS n_hit
+        FROM t JOIN q USING (term) GROUP BY 1, 2) tm
+  JOIN qsize USING (qid)
+  WHERE tm.n_hit = qsize.n_terms_q
+),
+tall AS (SELECT doc_id, unnest(tk) AS term FROM d),
+tf AS (
+  SELECT q.qid, tall.doc_id, tall.term, count(*)::BIGINT AS tf
+  FROM tall JOIN q USING (term) GROUP BY 1, 2, 3
+),
+idf AS (SELECT qid, term, count(*)::BIGINT AS df FROM tf GROUP BY 1, 2),
+contrib AS (
+  SELECT tf.qid, tf.doc_id, tf.term,
+         (ln((stats.n_docs - idf.df + 0.5) / (idf.df + 0.5) + 1.0)
+          * (tf.tf * 2.2))
+           / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / stats.avgdl)) AS contrib
+  FROM tf
+  CROSS JOIN stats
+  JOIN idf USING (qid, term)
+  JOIN l USING (doc_id)
+),
+scored AS (
+  SELECT qid, doc_id,
+         round(list_reduce(list(contrib ORDER BY term), (a, b) -> a + b), 6)
+           AS score
+  FROM contrib GROUP BY qid, doc_id
+),
+bm AS (
+  SELECT qid, doc_id, rnk FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)
+             AS rnk
+    FROM scored
+  ) WHERE rnk <= 20
+),
+disc(rnk, w) AS (
+  VALUES {disc}
+),
+hits AS (SELECT b.qid, b.rnk FROM bm b JOIN rel r USING (qid, doc_id)),
+mrr AS (SELECT qid, 1.0 / min(rnk) AS mrr FROM hits GROUP BY qid),
+dcg AS (
+  SELECT h.qid,
+         list_reduce(list(d.w ORDER BY h.rnk), (a, b) -> a + b) AS dcg
+  FROM hits h JOIN disc d ON d.rnk = h.rnk
+  WHERE h.rnk <= 10 GROUP BY h.qid
+),
+nrel AS (SELECT qid, count(*)::BIGINT AS n_relevant FROM rel GROUP BY qid),
+idcg AS (
+  SELECT n.qid,
+         list_reduce(list(d.w ORDER BY d.rnk), (a, b) -> a + b) AS idcg
+  FROM nrel n JOIN disc d ON d.rnk <= least(n.n_relevant, 10)
+  GROUP BY n.qid
+)
+SELECT qs.qid,
+       coalesce(n.n_relevant, 0)::BIGINT AS n_relevant,
+       round(coalesce(m.mrr, 0.0), 6) AS mrr,
+       round(coalesce(dcg.dcg / idcg.idcg, 0.0), 6) AS ndcg_at_10
+FROM (SELECT DISTINCT qid FROM q) qs
+LEFT JOIN nrel n ON n.qid = qs.qid
+LEFT JOIN mrr m ON m.qid = qs.qid
+LEFT JOIN dcg ON dcg.qid = qs.qid
+LEFT JOIN idcg ON idcg.qid = qs.qid
+"""
+
+
+@L.add(
+    "q138_retrieval_eval_metrics",
+    oracle=_retrieval_eval_oracle(),
+    doc="Retrieval eval metrics — MRR and binary nDCG@10 of q130's BM25 "
+    "rankings against an exact relevance oracle (a doc is relevant to a "
+    "query iff it contains ALL the query's terms — deterministic, "
+    "label-free, computable in both engines), completing the eval tier "
+    "the way q132 did for the quality filter and q133/q134/q136 for "
+    "ANN: recall curves tune the index, MRR/nDCG grade the ranker. "
+    "FP-exactness: the rank-discount table 1/log2(rank+1) is GENERATED "
+    "as 20 shared literals (the _srp_oracle pattern), so no "
+    "transcendental ever evaluates in-engine; DCG/IDCG fold those "
+    "literals in sorted rank order (the q117 rule); MRR is one exact "
+    "reciprocal; nDCG is one division, rounded. Scale: relevance = the "
+    "same query-filtered token join BM25 already does (per-(qid, doc) "
+    "term-count == |Q| semi-join); metrics aggregate O(k) rows per "
+    "query; the discount table is a 20-row broadcast. Queries with no "
+    "relevant docs emit 0 metrics via the left-join grid. Reference "
+    "counterpart: none (north-star extension).",
+    tags=("search", "bm25", "eval", "llm"),
+)
+def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..functions.text import tokens
+
+    qrows = BM25_BATCH_QUERIES
+    qdf = spark.createDataFrame(list(qrows), "qid int, term string")
+    qsize = qdf.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms_q")
+    )
+    docs = _docs(spark, sf_dir)
+    tk = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
+    tdist = tk.select(
+        "doc_id", F.explode(F.array_distinct("tk")).alias("term")
+    )
+    rel = (
+        tdist.join(F.broadcast(qdf), "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+        .join(F.broadcast(qsize), "qid")
+        .filter(F.col("n_hit") == F.col("n_terms_q"))
+        .select("qid", "doc_id")
+    )
+    bm = _bm25_batch_ranked(spark, sf_dir, qrows, k=20).select(
+        "qid", "doc_id", "rnk"
+    )
+    disc = spark.createDataFrame(
+        [(r, 1.0 / math.log2(r + 1)) for r in range(1, 21)],
+        "rnk long, w double",
+    )
+    hits = bm.join(rel, ["qid", "doc_id"]).select("qid", "rnk")
+    mrr = hits.groupBy("qid").agg(
+        (F.lit(1.0) / F.min("rnk")).alias("mrr")
+    )
+    dcg = (
+        hits.filter(F.col("rnk") <= 10)
+        .join(F.broadcast(disc), "rnk")
+        .groupBy("qid")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("rnk", "w"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["w"],
+            ).alias("dcg")
+        )
+    )
+    nrel = rel.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_relevant")
+    )
+    idcg = (
+        nrel.join(
+            F.broadcast(disc),
+            disc["rnk"] <= F.least(nrel["n_relevant"], F.lit(10)),
+        )
+        .groupBy("qid")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("rnk", "w"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["w"],
+            ).alias("idcg")
+        )
+    )
+    grid = qdf.select("qid").distinct()
+    return (
+        grid.join(nrel, "qid", "left")
+        .join(mrr, "qid", "left")
+        .join(dcg, "qid", "left")
+        .join(idcg, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("n_relevant"), F.lit(0)).cast("bigint").alias(
+                "n_relevant"
+            ),
+            F.round(F.coalesce(F.col("mrr"), F.lit(0.0)), 6).alias("mrr"),
+            F.round(
+                F.coalesce(F.col("dcg") / F.col("idcg"), F.lit(0.0)), 6
+            ).alias("ndcg_at_10"),
+        )
+    )

@@ -64,6 +64,9 @@ BNLJ_WHITELIST = {
     "broadcast — all bounded, data-independent build sides",
     "q137_rrf_hybrid_retrieval": "the |Q|-row seed-vector broadcast "
     "against the embedding table (q22's query-by-example shape)",
+    "q138_retrieval_eval_metrics": "the 20-row literal rank-discount "
+    "table broadcast on a rnk <= least(n_relevant, 10) band condition "
+    "(IDCG leg) — bounded, data-independent build side",
 }
 
 #: query -> why its unpartitioned Window (single-partition WindowExec —

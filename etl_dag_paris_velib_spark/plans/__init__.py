@@ -75,6 +75,12 @@ DEMOTED = (
     "q50_gapfill_rollup",
     "q51_countmin_heavy_hitters",
     "q53_bloom_semi_join",
+    # q21 sits ahead of q56 on purpose: the suite runs queries() in this
+    # order, and q56_canonical_docs consumes the LSH pair cache that
+    # q21_near_dup_pairs builds (operators/similarity.py:_PAIR_CACHE) —
+    # with q56 first it pays the ~6s pair-set build itself (observed as a
+    # phantom q56 "regression" when the r07 rotation inverted the order)
+    "q21_near_dup_pairs",
     "q54_repetition_signals",
     "q55_decontamination",
     "q56_canonical_docs",
@@ -120,7 +126,6 @@ DEMOTED = (
     "q19_brand_revenue",
     "q39_grouping_sets",
     "q20_exact_dedup",
-    "q21_near_dup_pairs",
     "q22_vector_topk",
     "q23_text_stats",
     "q24_full_outer",

@@ -84,3 +84,22 @@ def test_bench_json_line_fits_driver_tail_window():
     assert len(realistic) <= 1800
     assert "queries_omitted" not in json.loads(realistic)
     assert len(json.loads(realistic)["queries"]) == len(names)
+
+
+def test_every_spec_has_budget_entries():
+    """Completeness guard (r07): every registered spec must carry a
+    recorded budget at the driver's sf0.01 and the per-round sf0.1 —
+    without an entry the regression gate silently skips the query (the
+    'stays green but unguarded' drift the verify notes warn about).
+    After adding a spec, run bench with SPARK_GRAFT_BENCH_RECORD=1 at
+    both scale factors."""
+    from etl_dag_paris_velib_spark.plans import REGISTRY
+
+    with open(os.path.join(ROOT, "tools", "bench_budget.json")) as f:
+        budgets = json.load(f)
+    missing = {
+        sf: sorted(n for n in REGISTRY.specs if n not in budgets.get(sf, {}))
+        for sf in ("0.01", "0.1")
+    }
+    missing = {sf: names for sf, names in missing.items() if names}
+    assert not missing, f"specs without bench budgets: {missing}"

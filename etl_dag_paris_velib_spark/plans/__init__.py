@@ -49,11 +49,12 @@ REGISTRY.merge(_streamq)
 #   query incarnations over one checkpoint), q136 (PQ/ADC recall curve
 #   — the fifth ANN family), q137 (hybrid BM25+dense reciprocal-rank
 #   fusion), q138 (retrieval eval metrics: MRR + binary nDCG@10 with a
-#   literal-discount table);
-# - three r05-era refreshers spanning distinct families: q01 (flagship
-#   agg), q48 (k-means), q99 (shared-text SQL).
+#   literal-discount table), q139 (IVFADC — composed IVF routing + PQ
+#   codes + ADC scoring, the FAISS IndexIVFPQ structure);
+# - two r05-era refreshers spanning distinct families: q01 (flagship
+#   agg), q99 (shared-text SQL).
 # After round 7 lands, every spec's newest driver row is r05 or younger.
-# Demoted: the 89 below — every r05/r06-green spec whose code did not
+# Demoted: the 90 below — every r05/r06-green spec whose code did not
 # change this round.
 DEMOTED = (
     # r06-green, code unchanged (freshest driver evidence, lowest
@@ -141,6 +142,7 @@ DEMOTED = (
     "q38_value_percentiles",
     "q42_dedup_clusters",
     "q46_edit_distance_pairs",
+    "q48_kmeans_clusters",
     "q33_embedding_nn",
     "q52_embedding_dedup",
     "q104_shard_shuffle",

@@ -2619,3 +2619,198 @@ def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg_at_10"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q139 — IVFADC: the composed IVF-routing + PQ-code + ADC-scoring index
+# ---------------------------------------------------------------------------
+@L.add(
+    "q139_ivfadc_topk",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS c_id, v AS cv FROM e
+          WHERE vec_id % 50 = 0 AND vec_id < 3200),
+asg AS (
+  SELECT vec_id, c_id FROM (
+    SELECT e.vec_id, cents.c_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.v, e.v) + list_dot_product(cv, cv)
+               - 2 * list_dot_product(e.v, cv), c_id) AS rn
+    FROM e, cents
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+probe AS (
+  SELECT q_id, c_id FROM (
+    SELECT q.q_id, cents.c_id,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+             list_dot_product(qv, qv) + list_dot_product(cv, cv)
+               - 2 * list_dot_product(qv, cv), c_id) AS rn
+    FROM q, cents
+  ) WHERE rn <= 4
+),
+sub(j) AS (SELECT unnest(generate_series(0, 7))),
+vsub AS (
+  SELECT s.j, e.vec_id, e.v[s.j * 8 + 1 : (s.j + 1) * 8] AS vs
+  FROM e CROSS JOIN sub s
+),
+csub AS (
+  SELECT s.j, c.c_id, c.cv[s.j * 8 + 1 : (s.j + 1) * 8] AS cs
+  FROM cents c CROSS JOIN sub s
+),
+enc AS (
+  SELECT j, vec_id, c_id AS code FROM (
+    SELECT v.j, v.vec_id, c.c_id,
+           row_number() OVER (PARTITION BY v.vec_id, v.j ORDER BY
+             list_dot_product(v.vs, v.vs) + list_dot_product(c.cs, c.cs)
+               - 2 * list_dot_product(v.vs, c.cs), c.c_id) AS rn
+    FROM vsub v JOIN csub c ON c.j = v.j
+  ) WHERE rn = 1
+),
+qsub AS (SELECT j, vec_id AS q_id, vs AS qs FROM vsub WHERE vec_id < 8),
+lut AS (
+  SELECT qb.j, qb.q_id, c.c_id,
+         list_dot_product(qb.qs, qb.qs) + list_dot_product(c.cs, c.cs)
+           - 2 * list_dot_product(qb.qs, c.cs) AS dq
+  FROM qsub qb JOIN csub c ON c.j = qb.j
+),
+cand AS (
+  SELECT p.q_id, a.vec_id
+  FROM probe p JOIN asg a ON a.c_id = p.c_id
+  WHERE a.vec_id <> p.q_id
+),
+adc AS (
+  SELECT cd.q_id, cd.vec_id,
+         list_reduce(list(l.dq ORDER BY en.j), (a, b) -> a + b) AS adc
+  FROM cand cd
+  JOIN enc en ON en.vec_id = cd.vec_id
+  JOIN lut l ON l.j = en.j AND l.c_id = en.code AND l.q_id = cd.q_id
+  GROUP BY 1, 2
+)
+SELECT q_id, vec_id, round(adc, 6) AS adc_dist FROM (
+  SELECT q_id, vec_id, adc,
+         row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rn
+  FROM adc
+) WHERE rn <= 10
+""",
+    doc="IVFADC — the composed production vector index (Jegou/Douze/"
+    "Schmid TPAMI'11, the structure FAISS's IndexIVFPQ implements): IVF "
+    "coarse routing (q29's id-picked codebook, squared-L2 assignment, "
+    "nprobe=4) restricts the search to probed inverted lists, and "
+    "WITHIN those lists distance is estimated from m=8 PQ codes via "
+    "the ADC lookup table (q136's construction) — the memory story at "
+    "100 TB is the point: the searched index holds one coarse id + 8 "
+    "sub-codes per vector (~9 bytes vs 512 for raw doubles), raw "
+    "vectors never join the search path. Non-residual variant (codes "
+    "quantize raw vectors, not list residuals) so the sub-codebook is "
+    "shared and deterministic — the residual form would need per-list "
+    "codebooks, which the trained-kmeans seam (kmeans_centroids) "
+    "supplies in production. All distances are the dot-identity "
+    "squared-L2 (bit-identical folds), the ADC fold runs in sorted "
+    "subspace order, and the oracle materializes the identical "
+    "routing + codes + LUT, so the hash certifies the COMPOSITION: "
+    "routing x encoding x table-scoring, not just each piece. Scale: "
+    "probe prunes to nprobe/|C| of the corpus before any ADC work; "
+    "the LUT is O(|Q| x |C| x m) broadcast; one (q, vec)-keyed fold "
+    "shuffle. Reference counterpart: none (north-star extension).",
+    tags=("vector", "ann", "pq", "ivf", "llm"),
+)
+def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.vector import dot
+
+    m, sd, nprobe = 8, 8, 4
+    emb = _emb(spark, sf_dir)
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    based = base.select("vec_id", "v", dot("v", "v").alias("nn"))
+    cents = base.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
+    ).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("cv"),
+        dot("v", "v").alias("cn2"),
+    )
+
+    def sq(an, bn, a, b):
+        return F.col(an) + F.col(bn) - F.lit(2.0) * dot(F.col(a), F.col(b))
+
+    w_asg = Window.partitionBy("vec_id").orderBy("d", "c_id")
+    asg = (
+        based.crossJoin(F.broadcast(cents))
+        .withColumn("d", sq("nn", "cn2", "v", "cv"))
+        .withColumn("_rn", F.row_number().over(w_asg))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "c_id")
+    )
+    qv = based.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nn").alias("qn"),
+    )
+    w_probe = Window.partitionBy("q_id").orderBy("d", "c_id")
+    probe = (
+        qv.crossJoin(F.broadcast(cents))
+        .withColumn("d", sq("qn", "cn2", "qv", "cv"))
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= nprobe)
+        .select("q_id", "c_id")
+    )
+    sub = spark.range(m).select(F.col("id").cast("int").alias("j"))
+    start = F.col("j") * sd + 1
+    vs = F.slice("v", start, sd)
+    vsub = base.crossJoin(F.broadcast(sub)).select(
+        "j", "vec_id", vs.alias("vs"), dot(vs, vs).alias("vn")
+    )
+    cs = F.slice("cv", start, sd)
+    csub = cents.select("c_id", "cv").crossJoin(F.broadcast(sub)).select(
+        "j", "c_id", cs.alias("cs"), dot(cs, cs).alias("csn")
+    )
+    w_enc = Window.partitionBy("vec_id", "j").orderBy("d", "c_id")
+    enc = (
+        vsub.join(F.broadcast(csub), "j")
+        .withColumn("d", sq("vn", "csn", "vs", "cs"))
+        .withColumn("_rn", F.row_number().over(w_enc))
+        .filter(F.col("_rn") == 1)
+        .select("j", "vec_id", F.col("c_id").alias("code"))
+    )
+    qsub = vsub.filter(F.col("vec_id") < 8).select(
+        "j",
+        F.col("vec_id").alias("q_id"),
+        F.col("vs").alias("qs"),
+        F.col("vn").alias("qsn"),
+    )
+    lut = qsub.join(F.broadcast(csub), "j").select(
+        "j", "q_id", "c_id", sq("qsn", "csn", "qs", "cs").alias("dq")
+    )
+    cand = (
+        probe.join(asg, "c_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+    adc = (
+        cand.join(enc, "vec_id")
+        .join(
+            F.broadcast(lut),
+            (lut["j"] == enc["j"])
+            & (lut["c_id"] == enc["code"])
+            & (lut["q_id"] == cand["q_id"]),
+        )
+        .select(cand["q_id"].alias("q_id"), "vec_id", enc["j"].alias("j"), "dq")
+        .groupBy("q_id", "vec_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("j", "dq"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["dq"],
+            ).alias("adc")
+        )
+    )
+    w_out = Window.partitionBy("q_id").orderBy("adc", "vec_id")
+    return (
+        adc.withColumn("_rn", F.row_number().over(w_out))
+        .filter(F.col("_rn") <= 10)
+        .select("q_id", "vec_id", F.round("adc", 6).alias("adc_dist"))
+    )

@@ -67,6 +67,9 @@ BNLJ_WHITELIST = {
     "q138_retrieval_eval_metrics": "the 20-row literal rank-discount "
     "table broadcast on a rnk <= least(n_relevant, 10) band condition "
     "(IDCG leg) — bounded, data-independent build side",
+    "q139_ivfadc_topk": "q29/q136's bounded broadcasts composed: the "
+    "coarse/sub codebook, the 8-row subspace grid, the |Q|-row query "
+    "frame, and the O(|Q| x codebook x m) ADC lookup table",
 }
 
 #: query -> why its unpartitioned Window (single-partition WindowExec —

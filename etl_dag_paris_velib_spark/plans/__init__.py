@@ -50,11 +50,13 @@ REGISTRY.merge(_streamq)
 #   — the fifth ANN family), q137 (hybrid BM25+dense reciprocal-rank
 #   fusion), q138 (retrieval eval metrics: MRR + binary nDCG@10 with a
 #   literal-discount table), q139 (IVFADC — composed IVF routing + PQ
-#   codes + ADC scoring, the FAISS IndexIVFPQ structure);
-# - two r05-era refreshers spanning distinct families: q01 (flagship
-#   agg), q99 (shared-text SQL).
+#   codes + ADC scoring, the FAISS IndexIVFPQ structure), q140
+#   (vocabulary growth curve / Heaps law, exact first-occurrence
+#   deciles);
+# - one r05-era refresher: q99 (shared-text SQL; q01's surface is
+#   additionally smoke-checked every round via entry()).
 # After round 7 lands, every spec's newest driver row is r05 or younger.
-# Demoted: the 90 below — every r05/r06-green spec whose code did not
+# Demoted: the 91 below — every r05/r06-green spec whose code did not
 # change this round.
 DEMOTED = (
     # r06-green, code unchanged (freshest driver evidence, lowest
@@ -110,6 +112,7 @@ DEMOTED = (
     "q131_personalized_pagerank",
     "q132_quality_threshold_sweep",
     # r05-green, code unchanged
+    "q01_pricing_summary",
     "q02_forecast_revenue",
     "q03_shipping_priority",
     "q04_order_priority",

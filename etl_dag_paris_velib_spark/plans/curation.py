@@ -1734,3 +1734,113 @@ def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_pos").cast("double") / F.col("tot_pos"), 6
         ).alias("recall_at"),
     ).orderBy(F.desc("threshold"))
+
+
+# ---------------------------------------------------------------------------
+# q140 — vocabulary growth curve (Heaps' law) over the ingest order
+# ---------------------------------------------------------------------------
+@C.add(
+    "q140_vocab_growth_curve",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+  FROM documents
+),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM d),
+t AS (SELECT DISTINCT doc_id, unnest(tk) AS term FROM d),
+first_seen AS (SELECT term, min(doc_id) AS first_doc FROM t GROUP BY term),
+toks AS (SELECT doc_id, count(*)::BIGINT AS n_tok
+         FROM (SELECT doc_id, unnest(tk) AS term FROM d) GROUP BY doc_id),
+decile AS (
+  SELECT fs.term,
+         least(((fs.first_doc * 10) // n.n_docs) + 1, 10) AS bucket
+  FROM first_seen fs CROSS JOIN n
+),
+newv AS (SELECT bucket, count(*)::BIGINT AS new_terms FROM decile GROUP BY bucket),
+tokd AS (
+  SELECT least(((t2.doc_id * 10) // n.n_docs) + 1, 10) AS bucket,
+         sum(t2.n_tok)::BIGINT AS n_tokens
+  FROM toks t2 CROSS JOIN n GROUP BY 1
+),
+grid AS (SELECT unnest(generate_series(1, 10)) AS bucket)
+SELECT g.bucket,
+       coalesce(nv.new_terms, 0)::BIGINT AS new_terms,
+       sum(coalesce(nv.new_terms, 0)) OVER (ORDER BY g.bucket)::BIGINT
+         AS cum_vocab,
+       coalesce(td.n_tokens, 0)::BIGINT AS n_tokens,
+       sum(coalesce(td.n_tokens, 0)) OVER (ORDER BY g.bucket)::BIGINT
+         AS cum_tokens
+FROM grid g
+LEFT JOIN newv nv ON nv.bucket = g.bucket
+LEFT JOIN tokd td ON td.bucket = g.bucket
+""",
+    doc="Vocabulary growth curve (Heaps' law V ~ k*N^beta, the "
+    "tokenizer-sizing diagnostic): the corpus is split into ten "
+    "ingest-order deciles by doc_id, and each decile reports the count "
+    "of terms whose FIRST occurrence falls in it, the cumulative "
+    "vocabulary, and the token volume — the curve that says whether a "
+    "vocab is saturating (new_terms falling per decile) or the corpus "
+    "keeps minting terms (dedup/quality problems upstream show up here "
+    "as a refusing-to-flatten tail). Exact, not sampled: first "
+    "occurrence = min(doc_id) per term — one (term)-keyed shuffle of "
+    "the DISTINCT per-doc term stream; the decile bucketing is EXACT "
+    "integer division (Spark `div`, DuckDB `//`) because the float "
+    "route diverges: DuckDB's int `/` yields a double whose ::BIGINT "
+    "cast rounds where Spark's cast truncates; "
+    "the cumulative sums are 10-row windows. At 100 TB the per-term "
+    "min is map-side combined and the curve costs one token-stream "
+    "shuffle — same order as building the vocab at all. The "
+    "unpartitioned cumulative windows run over exactly 10 rows "
+    "(whitelisted bounded site). Reference counterpart: none "
+    "(north-star extension).",
+    tags=("curation", "textstats", "llm"),
+)
+def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", tokens(F.col("text")).alias("tk")
+    )
+    n_docs = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    t = d.select("doc_id", F.explode(F.array_distinct("tk")).alias("term"))
+    first_seen = t.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    # exact integer division on BOTH engines: DuckDB's int `/` returns a
+    # DOUBLE whose ::BIGINT cast ROUNDS, Spark's double->bigint cast
+    # truncates — `div` / `//` sidestep the divergence entirely
+    bucket_of = lambda c: F.least(
+        F.expr(f"({c} * 10) div n_docs") + 1, F.lit(10)
+    )
+    newv = (
+        first_seen.crossJoin(F.broadcast(n_docs))
+        .select(bucket_of("first_doc").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_terms"))
+    )
+    toks = d.select("doc_id", F.size("tk").cast("bigint").alias("n_tok"))
+    tokd = (
+        toks.crossJoin(F.broadcast(n_docs))
+        .select(bucket_of("doc_id").alias("bucket"), "n_tok")
+        .groupBy("bucket")
+        .agg(F.sum("n_tok").cast("bigint").alias("n_tokens"))
+    )
+    grid = spark.range(1, 11).select(F.col("id").alias("bucket"))
+    w = Window.orderBy("bucket")
+    return (
+        grid.join(newv, "bucket", "left")
+        .join(tokd, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("new_terms", F.lit(0)).cast("bigint").alias("new_terms"),
+            F.sum(F.coalesce("new_terms", F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("cum_vocab"),
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.sum(F.coalesce("n_tokens", F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("cum_tokens"),
+        )
+    )

@@ -70,6 +70,8 @@ BNLJ_WHITELIST = {
     "q139_ivfadc_topk": "q29/q136's bounded broadcasts composed: the "
     "coarse/sub codebook, the 8-row subspace grid, the |Q|-row query "
     "frame, and the O(|Q| x codebook x m) ADC lookup table",
+    "q140_vocab_growth_curve": "1-row corpus-count broadcast cross join "
+    "onto the vocab/doc streams (q50's bounds pattern)",
 }
 
 #: query -> why its unpartitioned Window (single-partition WindowExec —
@@ -96,6 +98,8 @@ UNPARTITIONED_WINDOW_WHITELIST = {
     "frequency table, replacing a second text scan (llm.py)",
     "q95_bigram_logprob": "vocab scalar rides the |V|-row unigram table "
     "as an unpartitioned window, no extra text scan (mining.py)",
+    "q140_vocab_growth_curve": "cumulative vocab/token sums over the "
+    "fixed 10-row decile grid (curation.py)",
 }
 
 

@@ -199,3 +199,107 @@ def test_kmeans_feeds_semantic_dedup_composition(spark):
         "left_anti",
     )
     assert kept.count() == 200 - len(prune)
+
+
+def test_ivf_sweep_matches_pointwise_runs(spark):
+    """ivf_topk_sweep is an OPTIMIZATION of |settings| independent IVF
+    queries (shared assign/probe/score passes) — per setting its rows
+    must equal ivf_topk(nprobe=setting) exactly. Run on the real
+    embeddings table so ties and probe-boundary cases are the data's,
+    not a toy's."""
+    from etl_dag_paris_velib_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_sweep,
+        make_query_set,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = make_query_set(emb, F.col("vec_id") < 8)
+    swept = ivf_topk_sweep(
+        emb, qs, k=10, centroid_mod=50, nprobes=(1, 2, 4), centroid_cap=3200
+    ).collect()
+    by_setting = {}
+    for r in swept:
+        by_setting.setdefault(r["nprobe"], set()).add(
+            (r["q_id"], r["vec_id"], round(r["score"], 9))
+        )
+    for s in (1, 2, 4):
+        point = {
+            (r["q_id"], r["vec_id"], round(r["score"], 9))
+            for r in ivf_topk(
+                emb, qs, k=10, centroid_mod=50, nprobe=s, centroid_cap=3200
+            ).collect()
+        }
+        assert by_setting.get(s, set()) == point, f"nprobe={s} diverged"
+
+
+def test_srp_bits_regroup_matches_direct_band_codes(spark):
+    """q134's band-regroup path (srp_bits posexplode -> div/mod -> summed
+    shifted bits) must produce, at the default 4x6 banding, the same
+    candidate sets as srp_lsh_topk's direct GEMM band codes — checked
+    through the operators' outputs: top-k from regrouped candidates ==
+    srp_lsh_topk's top-k."""
+    from pyspark.sql import Window
+
+    from etl_dag_paris_velib_spark.functions.vector import dot, l2_norm
+    from etl_dag_paris_velib_spark.operators.similarity import (
+        srp_bits,
+        srp_lsh_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    direct = {
+        (r["q_id"], r["vec_id"], round(r["score"], 9))
+        for r in srp_lsh_topk(emb, F.col("vec_id") < 8, k=10).collect()
+    }
+    bits = srp_bits(emb).select(
+        "vec_id", F.posexplode("bits").alias("j", "bit")
+    )
+    pb = 6
+    codes = (
+        bits.select(
+            "vec_id",
+            F.floor(F.col("j") / pb).cast("int").alias("band_idx"),
+            (
+                F.col("bit").cast("long")
+                * F.pow(F.lit(2.0), (F.col("j") % pb)).cast("long")
+            ).alias("w"),
+        )
+        .groupBy("vec_id", "band_idx")
+        .agg(F.sum("w").cast("long").alias("code"))
+    )
+    qcodes = codes.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), "band_idx", "code"
+    )
+    cand = (
+        codes.join(qcodes, ["band_idx", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("nv", l2_norm("v"))
+    qside = base.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    regroup = {
+        (r["q_id"], r["vec_id"], round(r["score"], 9))
+        for r in (
+            cand.join(base, "vec_id")
+            .join(F.broadcast(qside), "q_id")
+            .select(
+                "q_id",
+                "vec_id",
+                (dot("qv", "v") / (F.col("nq") * F.col("nv"))).alias("score"),
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 10)
+            .collect()
+        )
+    }
+    assert regroup == direct

@@ -75,13 +75,27 @@ def _span_covering_delay(spark: SparkSession, sf_dir: str) -> str:
     contract in the harness, where the "contract" is the testdata file."""
     from ..sources.tpch import load_table
 
+    # keyed by path alone: the delay is a property of the data, not the
+    # session, and testdata dirs are immutable for the process lifetime
+    key = os.path.abspath(sf_dir)
+    cached = _SPAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     lo, hi = (
         load_table(spark, "events", sf_dir)
         .agg(F.min("ts"), F.max("ts"))
         .first()
     )
     days = max(1, (hi - lo).days + 2)
-    return f"{days} days"
+    out = f"{days} days"
+    # the events table under an sf dir is immutable for a session's
+    # lifetime, so the 1-row probe runs once per (session, dir) — q110
+    # and q135 share it instead of re-scanning per call
+    _SPAN_CACHE[key] = out
+    return out
+
+
+_SPAN_CACHE: dict[str, str] = {}
 
 
 def _drain_to_memory(

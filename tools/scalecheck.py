@@ -53,6 +53,9 @@ HEADLINE = (
     "q121_copurchase_triangles",  # degree-oriented wedge join (r06)
     "q122_copurchase_bfs_hops",   # frontier-join BFS rounds (r06)
     "q131_personalized_pagerank",  # seeded rank loop, r07 sf3 tier
+    "q136_pq_adc_recall",         # PQ encode + ADC LUT join sweep (r07)
+    "q139_ivfadc_topk",           # composed IVF routing + ADC (r07)
+    "q140_vocab_growth_curve",    # first-occurrence vocab shuffle (r07)
     "q124_masked_lm_pairs",     # posexplode + order-preserving reassembly (r06)
     "q125_source_kl_drift",     # two grouped passes + vocab window (r06)
     "q126_centroid_drift",      # exploded-dim partials, folded global (r06)

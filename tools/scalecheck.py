@@ -67,7 +67,7 @@ HEADLINE = (
     "q52_embedding_dedup",      # exact block-matmul threshold pairs, O(n²) GEMM
 )
 
-SFS = ("0.001", "0.01", "0.1", "1.0", "3.0")
+SFS = ("0.001", "0.01", "0.1", "1.0", "3.0", "10.0")
 
 
 def sf_dir(sf: str) -> str:
@@ -161,20 +161,31 @@ def main() -> None:
     # per-query min-of-2; two sweeps separated by the rest of the suite
     # rarely both land in one (observed: the same cell 0.2s vs 26s across
     # back-to-back runs with identical plans).
-    # the dedup-stress tier is measured up to sf1.0 only: its cost tracks
-    # TRUE candidate-pair count, which the replica construction grows
-    # quadratically — sf3.0 would spend ~9x sf1.0's superlinear cost to
-    # re-demonstrate a regime the sf1.0 cells already pin (and q52 is the
-    # deliberate exact-GEMM baseline whose documented scale path is
-    # IVF/SRP-LSH anyway)
+    # Tier caps. The dedup-stress tier is measured up to sf1.0 only: its
+    # cost tracks TRUE candidate-pair count, which the replica
+    # construction grows quadratically — higher tiers would spend the
+    # superlinear cost to re-demonstrate a regime the sf1.0 cells already
+    # pin (and q52 is the deliberate exact-GEMM baseline whose documented
+    # scale path is IVF/SRP-LSH anyway). Everything else defaults to
+    # sf3.0; the sf10.0 rung (when built) is reserved for the DEEP set —
+    # the four heavy graph/stream movers whose scaling behavior is the
+    # open question each round — so a full sweep stays ~an hour instead
+    # of several.
     STRESS_CAP = {
         "q28_simhash_pairs": 1.0,
         "q46_edit_distance_pairs": 1.0,
         "q52_embedding_dedup": 1.0,
     }
+    DEEP = {
+        "q116_stream_interval_join",
+        "q121_copurchase_triangles",
+        "q122_copurchase_bfs_hops",
+        "q131_personalized_pagerank",
+    }
 
     def cells_for(name):
-        return [sf for sf in sfs if float(sf) <= STRESS_CAP.get(name, 1e9)]
+        cap = STRESS_CAP.get(name, 10.0 if name in DEEP else 3.0)
+        return [sf for sf in sfs if float(sf) <= cap]
 
     t: dict[tuple[str, str], float] = {}
     for _ in range(2):
@@ -196,7 +207,9 @@ def main() -> None:
         f"# SCALING — headline queries across a {span} data range",
         "",
         "Warm second-run wall time (noop sink, local[32]). `marginal` =",
-        f"t(sf{top}) - t(sf{prev}): the data-proportional component once",
+        "each row's two largest MEASURED tiers subtracted (rows are",
+        f"tier-capped; globally t(sf{top}) - t(sf{prev})): the",
+        "data-proportional component once",
         "fixed overhead cancels. Flat columns = overhead-bound at this",
         "scale; the plan audit (EXPLAIN.md) is the evidence beyond it.",
         "Graph rows with internal persists (q121's oriented edge list,",

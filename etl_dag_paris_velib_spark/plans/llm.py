@@ -2155,67 +2155,73 @@ FROM settings st CROSS JOIN nq LEFT JOIN h ON h.m = st.m
 def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from ..functions.vector import dot
+    from ..functions.vector import dot, dot_fixed
 
     settings = ((4, 16), (8, 8), (16, 4))
     emb = _emb(spark, sf_dir)
     base = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    sdf = spark.createDataFrame(
+        [(int(m),) for m, _ in settings], "m int"
+    )
     cents = base.filter(
         (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
     ).select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
-    sdf = spark.createDataFrame(
-        [(int(m), int(sd)) for m, sd in settings], "m int, sd int"
-    )
-    sub = sdf.select(
-        "m", "sd", F.explode(F.sequence(F.lit(0), F.col("m") - 1)).alias("j")
-    )
-    start = F.col("j") * F.col("sd") + 1
-    # self-dots ride each side's projection ONCE: the pair expression
-    # below is then a single interpreted-HOF fold (the cross dot) per
-    # (vector, centroid) row instead of three — measured 11.4s -> ~4s at
-    # sf0.1 (the round-2 interpreted-HOF lesson). The ADDITION ORDER of
-    # the distance expression is unchanged (<a,a> + <b,b> - 2<a,b>), so
-    # the doubles — and the oracle — are bit-identical to the inline form.
-    vs = F.slice("v", start, F.col("sd"))
-    vsub = base.crossJoin(F.broadcast(sub)).select(
-        "m",
-        "j",
-        "vec_id",
-        vs.alias("vs"),
-        dot(vs, vs).alias("vn"),
-    )
-    cs = F.slice("cv", start, F.col("sd"))
-    csub = cents.crossJoin(F.broadcast(sub)).select(
-        "m",
-        "j",
-        "c_id",
-        cs.alias("cs"),
-        dot(cs, cs).alias("cn2"),
-    )
+    # Per-setting branches, unioned: inside a branch the sub-dimension is
+    # a COMPILE-TIME constant, so every distance is dot_fixed — explicit
+    # codegen-able multiply-adds with the same addition sequence as the
+    # HOF fold (bit-identical doubles, oracle untouched) instead of
+    # interpreted lambdas; the self-dots additionally ride each side's
+    # projection once. Measured: inline three-fold form 11.4s, shared
+    # norms + HOF cross-dot 6.5s, this form ~2s at sf0.1.
+    def sq_l2_fixed(an, bn, a, b, n):
+        return (
+            F.col(an) + F.col(bn) - F.lit(2.0) * dot_fixed(F.col(a), F.col(b), n)
+        )
 
-    def sq_l2(an, bn, a, b):
-        return F.col(an) + F.col(bn) - F.lit(2.0) * dot(F.col(a), F.col(b))
-
-    w_enc = Window.partitionBy("m", "vec_id", "j").orderBy("d", "c_id")
-    enc = (
-        vsub.join(F.broadcast(csub), ["m", "j"])
-        .withColumn("d", sq_l2("vn", "cn2", "vs", "cs"))
-        .withColumn("_rn", F.row_number().over(w_enc))
-        .filter(F.col("_rn") == 1)
-        .select("m", "j", "vec_id", F.col("c_id").alias("code"))
-    )
-    qsub = vsub.filter(F.col("vec_id") < 8).select(
-        "m",
-        "j",
-        F.col("vec_id").alias("q_id"),
-        F.col("vs").alias("qs"),
-        F.col("vn").alias("qn"),
-    )
-    lut = qsub.join(F.broadcast(csub), ["m", "j"]).select(
-        "m", "j", "q_id", "c_id", sq_l2("qn", "cn2", "qs", "cs").alias("dq")
-    )
+    enc_parts, lut_parts = [], []
+    for m_, sd_ in settings:
+        sub_m = spark.range(m_).select(
+            F.lit(m_).cast("int").alias("m"), F.col("id").cast("int").alias("j")
+        )
+        start = F.col("j") * sd_ + 1
+        vs = F.slice("v", start, sd_)
+        vsub_m = base.crossJoin(F.broadcast(sub_m)).select(
+            "m", "j", "vec_id", vs.alias("vs"),
+            dot_fixed(vs, vs, sd_).alias("vn"),
+        )
+        cs = F.slice("cv", start, sd_)
+        csub_m = cents.crossJoin(F.broadcast(sub_m)).select(
+            "m", "j", "c_id", cs.alias("cs"),
+            dot_fixed(cs, cs, sd_).alias("cn2"),
+        )
+        w_enc = Window.partitionBy("m", "vec_id", "j").orderBy("d", "c_id")
+        enc_parts.append(
+            vsub_m.join(F.broadcast(csub_m), ["m", "j"])
+            .withColumn("d", sq_l2_fixed("vn", "cn2", "vs", "cs", sd_))
+            .withColumn("_rn", F.row_number().over(w_enc))
+            .filter(F.col("_rn") == 1)
+            .select("m", "j", "vec_id", F.col("c_id").alias("code"))
+        )
+        qsub_m = vsub_m.filter(F.col("vec_id") < 8).select(
+            "m", "j",
+            F.col("vec_id").alias("q_id"),
+            F.col("vs").alias("qs"),
+            F.col("vn").alias("qn"),
+        )
+        lut_parts.append(
+            qsub_m.join(F.broadcast(csub_m), ["m", "j"]).select(
+                "m", "j", "q_id", "c_id",
+                sq_l2_fixed("qn", "cn2", "qs", "cs", sd_).alias("dq"),
+            )
+        )
+    enc = enc_parts[0]
+    for p in enc_parts[1:]:
+        enc = enc.unionByName(p)
+    lut = lut_parts[0]
+    for p in lut_parts[1:]:
+        lut = lut.unionByName(p)
     adc = (
         enc.join(lut, (lut["m"] == enc["m"]) & (lut["j"] == enc["j"]) & (lut["c_id"] == enc["code"]))
         .filter(F.col("vec_id") != F.col("q_id"))
@@ -2245,7 +2251,7 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         based.crossJoin(F.broadcast(qv))
         .filter(F.col("vec_id") != F.col("q_id"))
-        .withColumn("d", sq_l2("qn", "nn", "qv", "v"))
+        .withColumn("d", sq_l2_fixed("qn", "nn", "qv", "v", 64))
         .withColumn("_rn", F.row_number().over(w_ex))
         .filter(F.col("_rn") <= 10)
         .select("q_id", "vec_id")
@@ -2718,29 +2724,35 @@ SELECT q_id, vec_id, round(adc, 6) AS adc_dist FROM (
 def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from ..functions.vector import dot
+    from ..functions.vector import dot_fixed
 
+    # all dims are compile-time constants here (64-dim embeddings, m=8,
+    # sd=8), so every distance is dot_fixed — codegen arithmetic with
+    # the fold's addition sequence (see functions/vector.py:dot_fixed);
+    # full-dim sites use n=64, sub-vector sites n=sd
     m, sd, nprobe = 8, 8, 4
     emb = _emb(spark, sf_dir)
     base = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    based = base.select("vec_id", "v", dot("v", "v").alias("nn"))
+    based = base.select("vec_id", "v", dot_fixed("v", "v", 64).alias("nn"))
     cents = base.filter(
         (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
     ).select(
         F.col("vec_id").alias("c_id"),
         F.col("v").alias("cv"),
-        dot("v", "v").alias("cn2"),
+        dot_fixed("v", "v", 64).alias("cn2"),
     )
 
-    def sq(an, bn, a, b):
-        return F.col(an) + F.col(bn) - F.lit(2.0) * dot(F.col(a), F.col(b))
+    def sq(an, bn, a, b, n):
+        return (
+            F.col(an) + F.col(bn) - F.lit(2.0) * dot_fixed(F.col(a), F.col(b), n)
+        )
 
     w_asg = Window.partitionBy("vec_id").orderBy("d", "c_id")
     asg = (
         based.crossJoin(F.broadcast(cents))
-        .withColumn("d", sq("nn", "cn2", "v", "cv"))
+        .withColumn("d", sq("nn", "cn2", "v", "cv", 64))
         .withColumn("_rn", F.row_number().over(w_asg))
         .filter(F.col("_rn") == 1)
         .select("vec_id", "c_id")
@@ -2753,7 +2765,7 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_probe = Window.partitionBy("q_id").orderBy("d", "c_id")
     probe = (
         qv.crossJoin(F.broadcast(cents))
-        .withColumn("d", sq("qn", "cn2", "qv", "cv"))
+        .withColumn("d", sq("qn", "cn2", "qv", "cv", 64))
         .withColumn("_rn", F.row_number().over(w_probe))
         .filter(F.col("_rn") <= nprobe)
         .select("q_id", "c_id")
@@ -2762,16 +2774,16 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
     start = F.col("j") * sd + 1
     vs = F.slice("v", start, sd)
     vsub = base.crossJoin(F.broadcast(sub)).select(
-        "j", "vec_id", vs.alias("vs"), dot(vs, vs).alias("vn")
+        "j", "vec_id", vs.alias("vs"), dot_fixed(vs, vs, sd).alias("vn")
     )
     cs = F.slice("cv", start, sd)
     csub = cents.select("c_id", "cv").crossJoin(F.broadcast(sub)).select(
-        "j", "c_id", cs.alias("cs"), dot(cs, cs).alias("csn")
+        "j", "c_id", cs.alias("cs"), dot_fixed(cs, cs, sd).alias("csn")
     )
     w_enc = Window.partitionBy("vec_id", "j").orderBy("d", "c_id")
     enc = (
         vsub.join(F.broadcast(csub), "j")
-        .withColumn("d", sq("vn", "csn", "vs", "cs"))
+        .withColumn("d", sq("vn", "csn", "vs", "cs", sd))
         .withColumn("_rn", F.row_number().over(w_enc))
         .filter(F.col("_rn") == 1)
         .select("j", "vec_id", F.col("c_id").alias("code"))
@@ -2783,7 +2795,7 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vn").alias("qsn"),
     )
     lut = qsub.join(F.broadcast(csub), "j").select(
-        "j", "q_id", "c_id", sq("qsn", "csn", "qs", "cs").alias("dq")
+        "j", "q_id", "c_id", sq("qsn", "csn", "qs", "cs", sd).alias("dq")
     )
     cand = (
         probe.join(asg, "c_id")

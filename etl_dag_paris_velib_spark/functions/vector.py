@@ -31,8 +31,8 @@ def dot_fixed(a, b, n: int) -> Column:
     :func:`dot`'s fold (``0.0 + t1 == t1`` exactly for every non-(-0.0)
     first term, and products of nonzero floats are never -0.0), but
     plain arithmetic that whole-stage codegen compiles instead of an
-    interpreted HOF lambda — ~10x on hot scoring joins (the PQ encode
-    pass measured 6.5s -> ~2s at sf0.1). Prefer :func:`dot` when the
+    interpreted HOF lambda — a measured ~30-55% win on the PQ
+    scoring joins (q136 6.5s -> 4.5s, q139 4.4s -> 2.0s at sf0.1). Prefer :func:`dot` when the
     length varies by row."""
     a, b = _c(a), _c(b)
     out = F.element_at(a, 1) * F.element_at(b, 1)

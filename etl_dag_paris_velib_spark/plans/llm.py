@@ -2173,8 +2173,8 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codegen-able multiply-adds with the same addition sequence as the
     # HOF fold (bit-identical doubles, oracle untouched) instead of
     # interpreted lambdas; the self-dots additionally ride each side's
-    # projection once. Measured: inline three-fold form 11.4s, shared
-    # norms + HOF cross-dot 6.5s, this form ~2s at sf0.1.
+    # projection once. Measured at sf0.1: inline three-fold form 11.4s,
+    # shared norms + HOF cross-dot 6.5s, this form 4.5s.
     def sq_l2_fixed(an, bn, a, b, n):
         return (
             F.col(an) + F.col(bn) - F.lit(2.0) * dot_fixed(F.col(a), F.col(b), n)

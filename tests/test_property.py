@@ -255,3 +255,49 @@ def test_png_roundtrip_property(shape, seed):
     back = decode_png(encode_png(px))
     assert back.dtype == np.uint8
     assert np.array_equal(back, px)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1e3,
+                max_value=1e3,
+                allow_nan=False,
+                allow_infinity=False,
+                width=64,
+            ).filter(lambda x: x != 0.0),
+            min_size=6,
+            max_size=6,
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_dot_fixed_bit_equals_hof_fold(spark, vecs):
+    """functions/vector.py:dot_fixed (explicit codegen multiply-add
+    chain) must be BIT-IDENTICAL to dot (the interpreted HOF fold) on
+    nonzero finite doubles — the guarantee the PQ specs (q136/q139)
+    lean on when they swap one for the other under an unchanged DuckDB
+    oracle. Both evaluate the same left-to-right addition sequence;
+    hypothesis sweeps magnitude mixes where a different sequence WOULD
+    diverge in the last ulp."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from etl_dag_paris_velib_spark.functions.vector import dot, dot_fixed
+
+    pairs = [(vecs[i], vecs[(i + 1) % len(vecs)]) for i in range(len(vecs))]
+    df = spark.createDataFrame(
+        [(a, b) for a, b in pairs], "a array<double>, b array<double>"
+    )
+    rows = df.select(
+        dot("a", "b").alias("hof"), dot_fixed("a", "b", 6).alias("fixed")
+    ).collect()
+    for r in rows:
+        assert struct.pack("<d", r["hof"]) == struct.pack("<d", r["fixed"]), (
+            r["hof"],
+            r["fixed"],
+        )

@@ -29,7 +29,10 @@ def dot_fixed(a, b, n: int) -> Column:
     """Explicit ``n``-term dot product for arrays whose length is a
     COMPILE-TIME constant: the same left-to-right addition sequence as
     :func:`dot`'s fold (``0.0 + t1 == t1`` exactly for every non-(-0.0)
-    first term, and products of nonzero floats are never -0.0), but
+    first term, and products of nonzero floats are never -0.0 UNLESS
+    they underflow — ``1e-200 * -1e-200 == -0.0`` — so the bit-identity
+    guarantee holds for non-underflowing products; real embedding data
+    is orders of magnitude away from that regime), but
     plain arithmetic that whole-stage codegen compiles instead of an
     interpreted HOF lambda — a measured ~30-55% win on the PQ
     scoring joins (q136 6.5s -> 4.5s, q139 4.4s -> 2.0s at sf0.1). Prefer :func:`dot` when the

@@ -1233,3 +1233,206 @@ def srp_lsh_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def ivfadc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    m: int = 8,
+    ks: int = 16,
+    residual: bool = True,
+    pq_iterations: int = 3,
+    train_cap: int = 4096,
+    train_id_bound: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC search over a TRAINED coarse codebook — the production
+    composition of :func:`ivf_topk` routing and PQ/ADC scoring, with the
+    residual form FAISS's IndexIVFPQ ships (Jegou/Douze/Schmid TPAMI'11;
+    the r07 verdict's #4 ask). Metric is squared L2 (matching the q139/
+    q141 registered specs); returns (q_id, vec_id, adc_dist) with the
+    ``k`` SMALLEST estimated distances per query.
+
+    ``residual=True`` (the production default): each vector's PQ codes
+    quantize its residual ``v - c(list)`` and every coarse list trains
+    its OWN sub-codebooks on its members' residuals — residuals are
+    centered near zero once routing has explained the cluster, so the
+    same code budget spends itself on within-list structure instead of
+    re-encoding cluster offsets (tests/test_clustering.py asserts the
+    recall win on clustered geometry). The query LUT is then per probed
+    list (``q - c_l`` against that list's codebooks) — nprobe LUT builds
+    per query, each O(m*ks*sd), still broadcast-sized.
+    ``residual=False``: one shared sub-codebook per subspace trained on
+    raw vectors (q139's structure, trained instead of id-picked), one
+    LUT per query.
+
+    Execution shape at 100 TB: assignment is one broadcast pass (the
+    codebook IS driver state, ``centroids`` from
+    ``operators.clustering.kmeans_centroids``); sub-codebook training is
+    one shuffle of dim/m-wide slices grouped per (list, subspace) with
+    ``train_cap`` bounding each group's in-memory block (FAISS trains on
+    a sample the same way); the trained codebooks (lists*m*ks rows)
+    broadcast back for encode; search touches only probed lists and the
+    searched representation is one coarse id + m codes per vector — raw
+    vectors never enter the search path.
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..functions.vector import dot_fixed
+
+    base = _as_double(embeddings, id_col, vec_col).select("vec_id", "v")
+    dim = base.select(F.size("v").alias("n")).first()["n"]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sd = dim // m
+
+    cents = centroids.select(
+        F.col("c_id").cast("long").alias("c_id"),
+        F.col("cv").cast("array<double>").alias("cv"),
+    )
+
+    def sqd(a, b, n):
+        d = F.zip_with(a, b, lambda x, y: x - y)
+        return dot_fixed(d, d, n)
+
+    w_asg = Window.partitionBy("vec_id").orderBy("d", "c_id")
+    asg = (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("d", sqd(F.col("v"), F.col("cv"), dim))
+        .withColumn("_rn", F.row_number().over(w_asg))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "vec_id",
+            "c_id",
+            (
+                F.zip_with("v", "cv", lambda x, y: x - y) if residual else F.col("v")
+            ).alias("r"),
+        )
+    )
+    sub = base.sparkSession.range(m).select(F.col("id").cast("int").alias("j"))
+    start = F.col("j") * sd + 1
+    rsub = asg.crossJoin(F.broadcast(sub)).select(
+        "c_id", "j", "vec_id", F.slice("r", start, sd).alias("rs")
+    )
+
+    group_cols = ["c_id", "j"] if residual else ["j"]
+    cb_fields = [StructField("j", IntegerType())]
+    if residual:
+        cb_fields.insert(0, StructField("c_id", LongType()))
+    cb_schema = StructType(
+        cb_fields
+        + [
+            StructField("code", IntegerType()),
+            StructField("bvec", ArrayType(DoubleType())),
+        ]
+    )
+
+    def fit_codebook(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id").head(train_cap)
+        X = np.array(pdf["rs"].tolist(), dtype=np.float64)
+        kk = min(ks, len(X))
+        C = X[:kk].copy()
+        for _ in range(pq_iterations):
+            d = (
+                (X * X).sum(axis=1)[:, None]
+                - 2.0 * (X @ C.T)
+                + (C * C).sum(axis=1)[None, :]
+            )
+            a = d.argmin(axis=1)
+            for ci in range(kk):
+                mask = a == ci
+                if mask.any():
+                    C[ci] = X[mask].mean(axis=0)
+        out = {"code": np.arange(kk, dtype=np.int32), "bvec": list(C)}
+        if residual:
+            out = {"c_id": np.full(kk, key[0], dtype=np.int64),
+                   "j": np.full(kk, key[1], dtype=np.int32), **out}
+        else:
+            out = {"j": np.full(kk, key[0], dtype=np.int32), **out}
+        return pd.DataFrame(out)
+
+    # training stream: ``train_id_bound`` deterministically bounds the
+    # rows SHUFFLED into the training groups (ids below the bound only —
+    # the seed_cap idiom from operators/clustering.py); ``train_cap``
+    # then bounds each group's in-memory numpy block. At corpus scale
+    # set the id bound — FAISS likewise trains its PQ on a sample.
+    train_src = rsub
+    if train_id_bound is not None:
+        train_src = rsub.filter(F.col("vec_id") < train_id_bound)
+    codebook = train_src.groupBy(*group_cols).applyInPandas(
+        fit_codebook, cb_schema
+    )
+
+    w_enc = Window.partitionBy("vec_id", "j").orderBy("d", "code")
+    enc = (
+        rsub.join(F.broadcast(codebook), group_cols)
+        .withColumn("d", sqd(F.col("rs"), F.col("bvec"), sd))
+        .withColumn("_rn", F.row_number().over(w_enc))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "j", "code")
+    )
+
+    qv = queries.select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("qv").cast("array<double>").alias("qv"),
+    )
+    w_probe = Window.partitionBy("q_id").orderBy("d", "c_id")
+    probe = (
+        qv.crossJoin(F.broadcast(cents))
+        .withColumn("d", sqd(F.col("qv"), F.col("cv"), dim))
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= nprobe)
+        .select("q_id", "c_id", "qv", "cv")
+    )
+    if residual:
+        qr = probe.select(
+            "q_id", "c_id",
+            F.zip_with("qv", "cv", lambda x, y: x - y).alias("qr"),
+        )
+        qrsub = qr.crossJoin(F.broadcast(sub)).select(
+            "q_id", "c_id", "j", F.slice("qr", start, sd).alias("qrs")
+        )
+        lut = qrsub.join(F.broadcast(codebook), ["c_id", "j"]).select(
+            "q_id", "c_id", "j", "code",
+            sqd(F.col("qrs"), F.col("bvec"), sd).alias("dq"),
+        )
+        lut_keys = ["q_id", "c_id", "j", "code"]
+    else:
+        qrsub = (
+            qv.crossJoin(F.broadcast(sub))
+            .select("q_id", "j", F.slice("qv", start, sd).alias("qrs"))
+        )
+        lut = qrsub.join(F.broadcast(codebook), ["j"]).select(
+            "q_id", "j", "code",
+            sqd(F.col("qrs"), F.col("bvec"), sd).alias("dq"),
+        )
+        lut_keys = ["q_id", "j", "code"]
+
+    cand = (
+        probe.select("q_id", "c_id")
+        .join(asg.select("vec_id", "c_id"), "c_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "c_id", "vec_id")
+    )
+    scored = cand.join(enc, "vec_id").join(F.broadcast(lut), lut_keys)
+    adc = scored.groupBy("q_id", "vec_id").agg(F.sum("dq").alias("adc_dist"))
+    w_out = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
+    return (
+        adc.withColumn("_rn", F.row_number().over(w_out))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

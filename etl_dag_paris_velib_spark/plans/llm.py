@@ -2379,34 +2379,84 @@ SELECT qid, doc_id, r_bm25, r_dense, rrf FROM (
     tags=("search", "bm25", "vector", "fusion", "llm"),
 )
 def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rrf_hybrid(spark, sf_dir, BM25_BATCH_QUERIES)
+
+
+def rrf_hybrid(
+    spark: SparkSession,
+    sf_dir: str,
+    query_rows,
+    *,
+    query_vectors: DataFrame | None = None,
+    k_leg: int = 20,
+    k_out: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of a BM25 lexical leg and a cosine dense
+    leg (q137's engine, parameterized — the ADVICE r07 #5 seam).
+
+    ``query_vectors`` is the TRUE query-vector seam: a caller-supplied
+    DataFrame ``(qid int, qvec array<double>[, exclude_vec_id long])``
+    whose embeddings drive the dense leg directly — the production shape
+    where an encoder embeds the query text. When ``None`` (q137's
+    registered form) the dense query is pseudo-relevance-seeded from the
+    BM25 rank-1 doc's embedding, i.e. the seeded form IS the seam called
+    with the rank-1 embeddings and ``exclude_vec_id = seed_id``
+    (differential-tested in tests/test_llm_operators.py). The optional
+    ``exclude_vec_id`` removes one corpus vector from the dense leg
+    (query-by-example semantics); NULL / absent excludes nothing — the
+    filter is null-safe (``NOT (vec_id <=> exclude_vec_id)``), since a
+    plain ``!=`` against NULL would drop every row.
+
+    Scale: the dense leg broadcasts |Q| query vectors against the
+    embedding table (q22's brute-force shape; the IVF/PQ indexes of
+    q29/q136/q139 drop in behind the same (qid, doc_id, rnk) contract);
+    the fusion join touches 2*k_leg rows per query.
+    """
     from pyspark.sql import Window
 
     from ..functions.vector import dot, l2_norm
 
-    bm = _bm25_batch_ranked(spark, sf_dir, BM25_BATCH_QUERIES, k=20).select(
+    bm = _bm25_batch_ranked(spark, sf_dir, query_rows, k=k_leg).select(
         "qid", "doc_id", F.col("rnk").alias("r_bm25")
-    )
-    seed = bm.filter(F.col("r_bm25") == 1).select(
-        "qid", F.col("doc_id").alias("seed_id")
     )
     e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    sv = seed.join(e, seed["seed_id"] == e["vec_id"]).select(
-        "qid", "seed_id", F.col("v").alias("svec"), l2_norm("v").alias("sn")
+    if query_vectors is None:
+        seed = bm.filter(F.col("r_bm25") == 1).select(
+            "qid", F.col("doc_id").alias("seed_id")
+        )
+        qvecs = seed.join(e, seed["seed_id"] == e["vec_id"]).select(
+            "qid",
+            F.col("v").alias("qvec"),
+            F.col("seed_id").alias("exclude_vec_id"),
+        )
+    else:
+        qvecs = query_vectors
+        if "exclude_vec_id" not in qvecs.columns:
+            qvecs = qvecs.withColumn(
+                "exclude_vec_id", F.lit(None).cast("long")
+            )
+        qvecs = qvecs.select("qid", "qvec", "exclude_vec_id")
+    sv = qvecs.select(
+        "qid",
+        F.col("qvec").alias("svec"),
+        l2_norm("qvec").alias("sn"),
+        "exclude_vec_id",
     )
     w_d = Window.partitionBy("qid").orderBy(F.desc("c"), "vec_id")
     dense = (
         e.withColumn("nv", l2_norm("v"))
         .crossJoin(F.broadcast(sv))
-        .filter(F.col("vec_id") != F.col("seed_id"))
+        .filter(~F.col("vec_id").eqNullSafe(F.col("exclude_vec_id")))
         .select(
             "qid",
             "vec_id",
             (dot(F.col("svec"), F.col("v")) / (F.col("sn") * F.col("nv"))).alias("c"),
         )
         .withColumn("rnk", F.row_number().over(w_d))
-        .filter(F.col("rnk") <= 20)
+        .filter(F.col("rnk") <= k_leg)
         .select("qid", F.col("vec_id").alias("doc_id"), F.col("rnk").cast("long").alias("r_dense"))
     )
     fused = (
@@ -2417,8 +2467,8 @@ def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r_bm25",
             "r_dense",
             F.round(
-                F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_bm25")), F.lit(0.0))
-                + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_dense")), F.lit(0.0)),
+                F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("r_bm25")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("r_dense")), F.lit(0.0)),
                 6,
             ).alias("rrf"),
         )
@@ -2426,8 +2476,120 @@ def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_out = Window.partitionBy("qid").orderBy(F.desc("rrf"), "doc_id")
     return (
         fused.withColumn("out_rnk", F.row_number().over(w_out))
-        .filter(F.col("out_rnk") <= 10)
+        .filter(F.col("out_rnk") <= k_out)
         .select("qid", "doc_id", "r_bm25", "r_dense", "rrf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q142 — hybrid RRF with a CALLER-SUPPLIED query-vector table
+# ---------------------------------------------------------------------------
+@L.add(
+    "q142_rrf_query_vectors",
+    oracle="""
+WITH q(qid, term) AS (
+  VALUES (1, 'dup'), (1, 'vector'), (2, 'spark'), (2, 'stream'),
+         (3, 'vector'), (3, 'window')
+),
+d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+  FROM documents
+),
+l AS (SELECT doc_id, len(tk)::BIGINT AS dl FROM d),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM l),
+t AS (SELECT doc_id, unnest(tk) AS term FROM d),
+tf AS (
+  SELECT q.qid, t.doc_id, t.term, count(*)::BIGINT AS tf
+  FROM t JOIN q USING (term) GROUP BY 1, 2, 3
+),
+idf AS (SELECT qid, term, count(*)::BIGINT AS df FROM tf GROUP BY 1, 2),
+contrib AS (
+  SELECT tf.qid, tf.doc_id, tf.term,
+         (ln((stats.n_docs - idf.df + 0.5) / (idf.df + 0.5) + 1.0)
+          * (tf.tf * 2.2))
+           / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / stats.avgdl)) AS contrib
+  FROM tf
+  CROSS JOIN stats
+  JOIN idf USING (qid, term)
+  JOIN l USING (doc_id)
+),
+scored AS (
+  SELECT qid, doc_id,
+         round(list_reduce(list(contrib ORDER BY term), (a, b) -> a + b), 6)
+           AS score
+  FROM contrib
+  GROUP BY qid, doc_id
+),
+bm AS (
+  SELECT qid, doc_id, rnk FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)
+             AS rnk
+    FROM scored
+  ) WHERE rnk <= 20
+),
+seed AS (SELECT DISTINCT qid, qid * 37 AS seed_id FROM q),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sv AS (
+  SELECT s.qid, s.seed_id, e.v AS svec FROM seed s
+  JOIN e ON e.vec_id = s.seed_id
+),
+dense AS (
+  SELECT qid, vec_id AS doc_id, rnk FROM (
+    SELECT sv.qid, e.vec_id,
+           row_number() OVER (PARTITION BY sv.qid ORDER BY
+             list_dot_product(sv.svec, e.v)
+               / (sqrt(list_dot_product(sv.svec, sv.svec))
+                  * sqrt(list_dot_product(e.v, e.v))) DESC, e.vec_id) AS rnk
+    FROM sv JOIN e ON e.vec_id <> sv.seed_id
+  ) WHERE rnk <= 20
+),
+fused AS (
+  SELECT coalesce(b.qid, de.qid) AS qid,
+         coalesce(b.doc_id, de.doc_id) AS doc_id,
+         b.rnk AS r_bm25, de.rnk AS r_dense,
+         round(coalesce(1.0 / (60 + b.rnk), 0.0)
+               + coalesce(1.0 / (60 + de.rnk), 0.0), 6) AS rrf
+  FROM bm b
+  FULL OUTER JOIN dense de ON de.qid = b.qid AND de.doc_id = b.doc_id
+)
+SELECT qid, doc_id, r_bm25, r_dense, rrf FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id)
+           AS out_rnk
+  FROM fused
+) WHERE out_rnk <= 10
+""",
+    doc="Hybrid RRF with a CALLER-SUPPLIED query-vector table — the true "
+    "query-vector seam the r07 verdict asked for (#5): where q137 "
+    "pseudo-relevance-seeds its dense leg from the BM25 rank-1 doc, this "
+    "spec drives rrf_hybrid(query_vectors=...) with an explicit "
+    "(qid, qvec, exclude_vec_id) DataFrame — the production shape where "
+    "an external encoder embeds the query text; here the vectors are "
+    "deterministic corpus rows (vec_id = qid*37, present at every SF) so "
+    "the DuckDB oracle reproduces the identical dense leg. The seeded "
+    "q137 form is additionally differential-tested to BE this seam "
+    "called with the rank-1 embeddings (tests/test_llm_operators.py). "
+    "Same FP-exactness story as q137: ranks are integers, the fused "
+    "score is two literal-order reciprocals. Scale: identical to q137 — "
+    "|Q| broadcast vectors vs the embedding table, O(k) fusion rows per "
+    "query; an IVF/PQ index drops in behind the same contract. "
+    "Reference counterpart: none (north-star extension).",
+    tags=("search", "bm25", "vector", "fusion", "llm"),
+)
+def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qdf = spark.createDataFrame(
+        sorted({(qid,) for qid, _ in BM25_BATCH_QUERIES}), "qid int"
+    )
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("qvec")
+    )
+    qvecs = (
+        qdf.withColumn("seed_id", (F.col("qid") * 37).cast("long"))
+        .join(e, F.col("seed_id") == e["vec_id"])
+        .select("qid", "qvec", F.col("seed_id").alias("exclude_vec_id"))
+    )
+    return rrf_hybrid(
+        spark, sf_dir, BM25_BATCH_QUERIES, query_vectors=qvecs
     )
 
 
@@ -2809,6 +2971,258 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
             (lut["j"] == enc["j"])
             & (lut["c_id"] == enc["code"])
             & (lut["q_id"] == cand["q_id"]),
+        )
+        .select(cand["q_id"].alias("q_id"), "vec_id", enc["j"].alias("j"), "dq")
+        .groupBy("q_id", "vec_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("j", "dq"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["dq"],
+            ).alias("adc")
+        )
+    )
+    w_out = Window.partitionBy("q_id").orderBy("adc", "vec_id")
+    return (
+        adc.withColumn("_rn", F.row_number().over(w_out))
+        .filter(F.col("_rn") <= 10)
+        .select("q_id", "vec_id", F.round("adc", 6).alias("adc_dist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q141 — RESIDUAL IVFADC: codes quantize list residuals (IndexIVFPQ proper)
+# ---------------------------------------------------------------------------
+@L.add(
+    "q141_ivfadc_residual_topk",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS c_id, v AS cv FROM e
+          WHERE vec_id % 50 = 0 AND vec_id < 3200),
+asg AS (
+  SELECT vec_id, c_id FROM (
+    SELECT e.vec_id, cents.c_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.v, e.v) + list_dot_product(cv, cv)
+               - 2 * list_dot_product(e.v, cv), c_id) AS rn
+    FROM e, cents
+  ) WHERE rn = 1
+),
+res AS (
+  SELECT a.vec_id,
+         list_transform(generate_series(1, 64), i -> e.v[i] - c.cv[i]) AS r
+  FROM asg a
+  JOIN e ON e.vec_id = a.vec_id
+  JOIN cents c ON c.c_id = a.c_id
+),
+sub(j) AS (SELECT unnest(generate_series(0, 7))),
+rsub AS (
+  SELECT s.j, r.vec_id, r.r[s.j * 8 + 1 : (s.j + 1) * 8] AS rs
+  FROM res r CROSS JOIN sub s
+),
+bsub AS (
+  SELECT j, vec_id AS b_id, rs AS bs FROM rsub
+  WHERE vec_id % 37 = 0 AND vec_id < 592
+),
+enc AS (
+  SELECT j, vec_id, b_id AS code FROM (
+    SELECT r.j, r.vec_id, b.b_id,
+           row_number() OVER (PARTITION BY r.vec_id, r.j ORDER BY
+             list_dot_product(
+               list_transform(generate_series(1, 8), i -> r.rs[i] - b.bs[i]),
+               list_transform(generate_series(1, 8), i -> r.rs[i] - b.bs[i])),
+             b.b_id) AS rn
+    FROM rsub r JOIN bsub b ON b.j = r.j
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+probe AS (
+  SELECT q_id, c_id FROM (
+    SELECT q.q_id, cents.c_id,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+             list_dot_product(qv, qv) + list_dot_product(cv, cv)
+               - 2 * list_dot_product(qv, cv), c_id) AS rn
+    FROM q, cents
+  ) WHERE rn <= 4
+),
+qres AS (
+  SELECT p.q_id, p.c_id,
+         list_transform(generate_series(1, 64), i -> q.qv[i] - c.cv[i]) AS qr
+  FROM probe p
+  JOIN q ON q.q_id = p.q_id
+  JOIN cents c ON c.c_id = p.c_id
+),
+qrsub AS (
+  SELECT s.j, t.q_id, t.c_id, t.qr[s.j * 8 + 1 : (s.j + 1) * 8] AS qrs
+  FROM qres t CROSS JOIN sub s
+),
+lut AS (
+  SELECT qb.j, qb.q_id, qb.c_id, b.b_id,
+         list_dot_product(
+           list_transform(generate_series(1, 8), i -> qb.qrs[i] - b.bs[i]),
+           list_transform(generate_series(1, 8), i -> qb.qrs[i] - b.bs[i]))
+           AS dq
+  FROM qrsub qb JOIN bsub b ON b.j = qb.j
+),
+cand AS (
+  SELECT p.q_id, p.c_id, a.vec_id
+  FROM probe p JOIN asg a ON a.c_id = p.c_id
+  WHERE a.vec_id <> p.q_id
+),
+adc AS (
+  SELECT cd.q_id, cd.vec_id,
+         list_reduce(list(l.dq ORDER BY en.j), (a, b) -> a + b) AS adc
+  FROM cand cd
+  JOIN enc en ON en.vec_id = cd.vec_id
+  JOIN lut l ON l.j = en.j AND l.b_id = en.code
+            AND l.q_id = cd.q_id AND l.c_id = cd.c_id
+  GROUP BY 1, 2
+)
+SELECT q_id, vec_id, round(adc, 6) AS adc_dist FROM (
+  SELECT q_id, vec_id, adc,
+         row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rn
+  FROM adc
+) WHERE rn <= 10
+""",
+    doc="RESIDUAL-form IVFADC — the exact structure FAISS's IndexIVFPQ "
+    "ships (Jegou/Douze/Schmid TPAMI'11 SS7): where q139's codes "
+    "quantize RAW vectors (codebook shared across lists, query LUT "
+    "computed once), here each vector's PQ codes quantize its RESIDUAL "
+    "v - c(list) — the quantity that is actually small once coarse "
+    "routing has explained the cluster — and the query's lookup table "
+    "is therefore PER PROBED LIST (q - c_l against the residual "
+    "sub-codebook), which is the real cost model of the production "
+    "index: nprobe LUT builds per query, each O(m x ks x sd), still "
+    "broadcast-sized. Sub-codebook entries are deterministic id-picked "
+    "residual slices (vec_id % 37 = 0, < 592 -> ks<=16 codes/subspace) "
+    "so the DuckDB oracle reproduces assignment -> residual -> encode "
+    "-> per-list LUT -> ADC bit-identically; the TRAINED per-list "
+    "variant (kmeans seam) is the pytest composition test "
+    "(tests/test_clustering.py::test_residual_ivfadc_beats_raw_codes_"
+    "on_clustered_geometry). FP-exactness: residuals are one exact "
+    "elementwise subtraction in both engines (zip_with vs "
+    "list_transform over an index list); every distance is the fold "
+    "dot of a difference array (dot_fixed == list_dot_product, the "
+    "q139 identity); the ADC fold runs in sorted subspace order. "
+    "Scale: identical to q139 plus one broadcast-sized residual LUT "
+    "per probed list; the searched index is still coarse id + m codes "
+    "(~9 B/vector), raw vectors never enter the search path. "
+    "Reference counterpart: none (north-star extension).",
+    tags=("vector", "ann", "pq", "ivf", "residual", "llm"),
+)
+def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.vector import dot_fixed
+
+    m, sd, nprobe = 8, 8, 4
+    emb = _emb(spark, sf_dir)
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    based = base.select("vec_id", "v", dot_fixed("v", "v", 64).alias("nn"))
+    cents = base.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
+    ).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("cv"),
+        dot_fixed("v", "v", 64).alias("cn2"),
+    )
+
+    def sq(an, bn, a, b, n):
+        return (
+            F.col(an) + F.col(bn) - F.lit(2.0) * dot_fixed(F.col(a), F.col(b), n)
+        )
+
+    def sqdiff(a, b, n):
+        # squared L2 via an explicit difference array: one exact
+        # elementwise subtraction then the fold dot — the residual-space
+        # form both engines spell identically (zip_with here,
+        # list_transform over generate_series in the oracle)
+        d = F.zip_with(a, b, lambda x, y: x - y)
+        return dot_fixed(d, d, n)
+
+    w_asg = Window.partitionBy("vec_id").orderBy("d", "c_id")
+    asg = (
+        based.crossJoin(F.broadcast(cents))
+        .withColumn("d", sq("nn", "cn2", "v", "cv", 64))
+        .withColumn("_rn", F.row_number().over(w_asg))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "c_id")
+    )
+    res = (
+        asg.join(base, "vec_id")
+        .join(F.broadcast(cents.select("c_id", "cv")), "c_id")
+        .select(
+            "vec_id",
+            "c_id",
+            F.zip_with("v", "cv", lambda x, y: x - y).alias("r"),
+        )
+    )
+    sub = spark.range(m).select(F.col("id").cast("int").alias("j"))
+    start = F.col("j") * sd + 1
+    rsub = res.crossJoin(F.broadcast(sub)).select(
+        "j", "vec_id", F.slice("r", start, sd).alias("rs")
+    )
+    bsub = rsub.filter(
+        (F.col("vec_id") % 37 == 0) & (F.col("vec_id") < 592)
+    ).select("j", F.col("vec_id").alias("b_id"), F.col("rs").alias("bs"))
+    w_enc = Window.partitionBy("vec_id", "j").orderBy("d", "b_id")
+    enc = (
+        rsub.join(F.broadcast(bsub), "j")
+        .withColumn("d", sqdiff(F.col("rs"), F.col("bs"), sd))
+        .withColumn("_rn", F.row_number().over(w_enc))
+        .filter(F.col("_rn") == 1)
+        .select("j", "vec_id", F.col("b_id").alias("code"))
+    )
+    qv = based.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nn").alias("qn"),
+    )
+    w_probe = Window.partitionBy("q_id").orderBy("d", "c_id")
+    probe = (
+        qv.crossJoin(F.broadcast(cents))
+        .withColumn("d", sq("qn", "cn2", "qv", "cv", 64))
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= nprobe)
+        .select("q_id", "c_id")
+    )
+    qres = (
+        probe.join(qv.select("q_id", "qv"), "q_id")
+        .join(F.broadcast(cents.select("c_id", "cv")), "c_id")
+        .select(
+            "q_id",
+            "c_id",
+            F.zip_with("qv", "cv", lambda x, y: x - y).alias("qr"),
+        )
+    )
+    qrsub = qres.crossJoin(F.broadcast(sub)).select(
+        "j", "q_id", "c_id", F.slice("qr", start, sd).alias("qrs")
+    )
+    lut = (
+        qrsub.join(F.broadcast(bsub), "j")
+        .select(
+            "j",
+            "q_id",
+            "c_id",
+            "b_id",
+            sqdiff(F.col("qrs"), F.col("bs"), sd).alias("dq"),
+        )
+    )
+    cand = (
+        probe.join(asg, "c_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "c_id", "vec_id")
+    )
+    adc = (
+        cand.join(enc, "vec_id")
+        .join(
+            F.broadcast(lut),
+            (lut["j"] == enc["j"])
+            & (lut["b_id"] == enc["code"])
+            & (lut["q_id"] == cand["q_id"])
+            & (lut["c_id"] == cand["c_id"]),
         )
         .select(cand["q_id"].alias("q_id"), "vec_id", enc["j"].alias("j"), "dq")
         .groupBy("q_id", "vec_id")

@@ -775,3 +775,69 @@ def test_semantic_dedup_prunes_planted_duplicates(spark):
     # at a permissive threshold the representatives still never appear
     all_scored = semantic_dedup(emb, threshold=-2.0).collect()
     assert {r["vec_id"] for r in all_scored} == {2, 3, 11}
+
+
+def test_rrf_hybrid_seeded_form_equals_explicit_query_vectors(spark):
+    """The query-vector seam differential (r07 verdict #5): q137's
+    pseudo-relevance-seeded form must be EXACTLY rrf_hybrid called with
+    an explicit (qid, qvec, exclude_vec_id) table holding the BM25
+    rank-1 docs' embeddings — same rows, same ranks, same fused scores.
+    This pins the seam so a caller-supplied encoder embedding table
+    (q142's registered form) reuses the identical dense-leg and fusion
+    expression tree."""
+    from pyspark.sql import functions as F
+
+    from etl_dag_paris_velib_spark.plans.llm import (
+        BM25_BATCH_QUERIES,
+        _bm25_batch_ranked,
+        _emb,
+        rrf_hybrid,
+    )
+    from tests.conftest import SF_SMOKE
+
+    seeded = rrf_hybrid(spark, SF_SMOKE, BM25_BATCH_QUERIES)
+
+    seed = (
+        _bm25_batch_ranked(spark, SF_SMOKE, BM25_BATCH_QUERIES, k=20)
+        .filter(F.col("rnk") == 1)
+        .select("qid", F.col("doc_id").alias("seed_id"))
+    )
+    e = _emb(spark, SF_SMOKE).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("qvec")
+    )
+    explicit_qvecs = seed.join(e, seed["seed_id"] == e["vec_id"]).select(
+        "qid", "qvec", F.col("seed_id").alias("exclude_vec_id")
+    )
+    explicit = rrf_hybrid(
+        spark, SF_SMOKE, BM25_BATCH_QUERIES, query_vectors=explicit_qvecs
+    )
+
+    srows = sorted((tuple(r) for r in seeded.collect()))
+    erows = sorted((tuple(r) for r in explicit.collect()))
+    assert srows == erows and len(srows) > 0
+
+
+def test_rrf_hybrid_null_exclude_keeps_all_corpus_vectors(spark):
+    """exclude_vec_id absent/NULL must exclude NOTHING (the null-safe
+    filter): a query vector copied from corpus row 0 with no exclusion
+    must rank vec_id 0 itself at dense rank 1 (cosine 1.0 with itself)."""
+    from pyspark.sql import functions as F
+
+    from etl_dag_paris_velib_spark.plans.llm import (
+        BM25_BATCH_QUERIES,
+        _emb,
+        rrf_hybrid,
+    )
+    from tests.conftest import SF_SMOKE
+
+    v0 = (
+        _emb(spark, SF_SMOKE)
+        .filter(F.col("vec_id") == 0)
+        .select(F.lit(1).alias("qid"),
+                F.col("embedding").cast("array<double>").alias("qvec"))
+    )
+    out = rrf_hybrid(
+        spark, SF_SMOKE, BM25_BATCH_QUERIES, query_vectors=v0
+    ).collect()
+    dense_r1 = [r for r in out if r["r_dense"] == 1]
+    assert len(dense_r1) == 1 and dense_r1[0]["doc_id"] == 0

@@ -29,42 +29,115 @@ REGISTRY.merge(_sqltext)
 REGISTRY.merge(_streamq)
 
 # The external correctness harness walks queries() in insertion order with
-# a ~50-query budget (CORRECTNESS_r03..r06: exactly the first 50 entries
+# a ~50-query budget (CORRECTNESS_r03..r07: exactly the first 50 entries
 # got rows). DEMOTED rotates specs out of that window; everything demoted
 # stays oracle-checked on every pytest run at the driver's own sf=0.01
-# operating point (tests/test_demoted_parity.py — the identical
-# rows+schema+hash comparison, which as of round 7 sweeps the WINDOW
-# specs too, so no spec anywhere lacks local differential evidence).
+# operating point (tests/test_demoted_parity.py sweeps the WHOLE
+# registry — window and tail — with the identical rows+schema+hash
+# comparison, so no spec anywhere lacks local differential evidence).
 #
-# Round-7 window policy (the round-6 verdict's #1 ask): the q60–q97
-# r04-era block — whose driver rows were two rounds old, the oldest in
-# the repo — rotates back in. In-window (the 50 NOT listed below):
-# - the full 35-spec q60–q97 block (q60–q85, q87–q91, q94–q97;
-#   q86/q92/q93 already re-earned r05/r06 rows and stay demoted);
-# - code changed this round: q107/q109/q121/q122 (basket cap mirrored
-#   into the oracles), q111 (single-scan tau + n<=k exact-weight
-#   estimator), q110 (span-derived watermark delay);
-# - NEW this round: q133 (IVF nprobe recall curve), q134 (SRP band-count
-#   recall curve), q135 (streaming crash-restart exactly-once — two
-#   query incarnations over one checkpoint), q136 (PQ/ADC recall curve
-#   — the fifth ANN family), q137 (hybrid BM25+dense reciprocal-rank
-#   fusion), q138 (retrieval eval metrics: MRR + binary nDCG@10 with a
-#   literal-discount table), q139 (IVFADC — composed IVF routing + PQ
-#   codes + ADC scoring, the FAISS IndexIVFPQ structure), q140
-#   (vocabulary growth curve / Heaps law, exact first-occurrence
-#   deciles);
-# - one r05-era refresher: q99 (shared-text SQL; q01's surface is
-#   additionally smoke-checked every round via entry()).
-# After round 7 lands, every spec's newest driver row is r05 or younger.
-# Demoted: the 91 below — every r05/r06-green spec whose code did not
-# change this round.
+# Round-8 window policy (the round-7 verdict's #1 and #6 asks): the
+# 47-spec r05-era block — whose driver rows are now THREE rounds old,
+# the oldest in the repo — rotates back in. In-window (the 50 NOT
+# listed below):
+# - the full r05-era block: q01-q04, q07-q09, q11-q31, q33, q35,
+#   q37-q39, q42, q46, q48, q52, q86, q92, q93, q98, q100-q105 (47
+#   specs — every spec whose newest driver row predates r06);
+# - NEW this round: q141 (residual-form IVFADC — per-list residual
+#   codes + per-probed-list LUTs, the IndexIVFPQ structure), q142
+#   (hybrid RRF driven by a caller-supplied query-vector table — the
+#   true query-vector seam), q143 (VARIANT path matrix: nested/missing/
+#   array/null-vs-missing extraction, dialect mapping pinned by fuzz
+#   grammar #18).
+# CANARY POLICY (verdict #6): q21_near_dup_pairs and q42_dedup_clusters
+# — the LSH pair-cache builder and its consumer — keep a window slot in
+# EVERY future rotation regardless of row age, so the cache-reuse path
+# always has a fresh driver row.
+# q137 changed this round (refactored onto the shared rrf_hybrid
+# engine) but stays demoted: its window slot went to q142, which drives
+# the SAME rrf_hybrid function through the driver, and the refactor is
+# additionally diffcheck-verified + parity-swept locally.
+# After round 8 lands, every spec's newest driver row is r06 or younger.
+# Demoted: the 94 below — every r06/r07-green spec whose newest row is
+# fresh enough to sit out a round.
 DEMOTED = (
-    # r06-green, code unchanged (freshest driver evidence, lowest
-    # marginal value in the window)
+    # r07-green (freshest driver evidence, lowest marginal value)
+    "q107_association_rules",
+    "q109_frequent_triples",
+    "q110_stream_dedup_rollup",
+    "q111_priority_sample",
+    "q121_copurchase_triangles",
+    "q122_copurchase_bfs_hops",
+    "q133_ivf_recall_curve",
+    "q134_srp_recall_curve",
+    "q135_stream_crash_restart",
+    "q136_pq_adc_recall",
+    "q137_rrf_hybrid_retrieval",
+    "q138_retrieval_eval_metrics",
+    "q139_ivfadc_topk",
+    "q140_vocab_growth_curve",
+    "q60_rolling_range_frame",
+    "q61_source_overlap",
+    "q62_boilerplate_chunks",
+    "q63_quality_selection",
+    "q64_split_assignment",
+    "q65_repeated_spans",
+    "q66_unpivot_metrics",
+    "q67_rank_distribution",
+    "q68_unigram_logprob",
+    "q69_variant_props",
+    "q70_weighted_sample",
+    "q71_kmv_distinct",
+    "q72_weighted_quality",
+    "q73_event_paths",
+    "q74_correlated_subquery",
+    "q75_retention_cohorts",
+    "q76_robust_stats",
+    "q77_table_stats",
+    "q78_zorder_layout",
+    "q79_incremental_agg_merge",
+    "q80_pii_scrub",
+    "q81_srp_lsh_topk",
+    "q82_sliding_distinct_users",
+    "q83_data_quality_report",
+    "q84_copurchase_pairs",
+    "q85_scd2_history",
+    "q87_snapshot_diff",
+    "q88_locf_forward_fill",
+    "q89_interval_overlap",
+    "q90_lateral_agg",
+    "q91_regression_stats",
+    "q94_winsorized_stats",
+    "q95_bigram_logprob",
+    "q96_mutual_nn_pairs",
+    "q97_kmv_sketch_merge",
+    "q99_sql_order_distribution",
+    # r06-green
     "q05_region_revenue",
     "q06_latest_order_per_customer",
+    "q106_content_checksum",
+    "q108_stream_hourly_rollup",
     "q10_events_cube",
+    "q112_stream_enrich_rollup",
+    "q113_png_decode",
+    "q114_adpcm_decode",
+    "q115_bpe_pair_stats",
+    "q116_stream_interval_join",
+    "q117_bm25_topk",
+    "q118_semantic_dedup",
+    "q119_bpe_encode_counts",
     "q11b_approx_distinct",
+    "q120_stream_kmv_distinct",
+    "q123_negative_samples",
+    "q124_masked_lm_pairs",
+    "q125_source_kl_drift",
+    "q126_centroid_drift",
+    "q127_gif_decode",
+    "q128_hll_distinct",
+    "q129_copurchase_edge_churn",
+    "q130_bm25_batch_topk",
+    "q131_personalized_pagerank",
+    "q132_quality_threshold_sweep",
     "q32_filename_parse",
     "q34_right_outer",
     "q36_incremental_dedup",
@@ -78,86 +151,12 @@ DEMOTED = (
     "q50_gapfill_rollup",
     "q51_countmin_heavy_hitters",
     "q53_bloom_semi_join",
-    # q21 sits ahead of q56 on purpose: the suite runs queries() in this
-    # order, and q56_canonical_docs consumes the LSH pair cache that
-    # q21_near_dup_pairs builds (operators/similarity.py:_PAIR_CACHE) —
-    # with q56 first it pays the ~6s pair-set build itself (observed as a
-    # phantom q56 "regression" when the r07 rotation inverted the order)
-    "q21_near_dup_pairs",
     "q54_repetition_signals",
     "q55_decontamination",
     "q56_canonical_docs",
     "q57_quantized_embeddings",
     "q58_mixture_weights",
     "q59_sequence_packing",
-    "q106_content_checksum",
-    "q108_stream_hourly_rollup",
-    "q112_stream_enrich_rollup",
-    "q113_png_decode",
-    "q114_adpcm_decode",
-    "q115_bpe_pair_stats",
-    "q116_stream_interval_join",
-    "q117_bm25_topk",
-    "q118_semantic_dedup",
-    "q119_bpe_encode_counts",
-    "q120_stream_kmv_distinct",
-    "q123_negative_samples",
-    "q124_masked_lm_pairs",
-    "q125_source_kl_drift",
-    "q126_centroid_drift",
-    "q127_gif_decode",
-    "q128_hll_distinct",
-    "q129_copurchase_edge_churn",
-    "q130_bm25_batch_topk",
-    "q131_personalized_pagerank",
-    "q132_quality_threshold_sweep",
-    # r05-green, code unchanged
-    "q01_pricing_summary",
-    "q02_forecast_revenue",
-    "q03_shipping_priority",
-    "q04_order_priority",
-    "q07_running_total",
-    "q08_event_gaps",
-    "q09_status_priority_rollup",
-    "q11_distinct_customers",
-    "q12_set_ops",
-    "q13_hourly_events",
-    "q14_event_pivot",
-    "q15_asof_purchase_click",
-    "q16_topk_per_group",
-    "q17_customers_without_orders",
-    "q18_scalar_functions",
-    "q19_brand_revenue",
-    "q39_grouping_sets",
-    "q20_exact_dedup",
-    "q22_vector_topk",
-    "q23_text_stats",
-    "q24_full_outer",
-    "q25_language_id",
-    "q26_quality_score",
-    "q27_bow_dedup",
-    "q28_simhash_pairs",
-    "q29_ivf_topk",
-    "q30_winnow_fingerprints",
-    "q31_doc_chunks",
-    "q35_ngram_jaccard",
-    "q37_salted_join_revenue",
-    "q38_value_percentiles",
-    "q42_dedup_clusters",
-    "q46_edit_distance_pairs",
-    "q48_kmeans_clusters",
-    "q33_embedding_nn",
-    "q52_embedding_dedup",
-    "q104_shard_shuffle",
-    "q105_mixture_resample",
-    "q86_supplier_pagerank",
-    "q92_funnel_conversion",
-    "q93_containment_pairs",
-    "q103_kmv_set_overlap",
-    "q98_media_decode",
-    "q101_frame_dedup",
-    "q102_media_resize",
-    "q100_sql_small_qty_revenue",
 )
 REGISTRY.demote(DEMOTED)
 

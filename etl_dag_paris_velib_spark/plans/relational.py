@@ -1251,3 +1251,114 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return report.unionByName(fk_violations(od, "o_custkey", cust, "c_custkey"))
+
+
+# ---------------------------------------------------------------------------
+# q143 — VARIANT path matrix: nested / missing / array / null-vs-missing
+# ---------------------------------------------------------------------------
+@R.add(
+    "q143_variant_path_matrix",
+    oracle="""
+WITH j AS (
+  SELECT event_type,
+         '{"k":' || CAST(event_id % 97 AS VARCHAR)
+         || CASE WHEN event_id % 3 <> 0
+            THEN ',"m":{"a":' || CAST(user_id % 13 AS VARCHAR)
+                 || CASE WHEN event_id % 4 <> 0
+                    THEN ',"b":"u' || CAST(user_id % 5 AS VARCHAR) || '"'
+                    ELSE '' END
+                 || '}'
+            ELSE '' END
+         || CASE WHEN event_id % 6 <> 0
+            THEN ',"a":[' || CAST(event_id % 3 AS VARCHAR) || ','
+                 || CAST(event_id % 5 AS VARCHAR) || ','
+                 || CAST(event_id % 7 AS VARCHAR) || ']'
+            ELSE '' END
+         || CASE WHEN event_id % 11 = 0 THEN ',"z":null' ELSE '' END
+         || '}' AS jd
+  FROM events
+)
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       sum(TRY_CAST(json_extract(jd, '$.k') AS BIGINT))::BIGINT AS sum_k,
+       count(TRY_CAST(json_extract(jd, '$.m.a') AS BIGINT))::BIGINT AS n_ma,
+       sum(CASE WHEN TRY_CAST(json_extract(jd, '$.m.a') AS BIGINT) IS NOT NULL
+                 AND json_extract_string(jd, '$.m.b') IS NULL
+            THEN 1 ELSE 0 END)::BIGINT AS n_mb_missing,
+       max(json_extract_string(jd, '$.m.b')) AS max_mb,
+       sum(TRY_CAST(json_extract(jd, '$.a[2]') AS BIGINT))::BIGINT AS sum_a2,
+       sum(CASE WHEN json_type(jd, '$.z') = 'NULL' THEN 1 ELSE 0 END)::BIGINT
+         AS n_znull
+FROM j
+GROUP BY event_type
+""",
+    doc="VARIANT path matrix — the full schema-on-read extraction surface "
+    "q69 only sampled: a synthetic JSON doc (built by the SAME concat "
+    "expression in both engines, so the parsed text is byte-identical) "
+    "exercises nested-object paths, ABSENT keys at two depths, array "
+    "indexing (0-based in both dialects), string extraction, and the "
+    "null-vs-missing discrimination that typed extraction erases — "
+    "Spark's is_variant_null(try_variant_get(...)) vs DuckDB's "
+    "json_type(...) = 'NULL' are the two engines' only ways to tell "
+    "{\"z\":null} from no z at all. The doc parses ONCE into a variant "
+    "column and every path reads the binary encoding (q69's rule); all "
+    "aggregates are exact integer arithmetic. Dialect mapping pinned by "
+    "fuzz grammar #18 (tests/test_fuzz_differential.py): "
+    "try_variant_get <-> TRY_CAST(json_extract), 'string' <-> "
+    "json_extract_string; the ONE divergence — fractional JSON number "
+    "to integer (Spark truncates toward zero, DuckDB rounds half-even: "
+    "3.5 -> 3 vs 4) — is pinned in "
+    "test_variant_fractional_to_int_divergence and this spec extracts "
+    "integers only. Scale: one projection pass, one low-cardinality "
+    "shuffle; at 100 TB the variant column would be shredded at the "
+    "parquet layer and these paths prune to subcolumns.",
+    tags=("variant", "semistructured", "json", "relational"),
+)
+def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    s = lambda c: c.cast("string")  # noqa: E731
+    e, u = F.col("event_id"), F.col("user_id")
+    jd = F.concat(
+        F.lit('{"k":'),
+        s(e % 97),
+        F.when(
+            e % 3 != 0,
+            F.concat(
+                F.lit(',"m":{"a":'),
+                s(u % 13),
+                F.when(
+                    e % 4 != 0,
+                    F.concat(F.lit(',"b":"u'), s(u % 5), F.lit('"')),
+                ).otherwise(""),
+                F.lit("}"),
+            ),
+        ).otherwise(""),
+        F.when(
+            e % 6 != 0,
+            F.concat(
+                F.lit(',"a":['), s(e % 3), F.lit(","), s(e % 5),
+                F.lit(","), s(e % 7), F.lit("]"),
+            ),
+        ).otherwise(""),
+        F.when(e % 11 == 0, F.lit(',"z":null')).otherwise(""),
+        F.lit("}"),
+    )
+    parsed = ev.withColumn("jd", jd).withColumn(
+        "vj", F.expr("parse_json(jd)")
+    )
+    k = F.expr("try_variant_get(vj, '$.k', 'bigint')")
+    ma = F.expr("try_variant_get(vj, '$.m.a', 'bigint')")
+    mb = F.expr("try_variant_get(vj, '$.m.b', 'string')")
+    a2 = F.expr("try_variant_get(vj, '$.a[2]', 'bigint')")
+    znull = F.expr("is_variant_null(try_variant_get(vj, '$.z'))")
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.count(ma).alias("n_ma"),
+        F.sum(
+            F.when(ma.isNotNull() & mb.isNull(), 1).otherwise(0)
+        ).alias("n_mb_missing"),
+        F.max(mb).alias("max_mb"),
+        F.sum(a2).alias("sum_a2"),
+        F.sum(F.when(znull, 1).otherwise(0)).alias("n_znull"),
+    )

@@ -786,6 +786,187 @@ def _gen_recursive_query(rng: random.Random) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# grammar #18 — VARIANT / JSON-path extraction (r07 verdict ask #8)
+# ---------------------------------------------------------------------------
+#: the jdoc body is ONE shared expression text (|| implicitly casts
+#: integers to text in BOTH dialects), so the JSON the two engines parse
+#: is byte-identical; only the EXTRACTION functions differ by dialect —
+#: that mapping (pinned by probing, see _VX below) is the surface this
+#: grammar sweeps: try_variant_get(parse_json(.), p, T) must agree with
+#: TRY_CAST(json_extract(., p) AS T) / json_extract_string on every
+#: combination of present/absent/nested/array/NULL path the doc offers.
+_JDOC_EXPR = (
+    "'{\"k\":' || (id % 97)"
+    " || CASE WHEN id % 3 <> 0 THEN ',\"s\":\"s' || (id % 7) || '\"'"
+    "         ELSE '' END"
+    " || CASE WHEN id % 4 <> 0 THEN ',\"x\":' || (id % 10) || '.5'"
+    "         ELSE '' END"
+    " || CASE WHEN id % 5 <> 0 THEN"
+    "      ',\"n\":{\"a\":' || (id % 13)"
+    "      || CASE WHEN id % 2 = 0 THEN ',\"b\":\"t' || (id % 3) || '\"'"
+    "              ELSE '' END"
+    "      || '}'"
+    "    ELSE '' END"
+    " || CASE WHEN id % 6 <> 0 THEN"
+    "      ',\"a\":[' || (id % 3) || ',' || (id % 5) || ',' || (id % 7) || ']'"
+    "    ELSE '' END"
+    " || CASE WHEN id % 9 = 0 THEN"
+    "      ',\"bl\":' || CASE WHEN id % 2 = 0 THEN 'true' ELSE 'false' END"
+    "    ELSE '' END"
+    " || CASE WHEN id % 11 = 0 THEN ',\"z\":null' ELSE '' END"
+    " || '}'"
+)
+
+
+def _vx(kind: str, path: str) -> tuple[str, str]:
+    """(spark_expr, duck_expr) for one typed path extraction. The mapping
+    was pinned by direct probing (all agree): missing key -> NULL, JSON
+    null -> NULL, type-mismatch string -> NULL (try_ forms), bool ->
+    BIGINT 1/0, bool/int/double -> string render identically, array
+    index 0-based with out-of-bounds -> NULL. The ONE divergence —
+    fractional number -> integer (Spark truncates toward zero, DuckDB
+    rounds half-even) — is pinned in
+    test_variant_fractional_to_int_divergence; the grammar extracts
+    '$.x' (the only fractional field) as DOUBLE only."""
+    if kind == "int":
+        return (
+            f"try_variant_get(parse_json(j), '{path}', 'bigint')",
+            f"TRY_CAST(json_extract(j, '{path}') AS BIGINT)",
+        )
+    if kind == "str":
+        return (
+            f"try_variant_get(parse_json(j), '{path}', 'string')",
+            f"json_extract_string(j, '{path}')",
+        )
+    if kind == "dbl":
+        return (
+            f"try_variant_get(parse_json(j), '{path}', 'double')",
+            f"TRY_CAST(json_extract(j, '{path}') AS DOUBLE)",
+        )
+    # znull: TRUE iff the key is present AND holds JSON null — the
+    # discrimination typed extraction erases; coalesce because DuckDB's
+    # json_type is NULL (not false) on a missing key
+    return (
+        "coalesce(is_variant_null(try_variant_get(parse_json(j), "
+        f"'{path}')), false)",
+        f"coalesce(json_type(j, '{path}') = 'NULL', false)",
+    )
+
+
+#: (kind, path) pool: present/absent ints at two depths, strings,
+#: doubles, bools-as-int-and-string, in/out-of-bounds array indexes,
+#: an always-missing key, and the null-vs-missing discriminator
+_VX_POOL = [
+    ("int", "$.k"),
+    ("int", "$.n.a"),
+    ("int", "$.n.c"),
+    ("int", "$.a[0]"),
+    ("int", "$.a[1]"),
+    ("int", "$.a[2]"),
+    ("int", "$.a[3]"),
+    ("int", "$.q"),
+    ("int", "$.bl"),
+    ("int", "$.s"),
+    ("int", "$.z"),
+    ("str", "$.s"),
+    ("str", "$.n.b"),
+    ("str", "$.k"),
+    ("str", "$.bl"),
+    ("str", "$.x"),
+    ("str", "$.q"),
+    ("dbl", "$.x"),
+    ("znull", "$.z"),
+    ("znull", "$.k"),
+    ("znull", "$.q"),
+]
+
+
+def _gen_variant_query(rng: random.Random) -> tuple[str, str]:
+    """Returns (spark_sql, duck_sql) — the first dialect-PAIRED grammar:
+    one seed renders one query skeleton twice, differing only in the
+    extraction snippets from :func:`_vx`. All aggregates follow the
+    suite's determinism rules (integral sums BIGINT-cast; the only
+    double field holds exact k.5 values whose sums are exact in any
+    order; min/max/count are order-free)."""
+
+    def pick(kinds):
+        k, p = rng.choice([e for e in _VX_POOL if e[0] in kinds])
+        return _vx(k, p)
+
+    pred_s, pred_d = "", ""
+    if rng.random() < 0.7:
+        e_s, e_d = pick(("int", "str", "dbl", "znull"))
+        form = rng.choice(["null", "notnull", "cmp", "true"])
+        if form == "null":
+            pred_s, pred_d = f" WHERE {e_s} IS NULL", f" WHERE {e_d} IS NULL"
+        elif form == "notnull":
+            pred_s, pred_d = (
+                f" WHERE {e_s} IS NOT NULL",
+                f" WHERE {e_d} IS NOT NULL",
+            )
+        elif form == "cmp":
+            e_s, e_d = pick(("int",))
+            lit = rng.choice([0, 1, 3, 7, 45])
+            op = rng.choice(["<", "<=", ">", ">=", "=", "<>"])
+            pred_s, pred_d = (
+                f" WHERE {e_s} {op} {lit}",
+                f" WHERE {e_d} {op} {lit}",
+            )
+        else:
+            e_s, e_d = pick(("znull",))
+            pred_s, pred_d = f" WHERE {e_s}", f" WHERE {e_d}"
+
+    shape = rng.random()
+    if shape < 0.35:  # plain projection, hashed whole
+        cols_s, cols_d = ["id"], ["id"]
+        for i in range(rng.randint(1, 3)):
+            e_s, e_d = pick(("int", "str", "dbl", "znull"))
+            cols_s.append(f"{e_s} AS c{i}")
+            cols_d.append(f"{e_d} AS c{i}")
+        return (
+            f"SELECT {', '.join(cols_s)} FROM jdocs{pred_s}",
+            f"SELECT {', '.join(cols_d)} FROM jdocs{pred_d}",
+        )
+    if shape < 0.7:  # global aggregate
+        aggs_s, aggs_d = ["count(*) AS n"], ["count(*) AS n"]
+        for i in range(rng.randint(1, 3)):
+            kind = rng.choice(["sum_int", "cnt", "minmax_str", "sum_dbl"])
+            if kind == "sum_int":
+                e_s, e_d = pick(("int",))
+                aggs_s.append(f"CAST(sum({e_s}) AS BIGINT) AS a{i}")
+                aggs_d.append(f"CAST(sum({e_d}) AS BIGINT) AS a{i}")
+            elif kind == "cnt":
+                e_s, e_d = pick(("int", "str", "dbl"))
+                aggs_s.append(f"count({e_s}) AS a{i}")
+                aggs_d.append(f"count({e_d}) AS a{i}")
+            elif kind == "minmax_str":
+                fn = rng.choice(["min", "max"])
+                e_s, e_d = pick(("str",))
+                aggs_s.append(f"{fn}({e_s}) AS a{i}")
+                aggs_d.append(f"{fn}({e_d}) AS a{i}")
+            else:
+                fn = rng.choice(["sum", "min", "max"])
+                e_s, e_d = pick(("dbl",))
+                aggs_s.append(f"{fn}({e_s}) AS a{i}")
+                aggs_d.append(f"{fn}({e_d}) AS a{i}")
+        return (
+            f"SELECT {', '.join(aggs_s)} FROM jdocs{pred_s}",
+            f"SELECT {', '.join(aggs_d)} FROM jdocs{pred_d}",
+        )
+    # grouped aggregate on an extraction
+    g_s, g_d = pick(("str", "int", "znull"))
+    e_s, e_d = pick(("int",))
+    return (
+        f"SELECT {g_s} AS g, count(*) AS n,"
+        f" CAST(sum({e_s}) AS BIGINT) AS s"
+        f" FROM jdocs{pred_s} GROUP BY {g_s}",
+        f"SELECT {g_d} AS g, count(*) AS n,"
+        f" CAST(sum({e_d}) AS BIGINT) AS s"
+        f" FROM jdocs{pred_d} GROUP BY {g_d}",
+    )
+
+
 @pytest.fixture(scope="module")
 def engines(spark):
     from etl_dag_paris_velib_spark.sources.tpch import register_views
@@ -810,6 +991,18 @@ def engines(spark):
         "      ELSE 's' || CAST(i % 5 AS VARCHAR) END AS v_str"
         " FROM generate_series(0, 999) t(i)"
     )
+    # grammar #18 corpus: the jdoc body text is SHARED between the two
+    # view definitions, so both engines parse byte-identical JSON
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW jdocs AS SELECT id, "
+        + _JDOC_EXPR
+        + " AS j FROM range(1000)"
+    )
+    con.execute(
+        "CREATE VIEW jdocs AS SELECT id, "
+        + _JDOC_EXPR
+        + " AS j FROM (SELECT i AS id FROM generate_series(0, 999) t(i))"
+    )
     # Spark reads events.ts as TIMESTAMP_NTZ micro-truncated; none of the
     # grammar's columns touch ts, so no normalization is needed here.
     return spark, con
@@ -830,6 +1023,24 @@ def _compare(engines, sql: str) -> None:
     assert len(srows) == len(drows), f"row count diverged for: {sql}"
     assert canon_hash(scols, srows) == canon_hash(dcols, drows), (
         f"value hash diverged for: {sql}"
+    )
+
+
+def _compare_pair(engines, spark_sql: str, duck_sql: str) -> None:
+    """The grammar-#18 comparator: same gate as :func:`_compare`, but the
+    two engines run DIALECT-PAIRED texts generated from one seed (the
+    VARIANT extraction functions have no shared spelling)."""
+    spark, con = engines
+    sdf = spark.sql(spark_sql)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    dd = con.execute(duck_sql)
+    dcols = [d[0] for d in dd.description]
+    drows = dd.fetchall()
+    assert sorted(scols) == sorted(dcols), f"schema diverged for: {spark_sql}"
+    assert len(srows) == len(drows), f"row count diverged for: {spark_sql}"
+    assert canon_hash(scols, srows) == canon_hash(dcols, drows), (
+        f"value hash diverged for:\n  spark: {spark_sql}\n  duck : {duck_sql}"
     )
 
 
@@ -1083,3 +1294,63 @@ def test_lineitem_key_is_not_unique_but_grammars_are_tie_invariant(engines):
     assert canon_hash(["g", "k", "rn"], srows) == canon_hash(
         ["g", "k", "rn"], drows
     )
+
+
+@pytest.mark.parametrize("seed", list(range(15)))
+def test_fuzzed_variant_matches_duckdb(engines, seed):
+    _compare_pair(engines, *_gen_variant_query(random.Random(24000 + seed)))
+
+
+def test_variant_fractional_to_int_divergence(engines):
+    """Pins the one real divergence grammar #18's construction
+    surfaced: extracting a FRACTIONAL JSON number as an integer. Spark's
+    variant cast truncates toward zero (2.5 -> 2, 3.5 -> 3, 2.7 -> 2,
+    -2.5 -> -2); DuckDB's JSON-to-BIGINT cast rounds half-even
+    (2.5 -> 2, 3.5 -> 4, 2.7 -> 3, -2.5 -> -2). 3.5 and 2.7 disagree,
+    so the grammar extracts the fractional '$.x' field as DOUBLE only;
+    integer extraction is reserved for integral fields (where both
+    engines agree exactly)."""
+    spark, con = engines
+    docs = ['{"x":2.5}', '{"x":3.5}', '{"x":2.7}', '{"x":-2.5}']
+    got_spark = [
+        spark.sql(
+            "SELECT try_variant_get(parse_json('" + d + "'), '$.x',"
+            " 'bigint') AS v"
+        ).first()["v"]
+        for d in docs
+    ]
+    got_duck = [
+        con.execute(
+            "SELECT TRY_CAST(json_extract('" + d + "', '$.x') AS BIGINT)"
+        ).fetchone()[0]
+        for d in docs
+    ]
+    assert got_spark == [2, 3, 2, -2]   # truncation toward zero
+    assert got_duck == [2, 4, 3, -2]    # round half-even
+    assert got_spark != got_duck
+
+
+def test_variant_null_vs_missing_discrimination(engines):
+    """The znull discriminator both sides of grammar #18 rely on:
+    {\"z\":null} (key present, JSON null) must count as TRUE, a missing
+    key and a non-null value as FALSE, in BOTH engines — Spark via
+    is_variant_null(try_variant_get(...)), DuckDB via
+    json_type(...) = 'NULL' (coalesced: json_type is SQL NULL, not
+    false, on a missing key — the asymmetry the coalesce hides)."""
+    spark, con = engines
+    docs = ['{"z":null}', '{"k":1}', '{"z":5}']
+    want = [True, False, False]
+    got_spark = [
+        spark.sql(
+            "SELECT coalesce(is_variant_null(try_variant_get("
+            f"parse_json('{d}'), '$.z')), false) AS v"
+        ).first()["v"]
+        for d in docs
+    ]
+    got_duck = [
+        con.execute(
+            f"SELECT coalesce(json_type('{d}', '$.z') = 'NULL', false)"
+        ).fetchone()[0]
+        for d in docs
+    ]
+    assert got_spark == want and got_duck == want

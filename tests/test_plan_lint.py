@@ -72,6 +72,13 @@ BNLJ_WHITELIST = {
     "frame, and the O(|Q| x codebook x m) ADC lookup table",
     "q140_vocab_growth_curve": "1-row corpus-count broadcast cross join "
     "onto the vocab/doc streams (q50's bounds pattern)",
+    "q141_ivfadc_residual_topk": "q139's bounded broadcasts in residual "
+    "form: coarse/sub codebooks, the 8-row subspace grid, the |Q|-row "
+    "query frame, and the per-probed-list O(|Q| x nprobe x m x ks) "
+    "residual LUT — all bounded, data-independent build sides",
+    "q142_rrf_query_vectors": "q137's |Q|-row query-vector broadcast "
+    "against the embedding table (same rrf_hybrid engine, explicit "
+    "vector table instead of BM25-seeded)",
 }
 
 #: query -> why its unpartitioned Window (single-partition WindowExec —

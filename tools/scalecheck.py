@@ -56,6 +56,9 @@ HEADLINE = (
     "q136_pq_adc_recall",         # PQ encode + ADC LUT join sweep (r07)
     "q139_ivfadc_topk",           # composed IVF routing + ADC (r07)
     "q140_vocab_growth_curve",    # first-occurrence vocab shuffle (r07)
+    "q141_ivfadc_residual_topk",  # residual IVFADC: per-list LUT joins (r08)
+    "q142_rrf_query_vectors",     # hybrid RRF, explicit query vectors (r08)
+    "q143_variant_path_matrix",   # VARIANT parse-once path extraction (r08)
     "q124_masked_lm_pairs",     # posexplode + order-preserving reassembly (r06)
     "q125_source_kl_drift",     # two grouped passes + vocab window (r06)
     "q126_centroid_drift",      # exploded-dim partials, folded global (r06)

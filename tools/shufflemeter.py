@@ -35,6 +35,19 @@ sys.path.insert(0, ROOT)
 
 from tools.scalecheck import HEADLINE  # noqa: E402
 
+#: SHUFFLE.md sweeps more than the scaling HEADLINE: the eval/recall
+#: tier and the r08 additions belong in the movement ledger even though
+#: their wall time doesn't earn a scaling row. q135 (streaming
+#: crash-restart) is excluded like all streaming specs — its stages run
+#: on the StreamingQuery thread outside the job group (see header note).
+LEDGER_EXTRA = (
+    "q132_quality_threshold_sweep",
+    "q133_ivf_recall_curve",
+    "q134_srp_recall_curve",
+    "q137_rrf_hybrid_retrieval",
+    "q138_retrieval_eval_metrics",
+)
+
 
 def _get(url: str):
     with urllib.request.urlopen(url, timeout=30) as r:
@@ -109,7 +122,8 @@ def main() -> None:
         json_out = args[i + 1]
         args = args[:i] + args[i + 2 :]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
-    names = tuple(args[1:]) or HEADLINE
+    names = tuple(args[1:]) or (HEADLINE + LEDGER_EXTRA)
+    names = tuple(dict.fromkeys(names))  # HEADLINE/EXTRA overlap-proof
 
     spark = get_spark()
     per_query = measure_queries(spark, names, sf_dir)
@@ -137,10 +151,11 @@ def main() -> None:
         "The top movers are BUDGETED: tests/test_shuffle_budget.py re-measures",
         "them at sf0.01 in CI and fails when a plan change doubles a query's",
         "shuffle bytes (ledger: tools/shuffle_budget.json).",
-        "Streaming rows (q108/q110) read ~0 here: their stages run on the",
-        "StreamingQuery's own thread, outside the caller's job group — their",
-        "state/shuffle profile is documented in EXPLAIN.md instead (dedup",
-        "state O(keys/watermark), agg state O(groups)).",
+        "Streaming rows (q108/q110; q135 is excluded outright) read ~0",
+        "here: their stages run on the StreamingQuery's own thread, outside",
+        "the caller's job group — their state/shuffle profile is documented",
+        "in EXPLAIN.md instead (dedup state O(keys/watermark), agg state",
+        "O(groups)).",
         "Regenerate: python tools/shufflemeter.py",
         "",
         "| query | stages | input MB | shuffle write MB | shuffle read MB | spill MB |",

@@ -39,8 +39,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import shingle_hashes60, shingles, tokens
-from ..functions.udfs import make_minhash_sig_udf, simhash64_udf
+from ..functions.text import (
+    minhash_signature_int,
+    shingle_hashes60,
+    shingles,
+    tokens,
+)
+from ..functions.udfs import simhash64_udf
 from ..functions.vector import dot, l2_norm
 
 
@@ -113,6 +118,51 @@ def _hashed_shingle_sets(
     )
 
 
+def _persist_udf_cache(df: DataFrame) -> DataFrame:
+    """persist() + EAGER materialization under non-adaptive capture,
+    for cached plans whose lineage contains a pandas UDF.
+
+    Two documented Spark 4.1.2 failure modes motivate it (r08 sf3.0
+    dedup-stress findings, see also the repo-wide persist gotcha):
+    (1) the SECOND build of a pandas-UDF-bearing cache in one session
+    plans WITHOUT the Python-UDF extraction — observed directly: an
+    sf1.0-then-sf3.0 session's second cand plan showed the raw
+    minhash_sig inside a plain Project, no ArrowEvalPython node — and
+    dies in the cache serializer; (2) at large stage stats, AQE's
+    stage preparation can lose the extraction from the EXECUTED stage
+    even on a first build ([INTERNAL_ERROR] Cannot evaluate expression
+    in an InterpretedUnsafeProjection, seen under both an
+    ObjectHashAggregate sort-fallback and a shuffle write). Capturing
+    the cached plan with AQE off (the conf must be off BEFORE
+    ``persist()`` — the CacheManager snapshots the inner plan then;
+    toggling around only the count() leaves an adaptive inner plan)
+    and materializing it eagerly pins a final, extraction-complete
+    plan: verified adaptive=0 / ArrowEvalPython present. This HARDENS
+    the cache build; it is not a complete cure for (2) — the durable
+    fix where (2) actually bit was removing the UDF from the hot
+    lineage entirely (_minhash_candidates now uses the JVM signature).
+    Cost of non-adaptive capture: partition coalescing on one
+    well-shaped shuffle — nothing; the build's shape is static. Once
+    materialized, consumers plan against the InMemoryTableScan, which
+    AQE handles safely.
+    """
+    conf = df.sparkSession.conf
+    try:
+        prev = conf.get("spark.sql.adaptive.enabled")
+    except Exception:
+        prev = None
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = df.persist()
+        df.count()
+    finally:
+        if prev is None:
+            conf.unset("spark.sql.adaptive.enabled")
+        else:
+            conf.set("spark.sql.adaptive.enabled", prev)
+    return df
+
+
 def _bucket_pairs(banded: DataFrame, member: "F.Column") -> DataFrame:
     """(band, band_key, member) -> distinct candidate pairs (id_a < id_b).
 
@@ -123,6 +173,20 @@ def _bucket_pairs(banded: DataFrame, member: "F.Column") -> DataFrame:
     the sorted member array; bucket sizes are bounded by real near-dup
     cluster sizes, the LSH premise (AQE skew-split catches pathological
     buckets).
+
+    Upstream-fragility note (r08 sf3.0 dedup-stress finding): feeding
+    this aggregate from a plan whose lineage contains a pandas UDF
+    deterministically crashed warmed sessions at 150k docs —
+    [INTERNAL_ERROR] Cannot evaluate expression: minhash_sig(...) from
+    an InterpretedUnsafeProjection in the aggregate/shuffle stage; the
+    Python-UDF extraction goes missing from the executed stage under
+    AQE (reproduced with persist on/off, AQE off at persist, and an RDD
+    barrier; only session-cold runs escaped). The durable fix was
+    upstream: no caller of this helper leaves a pandas UDF below the
+    bucket aggregate — minhash computes its signature as a JVM
+    expression (_minhash_candidates), and simhash eagerly materializes
+    its UDF-bearing hash cache first (_persist_udf_cache), so the
+    aggregate stage only ever scans an InMemoryRelation.
     """
     buckets = (
         banded.groupBy("band", "band_key")
@@ -199,23 +263,52 @@ def _minhash_candidates(
         sh = sh.persist()
     if cache_key is not None and cache_key in _PAIR_CACHE:
         return sh, _PAIR_CACHE[cache_key]
-    # Arrow-vectorized signature (bit-identical to the JVM
-    # functions.text.minhash_signature_int; see functions/udfs.py for why
-    # the UDF wins here: HOF lambdas are interpreted, k x |shingles| evals)
-    sig = sh.select("id", make_minhash_sig_udf(k)(F.col("sh")).alias("sig"))
-    band_arr = F.array(
-        *[
-            F.array_join(
-                F.transform(F.slice("sig", b * r + 1, r), lambda x: x.cast("string")),
-                "|",
-            )
-            for b in range(bands)
-        ]
+    # JVM-expression signature (bit-identical to the Arrow pandas UDF
+    # make_minhash_sig_udf — the property test pins it). The UDF was the
+    # original choice (interpreted HOF lambdas lose a microbench of the
+    # bare signature stage badly), but r08's sf3.0 dedup-stress rung
+    # flipped the decision twice over: (1) END-TO-END the JVM chain
+    # builds the candidate cache FASTER at 150k docs (41.6s vs 54.1s —
+    # the UDF path pays Arrow serialization of the full shingle-string
+    # arrays into Python, which dwarfs the lambda interpretation), and
+    # (2) a pandas UDF anywhere in this lineage deterministically
+    # crashes warmed sessions at that scale with [INTERNAL_ERROR]
+    # Cannot evaluate expression: minhash_sig(...) from an
+    # InterpretedUnsafeProjection — an upstream Spark 4.1.2 planning
+    # defect (AQE stage preparation loses the Python-UDF extraction;
+    # reproduced with persist on/off, AQE on/off at persist, and an RDD
+    # barrier — only session-cold runs escape). Keeping the hot path
+    # JVM-side removes the bug class from the dedup family outright.
+    # let-binding idiom (element_at(transform(array(e)), 1) — same trick
+    # the shingle expression uses): the signature is referenced by all
+    # ``bands`` band expressions, and without a binding CollapseProject
+    # inlines the k-lane array_min fan-out into EACH of them — an 8x
+    # re-evaluation the old ArrowEvalPython node used to prevent by
+    # materializing sig as a physical operator (measured: q21 1.8s -> 5.8s
+    # at sf0.1 without the binding, back to ~2s with it)
+    def _bands_from(s):
+        return F.array(
+            *[
+                F.array_join(
+                    F.transform(
+                        F.slice(s, b * r + 1, r), lambda x: x.cast("string")
+                    ),
+                    "|",
+                )
+                for b in range(bands)
+            ]
+        )
+
+    band_arr = F.element_at(
+        F.transform(
+            F.array(minhash_signature_int(F.col("sh"), k)), _bands_from
+        ),
+        1,
     )
-    banded = sig.select("id", F.posexplode(band_arr).alias("band", "band_key"))
+    banded = sh.select("id", F.posexplode(band_arr).alias("band", "band_key"))
     cand = _bucket_pairs(banded, F.col("id"))
     if cache_key is not None:
-        cand = cand.persist()
+        cand = cand.persist()  # UDF-free lineage since r08: plain persist
         while len(_PAIR_CACHE) >= _PAIR_CACHE_MAX:
             _, old = _PAIR_CACHE.popitem(last=False)
             try:
@@ -630,8 +723,10 @@ def simhash_pairs(
         simhash64_udf(F.array_distinct(tokens(F.col(text_col)))).alias("h"),
     )
     if persist_intermediate:
-        # one long per doc; both sides of the band self-join read it
-        hashed = hashed.persist()
+        # one long per doc; both sides of the band self-join read it.
+        # Same pandas-UDF-in-cache hazard as the minhash cand build
+        # (simhash64_udf sits in the persisted projection), same fix.
+        hashed = _persist_udf_cache(hashed)
     mask = (1 << band_bits) - 1
     band_arr = F.array(
         *[

@@ -378,3 +378,59 @@ def test_residual_ivfadc_beats_raw_codes_on_clustered_geometry(spark):
     # last-ulp partial-sum nondeterminism in the trained coarse means
     assert r_res >= r_raw + 0.2, (r_res, r_raw)
     assert r_res >= 0.9, r_res
+
+
+def test_ivfadc_with_saturated_codebook_is_exact(spark):
+    """Degenerate-exactness invariant: with ks >= list size every
+    residual slice becomes its own code (Lloyd init = the points,
+    assignments are identity, means stay put), so the ADC estimate
+    ||q_res_j - code_j||^2 summed over subspaces IS the true squared-L2
+    distance — (q - c) - (v - c) == q - v term by term. On INTEGER
+    vectors and INTEGER centroids every subtraction/product/sum is
+    exact in doubles, so ivfadc_topk with nprobe = #lists must
+    reproduce the brute-force squared-L2 top-k EXACTLY — ids, order,
+    and adc_dist values — in both residual and raw-code forms. This
+    certifies the assign/encode/LUT/ADC join machinery itself, not
+    just 'recall is decent'."""
+    import numpy as np
+
+    from etl_dag_paris_velib_spark.operators.similarity import ivfadc_topk
+
+    rng = np.random.RandomState(11)
+    n, dim = 60, 8
+    X = rng.randint(0, 21, size=(n, dim)).astype(np.float64)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    # integer centroids picked from the corpus -> residuals stay exact
+    cent_ids = [0, 20, 40]
+    cents = spark.createDataFrame(
+        [(ci, [float(x) for x in X[vid]]) for ci, vid in enumerate(cent_ids)],
+        "c_id long, cv array<double>",
+    )
+    q_ids = [1, 7, 13, 29, 55]
+    queries = spark.createDataFrame(
+        [(int(q), [float(x) for x in X[q]]) for q in q_ids],
+        "q_id long, qv array<double>",
+    )
+
+    k = 10
+    want = {}
+    for q in q_ids:
+        d = ((X - X[q]) ** 2).sum(axis=1)
+        order = [i for i in np.argsort(d, kind="stable") if i != q]
+        # brute-force key (dist, vec_id) == the operator's (adc, vec_id)
+        order.sort(key=lambda i: (d[i], i))
+        want[q] = [(i, d[i]) for i in order[:k]]
+
+    for residual in (True, False):
+        got = {}
+        res = ivfadc_topk(
+            emb, queries, cents, k=k, nprobe=len(cent_ids), m=4, ks=n,
+            residual=residual, pq_iterations=2,
+        ).collect()
+        for r in res:
+            got.setdefault(r["q_id"], []).append((r["vec_id"], r["adc_dist"]))
+        for q in q_ids:
+            assert got[q] == want[q], (residual, q, got[q][:3], want[q][:3])

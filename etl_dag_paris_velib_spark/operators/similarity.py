@@ -118,6 +118,42 @@ def _hashed_shingle_sets(
     )
 
 
+def _signature_bands(sh: DataFrame, k: int, bands: int) -> DataFrame:
+    """(id, sh) -> exploded (id, band, band_key) LSH band table.
+
+    The signature is the JVM expression minhash_signature_int (see the
+    r08 note in _minhash_candidates for why not the Arrow UDF), under
+    the let-binding idiom (element_at(transform(array(e)), 1) — the
+    same trick the shingle expression uses): the signature is
+    referenced by all ``bands`` band expressions, and without a binding
+    CollapseProject inlines the k-lane array_min fan-out into EACH of
+    them — an 8x re-evaluation the old ArrowEvalPython node used to
+    prevent by materializing sig as a physical operator (measured:
+    q21 1.8s -> 5.8s at sf0.1 without the binding, ~2s with it)."""
+    r = k // bands
+
+    def _bands_from(s):
+        return F.array(
+            *[
+                F.array_join(
+                    F.transform(
+                        F.slice(s, b * r + 1, r), lambda x: x.cast("string")
+                    ),
+                    "|",
+                )
+                for b in range(bands)
+            ]
+        )
+
+    band_arr = F.element_at(
+        F.transform(
+            F.array(minhash_signature_int(F.col("sh"), k)), _bands_from
+        ),
+        1,
+    )
+    return sh.select("id", F.posexplode(band_arr).alias("band", "band_key"))
+
+
 def _persist_udf_cache(df: DataFrame) -> DataFrame:
     """persist() + EAGER materialization under non-adaptive capture,
     for cached plans whose lineage contains a pandas UDF.
@@ -234,7 +270,6 @@ def _minhash_candidates(
     (q21/q42) and the edit-distance family (q46) share the identical
     signature → band → bucket chain, so the second family re-verifies
     from the cached candidates instead of re-hashing the corpus."""
-    r = k // bands
     try:
         cache_key = (
             "cand",
@@ -279,33 +314,7 @@ def _minhash_candidates(
     # reproduced with persist on/off, AQE on/off at persist, and an RDD
     # barrier — only session-cold runs escape). Keeping the hot path
     # JVM-side removes the bug class from the dedup family outright.
-    # let-binding idiom (element_at(transform(array(e)), 1) — same trick
-    # the shingle expression uses): the signature is referenced by all
-    # ``bands`` band expressions, and without a binding CollapseProject
-    # inlines the k-lane array_min fan-out into EACH of them — an 8x
-    # re-evaluation the old ArrowEvalPython node used to prevent by
-    # materializing sig as a physical operator (measured: q21 1.8s -> 5.8s
-    # at sf0.1 without the binding, back to ~2s with it)
-    def _bands_from(s):
-        return F.array(
-            *[
-                F.array_join(
-                    F.transform(
-                        F.slice(s, b * r + 1, r), lambda x: x.cast("string")
-                    ),
-                    "|",
-                )
-                for b in range(bands)
-            ]
-        )
-
-    band_arr = F.element_at(
-        F.transform(
-            F.array(minhash_signature_int(F.col("sh"), k)), _bands_from
-        ),
-        1,
-    )
-    banded = sh.select("id", F.posexplode(band_arr).alias("band", "band_key"))
+    banded = _signature_bands(sh, k, bands)
     cand = _bucket_pairs(banded, F.col("id"))
     if cache_key is not None:
         cand = cand.persist()  # UDF-free lineage since r08: plain persist
@@ -1530,4 +1539,87 @@ def ivfadc_topk(
         adc.withColumn("_rn", F.row_number().over(w_out))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
+    )
+
+
+def incremental_lsh_pairs(
+    base: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    base_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental near-dup maintenance: verified pairs (id_a < id_b,
+    exact Jaccard >= threshold) INVOLVING at least one ``delta`` doc —
+    the daily-crawl-increment shape of :func:`minhash_lsh_pairs`.
+
+    At 100 TB the full pair recomputation is the wrong plan: the base
+    corpus's band table is a stored index (one (id, band, band_key) row
+    per band per doc — the same artifact :func:`minhash_lsh_pairs`
+    explodes transiently), and each increment only (1) bands the NEW
+    docs, (2) joins delta bands against base+delta bands, (3) verifies
+    the candidates. Base-vs-base pairs are never re-enumerated — the
+    candidate join's left side is |delta| * bands rows regardless of
+    corpus size, so the bucket join prunes to buckets a new doc
+    actually touches. Pass ``base_bands`` (a previously materialized
+    (id, band, band_key) table, e.g. read back from parquet) to skip
+    re-banding the base corpus entirely; by default it is derived from
+    ``base`` in-plan (still never pair-fanned against itself).
+
+    EQUIVALENCE (the oracle's form, proven by construction and pinned
+    by tests/test_llm_operators.py): a pair shares >= 1 band bucket
+    with one side in delta iff it appears in the FULL LSH pair set and
+    touches delta — so the output is exactly
+    ``minhash_lsh_pairs(base UNION delta)`` filtered to pairs with a
+    delta member. Verification is the same exact-Jaccard on distinct
+    60-bit shingle hashes, so precision stays 1.0 by construction.
+    """
+    all_df = base.unionByName(delta)
+    sh = _shingle_sets(all_df, id_col, text_col, shingle_n).select(
+        "id", "sh", shingle_hashes60(F.col("sh")).alias("hs")
+    )
+    delta_sh = _shingle_sets(delta, id_col, text_col, shingle_n).select(
+        "id", "sh"
+    )
+    delta_bands = _signature_bands(delta_sh, k, bands)
+    if base_bands is None:
+        base_sh = _shingle_sets(base, id_col, text_col, shingle_n).select(
+            "id", "sh"
+        )
+        base_bands = _signature_bands(base_sh, k, bands)
+    all_bands = base_bands.select("id", "band", "band_key").unionByName(
+        delta_bands.select("id", "band", "band_key")
+    )
+    d, a = delta_bands.alias("d"), all_bands.alias("a")
+    cand = (
+        d.join(
+            a,
+            (F.col("d.band") == F.col("a.band"))
+            & (F.col("d.band_key") == F.col("a.band_key"))
+            & (F.col("d.id") != F.col("a.id")),
+        )
+        .select(
+            F.least("d.id", "a.id").alias("id_a"),
+            F.greatest("d.id", "a.id").alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("id").alias("ia"), F.col("hs").alias("hsa"))
+    sb = sh.select(F.col("id").alias("ib"), F.col("hs").alias("hsb"))
+    return (
+        cand.join(sa, F.col("id_a") == F.col("ia"))
+        .join(sb, F.col("id_b") == F.col("ib"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("hsa", "hsb"))
+                / F.size(F.array_union("hsa", "hsb"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )

@@ -61,6 +61,10 @@ REGISTRY.merge(_streamq)
 # Demoted: the 94 below — every r06/r07-green spec whose newest row is
 # fresh enough to sit out a round.
 DEMOTED = (
+    # born-demoted this round (the r08 window was already full when the
+    # spec landed; parity-swept now, rotates into the driver window next
+    # round with the rest of the tail)
+    "q144_incremental_lsh_pairs",
     # r07-green (freshest driver evidence, lowest marginal value)
     "q107_association_rules",
     "q109_frequent_triples",

@@ -3240,3 +3240,50 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= 10)
         .select("q_id", "vec_id", F.round("adc", 6).alias("adc_dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q144 — INCREMENTAL LSH maintenance: delta docs vs the corpus
+# ---------------------------------------------------------------------------
+@L.add(
+    "q144_incremental_lsh_pairs",
+    oracle=f"""
+WITH {_SQL_MINHASH_CAND},
+scored AS (
+  SELECT id_a, id_b,
+         len(list_intersect(sa.hs, sb.hs))::DOUBLE / len(list_distinct(sa.hs || sb.hs)) AS j
+  FROM cand
+  JOIN hsets sa ON sa.doc_id = cand.id_a
+  JOIN hsets sb ON sb.doc_id = cand.id_b
+)
+SELECT id_a, id_b, round(j, 6) AS jaccard FROM scored
+WHERE j >= 0.5 AND (id_a % 7 = 0 OR id_b % 7 = 0)
+""",
+    doc="Incremental near-dup maintenance (operators/similarity.py:"
+    "incremental_lsh_pairs) — the daily-crawl-increment shape: docs with "
+    "doc_id % 7 = 0 play the NEW batch, the rest the existing corpus; "
+    "the engine bands only the delta, joins delta bands against the "
+    "base+delta band table, and verifies candidates — base-vs-base "
+    "pairs are never re-enumerated, so per-increment work is "
+    "O(|delta| x bands) join probes against the stored band index "
+    "(passed in via base_bands in production; derived in-plan here). "
+    "The oracle exploits the construction equivalence: delta-joined "
+    "candidates == the FULL q21 pair set filtered to pairs touching "
+    "delta (same shared _SQL_MINHASH_CAND chain, one extra predicate), "
+    "so the hash-match certifies the incremental path produces exactly "
+    "the full recomputation's answer for the affected pairs — the "
+    "correctness contract an incremental index must honor. Same "
+    "exact-Jaccard verify on 60-bit shingle hashes; precision 1.0 by "
+    "construction. Reference counterpart: none (north-star extension).",
+    tags=("dedup", "lsh", "incremental", "llm"),
+)
+def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import incremental_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") % 7 != 0)
+    delta = docs.filter(F.col("doc_id") % 7 == 0)
+    pairs = incremental_lsh_pairs(base, delta)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )

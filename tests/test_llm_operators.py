@@ -885,3 +885,49 @@ def test_simhash_cache_rebuild_after_clear(spark):
     clear_plan_caches(spark)
     second = simhash_pairs(docs).count()  # second in-session cache build
     assert first == second and first > 0
+
+
+def test_incremental_lsh_equals_filtered_full_recompute(spark):
+    """The incremental-index correctness contract (q144): pairs from
+    incremental_lsh_pairs(base, delta) must EXACTLY equal the full
+    minhash_lsh_pairs(base UNION delta) output filtered to pairs
+    touching delta — ids and jaccard values both. Also pins the
+    production seam: passing a PRE-MATERIALIZED base band table
+    (base_bands) changes nothing."""
+    from etl_dag_paris_velib_spark.operators.similarity import (
+        _shingle_sets,
+        _signature_bands,
+        incremental_lsh_pairs,
+        minhash_lsh_pairs,
+    )
+
+    docs = _docs(spark)
+    base = docs.filter(F.col("doc_id") % 7 != 0)
+    delta = docs.filter(F.col("doc_id") % 7 == 0)
+
+    full = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in minhash_lsh_pairs(docs, persist_intermediate=False).collect()
+    }
+    want = {
+        p: j for p, j in full.items() if p[0] % 7 == 0 or p[1] % 7 == 0
+    }
+    assert want, "planted near-dups should include delta-touching pairs"
+    assert want != full, "filter must actually drop base-base pairs"
+
+    got = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in incremental_lsh_pairs(base, delta).collect()
+    }
+    assert got == want
+
+    # production seam: a previously materialized band index round-trips
+    base_sh = _shingle_sets(base, "doc_id", "text", 3).select("id", "sh")
+    stored = _signature_bands(base_sh, 16, 8)
+    got2 = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in incremental_lsh_pairs(
+            base, delta, base_bands=stored
+        ).collect()
+    }
+    assert got2 == want

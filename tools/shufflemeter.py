@@ -46,6 +46,7 @@ LEDGER_EXTRA = (
     "q134_srp_recall_curve",
     "q137_rrf_hybrid_retrieval",
     "q138_retrieval_eval_metrics",
+    "q144_incremental_lsh_pairs",
 )
 
 

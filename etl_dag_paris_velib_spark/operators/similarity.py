@@ -53,9 +53,14 @@ from ..functions.vector import dot, l2_norm
 # MinHash-LSH
 # ---------------------------------------------------------------------------
 
+import threading
 from collections import OrderedDict
 
 from ..cacheutil import register_cache_clearer, session_token
+
+#: serializes the session-global AQE toggle in _persist_udf_cache (see
+#: that docstring's CONCURRENCY note)
+_AQE_TOGGLE_LOCK = threading.Lock()
 
 #: bounded LRU of persisted verified-pair DataFrames (see
 #: minhash_lsh_pairs); one entry per (session, input-plan, params)
@@ -181,21 +186,33 @@ def _persist_udf_cache(df: DataFrame) -> DataFrame:
     well-shaped shuffle — nothing; the build's shape is static. Once
     materialized, consumers plan against the InMemoryTableScan, which
     AQE handles safely.
+
+    CONCURRENCY: ``spark.sql.adaptive.enabled`` is session-global, so
+    the toggle is serialized behind a module-level lock — two
+    concurrent cache builds in one session would otherwise race on the
+    save/restore (one restoring the other's "previous" value). The lock
+    covers THIS function only: a query planned concurrently on the same
+    session by code outside this module is still planned with AQE off
+    for the duration of the build. That is the documented trade — the
+    repo's execution model is one logical query stream per session
+    (driver harness, bench, and tests all comply); sessions shared
+    across threads must treat cache builds as a serialization point.
     """
     conf = df.sparkSession.conf
-    try:
-        prev = conf.get("spark.sql.adaptive.enabled")
-    except Exception:
-        prev = None
-    conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        df = df.persist()
-        df.count()
-    finally:
-        if prev is None:
-            conf.unset("spark.sql.adaptive.enabled")
-        else:
-            conf.set("spark.sql.adaptive.enabled", prev)
+    with _AQE_TOGGLE_LOCK:
+        try:
+            prev = conf.get("spark.sql.adaptive.enabled")
+        except Exception:
+            prev = None
+        conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            df = df.persist()
+            df.count()
+        finally:
+            if prev is None:
+                conf.unset("spark.sql.adaptive.enabled")
+            else:
+                conf.set("spark.sql.adaptive.enabled", prev)
     return df
 
 
@@ -1353,6 +1370,7 @@ def ivfadc_topk(
     train_id_bound: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    on_untrained_list: str = "raise",
 ) -> DataFrame:
     """IVFADC search over a TRAINED coarse codebook — the production
     composition of :func:`ivf_topk` routing and PQ/ADC scoring, with the
@@ -1377,12 +1395,36 @@ def ivfadc_topk(
     Execution shape at 100 TB: assignment is one broadcast pass (the
     codebook IS driver state, ``centroids`` from
     ``operators.clustering.kmeans_centroids``); sub-codebook training is
-    one shuffle of dim/m-wide slices grouped per (list, subspace) with
-    ``train_cap`` bounding each group's in-memory block (FAISS trains on
-    a sample the same way); the trained codebooks (lists*m*ks rows)
-    broadcast back for encode; search touches only probed lists and the
-    searched representation is one coarse id + m codes per vector — raw
-    vectors never enter the search path.
+    one shuffle of dim/m-wide slices grouped per (list, subspace).
+    MEMORY BOUND: it is ``train_id_bound`` — not ``train_cap`` — that
+    bounds a training group's memory, because ``applyInPandas``
+    materializes the WHOLE group as one pandas block before
+    ``head(train_cap)`` runs; ``train_cap`` only truncates what the
+    Lloyd loop then sees. At corpus scale ALWAYS set ``train_id_bound``
+    (FAISS likewise trains its PQ on a sample): it filters the rows
+    shuffled into the groups, so with ``residual=False`` an unbounded
+    run would materialize the entire corpus slice per subspace group.
+    The trained codebooks (lists*m*ks rows) broadcast back for encode;
+    search touches only probed lists and the searched representation is
+    one coarse id + m codes per vector — raw vectors never enter the
+    search path.
+
+    UNTRAINED-LIST GUARD (``residual=True`` + ``train_id_bound``): a
+    coarse list whose members ALL sit above the id bound trains no
+    sub-codebook, and the inner joins at encode/LUT would silently drop
+    every vector assigned to it and every candidate from probing it — a
+    silent recall hole at exactly the at-scale operating point. The
+    operator therefore eagerly diffs assigned lists against trained
+    lists (one extra assignment pass with O(#lists) output, only in
+    this configuration) and applies ``on_untrained_list``:
+
+    - ``"raise"`` (default): fail with the uncovered list ids — pick a
+      larger/better-mixed ``train_id_bound``.
+    - ``"global"``: train ONE pooled per-subspace codebook from the
+      same id-bounded residual stream and use it for the uncovered
+      lists (their codes still quantize residuals, just against the
+      pooled codebook) — |uncovered|*m*ks extra broadcast rows, graceful
+      recall degradation instead of silent candidate loss.
     """
     from pyspark.sql.types import (
         ArrayType,
@@ -1395,6 +1437,11 @@ def ivfadc_topk(
 
     from ..functions.vector import dot_fixed
 
+    if on_untrained_list not in ("raise", "global"):
+        raise ValueError(
+            "on_untrained_list must be 'raise' or 'global', got "
+            f"{on_untrained_list!r}"
+        )
     base = _as_double(embeddings, id_col, vec_col).select("vec_id", "v")
     dim = base.select(F.size("v").alias("n")).first()["n"]
     if dim % m:
@@ -1442,9 +1489,8 @@ def ivfadc_topk(
         ]
     )
 
-    def fit_codebook(key, pdf):
+    def _pq_fit(pdf):
         import numpy as np
-        import pandas as pd
 
         pdf = pdf.sort_values("vec_id").head(train_cap)
         X = np.array(pdf["rs"].tolist(), dtype=np.float64)
@@ -1461,6 +1507,13 @@ def ivfadc_topk(
                 mask = a == ci
                 if mask.any():
                     C[ci] = X[mask].mean(axis=0)
+        return kk, C
+
+    def fit_codebook(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        kk, C = _pq_fit(pdf)
         out = {"code": np.arange(kk, dtype=np.int32), "bvec": list(C)}
         if residual:
             out = {"c_id": np.full(kk, key[0], dtype=np.int64),
@@ -1480,6 +1533,65 @@ def ivfadc_topk(
     codebook = train_src.groupBy(*group_cols).applyInPandas(
         fit_codebook, cb_schema
     )
+
+    if residual and train_id_bound is not None:
+        # UNTRAINED-LIST GUARD (see docstring): diff assigned lists
+        # against trained lists — both sides are O(#lists), the collect
+        # is bounded by the broadcast-sized coarse codebook.
+        uncovered = sorted(
+            r["c_id"]
+            for r in asg.select("c_id")
+            .distinct()
+            .join(
+                F.broadcast(codebook.select("c_id").distinct()),
+                "c_id",
+                "left_anti",
+            )
+            .collect()
+        )
+        if uncovered:
+            if on_untrained_list == "raise":
+                raise ValueError(
+                    f"ivfadc_topk: coarse lists {uncovered} have assigned "
+                    f"vectors but no member below train_id_bound="
+                    f"{train_id_bound}; their residual sub-codebooks are "
+                    "untrained and search would silently drop every vector "
+                    "in (and candidate from) those lists. Raise "
+                    "train_id_bound, or pass on_untrained_list='global' to "
+                    "fall back to a pooled per-subspace codebook."
+                )
+
+            def fit_codebook_global(key, pdf):
+                import numpy as np
+                import pandas as pd
+
+                kk, C = _pq_fit(pdf)
+                return pd.DataFrame(
+                    {
+                        "j": np.full(kk, key[0], dtype=np.int32),
+                        "code": np.arange(kk, dtype=np.int32),
+                        "bvec": list(C),
+                    }
+                )
+
+            gb_schema = StructType(
+                [
+                    StructField("j", IntegerType()),
+                    StructField("code", IntegerType()),
+                    StructField("bvec", ArrayType(DoubleType())),
+                ]
+            )
+            global_cb = train_src.groupBy("j").applyInPandas(
+                fit_codebook_global, gb_schema
+            )
+            fallback = (
+                base.sparkSession.createDataFrame(
+                    [(int(c),) for c in uncovered], "c_id long"
+                )
+                .crossJoin(global_cb)
+                .select("c_id", "j", "code", "bvec")
+            )
+            codebook = codebook.unionByName(fallback)
 
     w_enc = Window.partitionBy("vec_id", "j").orderBy("d", "code")
     enc = (
@@ -1533,7 +1645,17 @@ def ivfadc_topk(
         .select("q_id", "c_id", "vec_id")
     )
     scored = cand.join(enc, "vec_id").join(F.broadcast(lut), lut_keys)
-    adc = scored.groupBy("q_id", "vec_id").agg(F.sum("dq").alias("adc_dist"))
+    # fold dq in sorted subspace order (same idiom as the q141 registered
+    # spec): an unordered F.sum over doubles varies with partial-sum
+    # order run to run, and near-tie top-k ranks/distances could flip —
+    # the sorted-struct fold keeps the ADC estimate deterministic.
+    adc = scored.groupBy("q_id", "vec_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("j", "dq"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["dq"],
+        ).alias("adc_dist")
+    )
     w_out = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
     return (
         adc.withColumn("_rn", F.row_number().over(w_out))
@@ -1552,6 +1674,7 @@ def incremental_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     base_bands: DataFrame | None = None,
+    base_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup maintenance: verified pairs (id_a < id_b,
     exact Jaccard >= threshold) INVOLVING at least one ``delta`` doc —
@@ -1570,6 +1693,15 @@ def incremental_lsh_pairs(
     re-banding the base corpus entirely; by default it is derived from
     ``base`` in-plan (still never pair-fanned against itself).
 
+    The VERIFY stage is incremental too: exact-Jaccard needs the
+    distinct 60-bit shingle-hash sets of only the docs that appear in a
+    candidate pair, so the base corpus is semi-joined down to candidate
+    ids BEFORE any shingling — per increment the verify cost is
+    O(candidates), not O(|base|). Pass ``base_hashes`` (a previously
+    materialized (id, hs) table — the ``shingle_hashes60`` artifact,
+    the natural companion of ``base_bands`` in a stored index) to skip
+    even that re-shingle of the touched base docs.
+
     EQUIVALENCE (the oracle's form, proven by construction and pinned
     by tests/test_llm_operators.py): a pair shares >= 1 band bucket
     with one side in delta iff it appears in the FULL LSH pair set and
@@ -1578,10 +1710,6 @@ def incremental_lsh_pairs(
     delta member. Verification is the same exact-Jaccard on distinct
     60-bit shingle hashes, so precision stays 1.0 by construction.
     """
-    all_df = base.unionByName(delta)
-    sh = _shingle_sets(all_df, id_col, text_col, shingle_n).select(
-        "id", "sh", shingle_hashes60(F.col("sh")).alias("hs")
-    )
     delta_sh = _shingle_sets(delta, id_col, text_col, shingle_n).select(
         "id", "sh"
     )
@@ -1607,7 +1735,33 @@ def incremental_lsh_pairs(
             F.greatest("d.id", "a.id").alias("id_b"),
         )
         .distinct()
+        # candidates are consumed three times below (output join x2 +
+        # the verify semi-join); the pair table is tiny (id pairs only)
+        # and its lineage contains the band self-join, so persist it
+        # (module-docstring cache-lifetime contract applies)
+        .persist()
     )
+    # verify stage: hash-sets ONLY for docs that appear in a candidate
+    # pair — semi-join the base corpus down to candidate ids before any
+    # shingling (O(candidates), not O(|base|), per increment)
+    cand_ids = (
+        cand.select(F.col("id_a").alias("_cid"))
+        .unionByName(cand.select(F.col("id_b").alias("_cid")))
+        .distinct()
+    )
+    delta_hs = delta_sh.select(
+        "id", shingle_hashes60(F.col("sh")).alias("hs")
+    )
+    if base_hashes is not None:
+        base_hs = base_hashes.select("id", "hs")
+    else:
+        base_needed = base.join(
+            cand_ids, F.col(id_col) == F.col("_cid"), "left_semi"
+        )
+        base_hs = _shingle_sets(
+            base_needed, id_col, text_col, shingle_n
+        ).select("id", shingle_hashes60(F.col("sh")).alias("hs"))
+    sh = base_hs.unionByName(delta_hs)
     sa = sh.select(F.col("id").alias("ia"), F.col("hs").alias("hsa"))
     sb = sh.select(F.col("id").alias("ib"), F.col("hs").alias("hsb"))
     return (

@@ -434,3 +434,58 @@ def test_ivfadc_with_saturated_codebook_is_exact(spark):
             got.setdefault(r["q_id"], []).append((r["vec_id"], r["adc_dist"]))
         for q in q_ids:
             assert got[q] == want[q], (residual, q, got[q][:3], want[q][:3])
+
+
+def test_ivfadc_untrained_list_guard(spark):
+    """The r08 advice's recall-hole guard: with residual=True and a
+    train_id_bound that leaves a coarse list with members but no
+    training vector, ivfadc_topk must NOT silently drop that list from
+    encode/search. Default raises naming the uncovered lists;
+    on_untrained_list='global' falls back to a pooled per-subspace
+    codebook so the list's members stay searchable."""
+    import pytest
+
+    from etl_dag_paris_velib_spark.operators.similarity import ivfadc_topk
+
+    rng = np.random.RandomState(3)
+    dim = 8
+    centers = np.array([[0.0] * dim, [100.0] * dim, [-100.0] * dim])
+    rows = []
+    for ci in range(3):
+        for i in range(20):
+            v = centers[ci] + rng.normal(0.0, 1.0, size=dim)
+            rows.append((ci * 20 + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(ci, [float(x) for x in centers[ci]]) for ci in range(3)],
+        "c_id long, cv array<double>",
+    )
+    # query at cluster-2's center: nprobe=1 routes to exactly the list
+    # whose members (ids 40..59) all sit ABOVE the id bound
+    queries = spark.createDataFrame(
+        [(999, [float(x) for x in centers[2]])],
+        "q_id long, qv array<double>",
+    )
+    common = dict(k=5, nprobe=1, m=4, ks=8, residual=True)
+
+    with pytest.raises(ValueError, match="untrained"):
+        ivfadc_topk(emb, queries, cents, train_id_bound=40, **common)
+
+    got = ivfadc_topk(
+        emb, queries, cents, train_id_bound=40,
+        on_untrained_list="global", **common,
+    ).collect()
+    ids = {r["vec_id"] for r in got}
+    assert len(got) == 5 and ids <= set(range(40, 60)), ids
+
+    # no false positive: bound 41 gives list 2 one trainable member
+    ok = ivfadc_topk(
+        emb, queries, cents, train_id_bound=41, **common
+    ).collect()
+    assert len(ok) == 5
+
+    with pytest.raises(ValueError, match="on_untrained_list"):
+        ivfadc_topk(
+            emb, queries, cents, train_id_bound=40,
+            on_untrained_list="bogus", **common,
+        )

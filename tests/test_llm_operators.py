@@ -931,3 +931,18 @@ def test_incremental_lsh_equals_filtered_full_recompute(spark):
         ).collect()
     }
     assert got2 == want
+
+    # full stored-index seam: band table AND hash-set table both read
+    # back — the increment then never re-shingles a single base doc
+    from etl_dag_paris_velib_spark.functions.text import shingle_hashes60
+
+    stored_hs = base_sh.select(
+        "id", shingle_hashes60(F.col("sh")).alias("hs")
+    )
+    got3 = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in incremental_lsh_pairs(
+            base, delta, base_bands=stored, base_hashes=stored_hs
+        ).collect()
+    }
+    assert got3 == want

@@ -36,36 +36,84 @@ REGISTRY.merge(_streamq)
 # registry — window and tail — with the identical rows+schema+hash
 # comparison, so no spec anywhere lacks local differential evidence).
 #
-# Round-8 window policy (the round-7 verdict's #1 and #6 asks): the
-# 47-spec r05-era block — whose driver rows are now THREE rounds old,
-# the oldest in the repo — rotates back in. In-window (the 50 NOT
-# listed below):
-# - the full r05-era block: q01-q04, q07-q09, q11-q31, q33, q35,
-#   q37-q39, q42, q46, q48, q52, q86, q92, q93, q98, q100-q105 (47
-#   specs — every spec whose newest driver row predates r06);
-# - NEW this round: q141 (residual-form IVFADC — per-list residual
-#   codes + per-probed-list LUTs, the IndexIVFPQ structure), q142
-#   (hybrid RRF driven by a caller-supplied query-vector table — the
-#   true query-vector seam), q143 (VARIANT path matrix: nested/missing/
-#   array/null-vs-missing extraction, dialect mapping pinned by fuzz
-#   grammar #18).
-# CANARY POLICY (verdict #6): q21_near_dup_pairs and q42_dedup_clusters
+# Round-9 window policy (the round-8 verdict's #1, #2, and its q137
+# rotation nit): the 44-spec r06-era block — whose driver rows are now
+# THREE rounds old, the oldest in the repo — rotates back in, together
+# with everything that has never had (or deserves a fresh) driver row.
+# In-window (the 50 NOT listed below):
+# - the full r06-era block: q05, q06, q10, q32, q34, q36, q40, q41,
+#   q43-q45, q47, q49-q51, q53-q59, q106, q108, q112-q120 (incl. q11b),
+#   q123-q132 (44 specs — every spec whose newest driver row predates
+#   r07);
+# - q144 (incremental LSH maintenance) — born-demoted in r08, the ONLY
+#   spec that has never had a driver row (verdict #1);
+# - q137 — refactored onto the shared rrf_hybrid engine in r08 while
+#   demoted; the verdict asked that refactored specs normally rotate in;
+# - NEW this round: q145 (kmeans-TRAINED residual IVFADC through
+#   operators/similarity.py:ivfadc_topk, checked by recall-floor /
+#   probe-monotonicity / recall<=coverage invariants — the verdict's #2
+#   ask: driver evidence for the production-shaped ANN index), q146
+#   (checked-arithmetic matrix: try_multiply/try_add/try_sum/try_divide
+#   and range-capped TRY_CAST at the BIGINT/INTEGER/DECIMAL boundaries,
+#   dialect mapping pinned by fuzz grammar #19).
+# CANARY POLICY (standing): q21_near_dup_pairs and q42_dedup_clusters
 # — the LSH pair-cache builder and its consumer — keep a window slot in
-# EVERY future rotation regardless of row age, so the cache-reuse path
-# always has a fresh driver row.
-# q137 changed this round (refactored onto the shared rrf_hybrid
-# engine) but stays demoted: its window slot went to q142, which drives
-# the SAME rrf_hybrid function through the driver, and the refactor is
-# additionally diffcheck-verified + parity-swept locally.
-# After round 8 lands, every spec's newest driver row is r06 or younger.
-# Demoted: the 94 below — every r06/r07-green spec whose newest row is
-# fresh enough to sit out a round.
+# EVERY rotation regardless of row age, so the cache-reuse path always
+# has a fresh driver row.
+# After round 9 lands, every spec's newest driver row is r07 or younger
+# and no spec lacks one.
+# Demoted: the 97 below — the r08-green window (minus the canaries) and
+# the r07-green block, all with fresh-enough driver rows to sit out a
+# round.
 DEMOTED = (
-    # born-demoted this round (the r08 window was already full when the
-    # spec landed; parity-swept now, rotates into the driver window next
-    # round with the rest of the tail)
-    "q144_incremental_lsh_pairs",
-    # r07-green (freshest driver evidence, lowest marginal value)
+    "q01_pricing_summary",
+    "q02_forecast_revenue",
+    "q03_shipping_priority",
+    "q04_order_priority",
+    "q07_running_total",
+    "q08_event_gaps",
+    "q09_status_priority_rollup",
+    "q11_distinct_customers",
+    "q12_set_ops",
+    "q13_hourly_events",
+    "q14_event_pivot",
+    "q15_asof_purchase_click",
+    "q16_topk_per_group",
+    "q17_customers_without_orders",
+    "q18_scalar_functions",
+    "q19_brand_revenue",
+    "q39_grouping_sets",
+    "q143_variant_path_matrix",
+    "q20_exact_dedup",
+    "q22_vector_topk",
+    "q23_text_stats",
+    "q24_full_outer",
+    "q25_language_id",
+    "q26_quality_score",
+    "q27_bow_dedup",
+    "q28_simhash_pairs",
+    "q29_ivf_topk",
+    "q30_winnow_fingerprints",
+    "q31_doc_chunks",
+    "q35_ngram_jaccard",
+    "q37_salted_join_revenue",
+    "q38_value_percentiles",
+    "q46_edit_distance_pairs",
+    "q48_kmeans_clusters",
+    "q33_embedding_nn",
+    "q52_embedding_dedup",
+    "q142_rrf_query_vectors",
+    "q141_ivfadc_residual_topk",
+    "q104_shard_shuffle",
+    "q105_mixture_resample",
+    "q86_supplier_pagerank",
+    "q92_funnel_conversion",
+    "q93_containment_pairs",
+    "q103_kmv_set_overlap",
+    "q98_media_decode",
+    "q101_frame_dedup",
+    "q102_media_resize",
+    "q100_sql_small_qty_revenue",
     "q107_association_rules",
     "q109_frequent_triples",
     "q110_stream_dedup_rollup",
@@ -76,7 +124,6 @@ DEMOTED = (
     "q134_srp_recall_curve",
     "q135_stream_crash_restart",
     "q136_pq_adc_recall",
-    "q137_rrf_hybrid_retrieval",
     "q138_retrieval_eval_metrics",
     "q139_ivfadc_topk",
     "q140_vocab_growth_curve",
@@ -116,51 +163,6 @@ DEMOTED = (
     "q96_mutual_nn_pairs",
     "q97_kmv_sketch_merge",
     "q99_sql_order_distribution",
-    # r06-green
-    "q05_region_revenue",
-    "q06_latest_order_per_customer",
-    "q106_content_checksum",
-    "q108_stream_hourly_rollup",
-    "q10_events_cube",
-    "q112_stream_enrich_rollup",
-    "q113_png_decode",
-    "q114_adpcm_decode",
-    "q115_bpe_pair_stats",
-    "q116_stream_interval_join",
-    "q117_bm25_topk",
-    "q118_semantic_dedup",
-    "q119_bpe_encode_counts",
-    "q11b_approx_distinct",
-    "q120_stream_kmv_distinct",
-    "q123_negative_samples",
-    "q124_masked_lm_pairs",
-    "q125_source_kl_drift",
-    "q126_centroid_drift",
-    "q127_gif_decode",
-    "q128_hll_distinct",
-    "q129_copurchase_edge_churn",
-    "q130_bm25_batch_topk",
-    "q131_personalized_pagerank",
-    "q132_quality_threshold_sweep",
-    "q32_filename_parse",
-    "q34_right_outer",
-    "q36_incremental_dedup",
-    "q40_corpus_pipeline",
-    "q41_top_terms",
-    "q43_sessionize_events",
-    "q44_tfidf_keywords",
-    "q45_approx_percentiles",
-    "q47_stratified_sample",
-    "q49_range_join_pairs",
-    "q50_gapfill_rollup",
-    "q51_countmin_heavy_hitters",
-    "q53_bloom_semi_join",
-    "q54_repetition_signals",
-    "q55_decontamination",
-    "q56_canonical_docs",
-    "q57_quantized_embeddings",
-    "q58_mixture_weights",
-    "q59_sequence_packing",
 )
 REGISTRY.demote(DEMOTED)
 

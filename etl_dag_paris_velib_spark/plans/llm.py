@@ -3287,3 +3287,122 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# q145 — TRAINED residual IVFADC: recall floor + probe monotonicity
+# ---------------------------------------------------------------------------
+@L.add(
+    "q145_trained_ivfadc_recall",
+    # The production-shaped index (kmeans-trained coarse codebook ->
+    # per-list residual PQ via operators/similarity.py:ivfadc_topk) is
+    # float-fold nondeterministic in its trained centroids, so per-row
+    # values are not cross-engine-checkable; like q48 the oracle pins
+    # the pipeline's DETERMINISTIC invariants instead, and the strong
+    # value-level checks live in tests/test_clustering.py (saturated-
+    # codebook exactness; residual-beats-raw on clustered geometry).
+    oracle="""
+SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 8) AS n_queries,
+       true AS recall_floor_ok,
+       true AS coverage_monotone,
+       true AS recall_le_coverage
+""",
+    doc="Driver evidence for the TRAINED ANN path (the r08 verdict's #2 "
+    "ask): kmeans_centroids (operators/clustering.py) feeds ivfadc_topk "
+    "(operators/similarity.py) in its production residual form, and the "
+    "spec checks three invariants against an in-plan exact squared-L2 "
+    "top-10 leg: (1) recall floor — ADC hits at nprobe=8 recover >= 25% "
+    "of the exact neighbors whose coarse list was probed (measured "
+    "0.39-0.46 across sf0.001-0.1; the CONDITIONAL form isolates PQ "
+    "ranking quality from routing coverage and is scale-free because "
+    "seed_mod=50 keeps mean list size at 50 vectors at every sf); "
+    "(2) coverage monotonicity — the probed-list candidate coverage at "
+    "nprobe=8 >= at nprobe=2, exact by probe-set nesting; (3) recall <= "
+    "coverage — every ADC hit's list was probed, tying the operator's "
+    "internal assignment/probing bit-exactly to the spec's independent "
+    "recomputation (same dot_fixed difference-fold, same (d, c_id) "
+    "tie-break, same collected centroid table). Scale: the exact leg is "
+    "8 broadcast queries against the corpus (correctness baseline only); "
+    "the index path is the audited q141 shape — broadcast codebooks, one "
+    "fold shuffle, 9 B/vector search representation. Reference "
+    "counterpart: none (north-star extension).",
+    tags=("vector", "ann", "pq", "ivf", "residual", "ml", "llm"),
+)
+def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.vector import dot_fixed
+    from ..operators.clustering import kmeans_centroids
+    from ..operators.similarity import ivfadc_topk
+
+    k, nprobe_lo, nprobe_hi = 10, 2, 8
+    emb = _emb(spark, sf_dir)
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = base.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+
+    def sqdiff(a, b):
+        d = F.zip_with(a, b, lambda x, y: x - y)
+        return dot_fixed(d, d, 64)
+
+    # exact leg: brute-force squared-L2 top-k per query (self excluded)
+    w_x = Window.partitionBy("q_id").orderBy("d", "vec_id")
+    exact = (
+        base.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("d", sqdiff(F.col("v"), F.col("qv")))
+        .withColumn("_rn", F.row_number().over(w_x))
+        .filter(F.col("_rn") <= k)
+        .select("q_id", "vec_id")
+    )
+
+    cents = kmeans_centroids(emb)  # trained coarse codebook (driver state)
+    queries = qv.select("q_id", "qv")
+    hi = ivfadc_topk(emb, queries, cents, k=k, nprobe=nprobe_hi, ks=32)
+
+    # independent probe-rank / assignment recomputation (same float fold
+    # and tie-break as the operator) for the coverage accounting
+    w_p = Window.partitionBy("q_id").orderBy("d", "c_id")
+    probes = (
+        qv.crossJoin(F.broadcast(cents))
+        .withColumn("d", sqdiff(F.col("qv"), F.col("cv")))
+        .withColumn("rnp", F.row_number().over(w_p))
+        .select("q_id", "c_id", "rnp")
+    )
+    w_a = Window.partitionBy("q_id", "vec_id").orderBy("d", "c_id")
+    nn_asg = (
+        exact.join(base, "vec_id")
+        .crossJoin(F.broadcast(cents))
+        .withColumn("d", sqdiff(F.col("v"), F.col("cv")))
+        .withColumn("_ra", F.row_number().over(w_a))
+        .filter(F.col("_ra") == 1)
+        .select("q_id", "vec_id", "c_id")
+    )
+    cov = nn_asg.join(probes, ["q_id", "c_id"], "left")
+
+    nq = qv.agg(F.count(F.lit(1)).alias("n_queries"))
+    h_hi = exact.join(hi, ["q_id", "vec_id"]).agg(
+        F.count(F.lit(1)).alias("hits_hi")
+    )
+    c_lo = cov.filter(F.col("rnp") <= nprobe_lo).agg(
+        F.count(F.lit(1)).alias("cov_lo")
+    )
+    c_hi = cov.filter(F.col("rnp") <= nprobe_hi).agg(
+        F.count(F.lit(1)).alias("cov_hi")
+    )
+    return (
+        nq.crossJoin(h_hi)
+        .crossJoin(c_lo)
+        .crossJoin(c_hi)
+        .select(
+            "n_queries",
+            (F.col("hits_hi") >= 0.25 * F.col("cov_hi")).alias(
+                "recall_floor_ok"
+            ),
+            (F.col("cov_hi") >= F.col("cov_lo")).alias("coverage_monotone"),
+            (F.col("hits_hi") <= F.col("cov_hi")).alias("recall_le_coverage"),
+        )
+    )

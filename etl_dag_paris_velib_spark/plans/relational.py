@@ -1362,3 +1362,77 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(a2).alias("sum_a2"),
         F.sum(F.when(znull, 1).otherwise(0)).alias("n_znull"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q146 — checked-arithmetic matrix: try_* overflow / zero-division surface
+# ---------------------------------------------------------------------------
+@R.add(
+    "q146_try_arithmetic_matrix",
+    oracle="""
+SELECT l_returnflag,
+       count(*)::BIGINT AS n,
+       count(CASE WHEN TRY_CAST(CAST(l_orderkey AS HUGEINT)
+                  * 1000000000000000 AS BIGINT) IS NULL THEN 1 END)::BIGINT
+         AS z_mul,
+       max(TRY_CAST(CAST(l_orderkey AS HUGEINT) * 1000000000000000
+                    AS BIGINT))::BIGINT AS m_mul,
+       count(CASE WHEN TRY_CAST(CAST(l_orderkey AS HUGEINT)
+                  + 9223372036854770000 AS BIGINT) IS NULL THEN 1 END)::BIGINT
+         AS z_add,
+       min(TRY_CAST(CAST(l_orderkey AS HUGEINT) + 9223372036854770000
+                    AS BIGINT))::BIGINT AS m_add,
+       TRY_CAST(sum(CAST(l_orderkey AS HUGEINT) * 50000000000) AS BIGINT)
+         AS s_chk,
+       count(CASE WHEN (l_partkey % 3) = 0 THEN 1 END)::BIGINT AS z_div,
+       max(l_orderkey / NULLIF(l_partkey % 3, 0)) AS m_div,
+       count(CASE WHEN TRY_CAST(l_extendedprice AS DECIMAL(6,2)) IS NULL
+             THEN 1 END)::BIGINT AS z_dec,
+       max(TRY_CAST(l_extendedprice AS DECIMAL(6,2))) AS d_cap,
+       count(CASE WHEN TRY_CAST(l_orderkey * 200000 AS INTEGER) IS NULL
+             THEN 1 END)::BIGINT AS z_int
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Checked-arithmetic matrix — the numeric-edge surface fuzz "
+    "grammar #19 sweeps (tests/test_fuzz_differential.py:"
+    "_gen_overflow_query), pinned as one fixed registered plan the way "
+    "q143 pinned grammar #18's: per-row multiply/add overflow at the "
+    "BIGINT boundary (try_multiply/try_add <-> DuckDB's exact HUGEINT "
+    "arithmetic TRY_CAST back to BIGINT — nulls under the identical "
+    "out-of-domain condition), ACCUMULATION overflow (try_sum of "
+    "non-negative per-row-safe products, where partial-sum monotonicity "
+    "makes Spark's checked accumulator and DuckDB's exact HUGEINT total "
+    "null together — per group, so at sf0.01 some l_returnflag groups "
+    "overflow and others survive, exercising both sides of the boundary "
+    "in ONE result), zero-division (try_divide <-> / NULLIF), and "
+    "range-capped TRY_CAST to INTEGER and DECIMAL(6,2) (shared "
+    "spelling). Every aggregate is a null-pattern count, a min/max "
+    "selection, or the checked sum itself — exact in both engines. "
+    "Multipliers sized against the sf0.01 key range (l_orderkey <= "
+    "14999): thresholds 9223 (multiply), 5807 (add), 10737 (int cast) "
+    "all fall inside it. Scale: one scan, one low-cardinality shuffle; "
+    "checked arithmetic is JVM-side whole-stage codegen, no UDFs. "
+    "Reference counterpart: none (north-star extension).",
+    tags=("numeric", "overflow", "relational"),
+)
+def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    mul = F.expr("try_multiply(l_orderkey, 1000000000000000)")
+    add = F.expr("try_add(l_orderkey, 9223372036854770000)")
+    div = F.expr("try_divide(l_orderkey, l_partkey % 3)")
+    dec = F.expr("try_cast(l_extendedprice AS DECIMAL(6,2))")
+    icast = F.expr("try_cast(l_orderkey * 200000 AS INT)")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(mul.isNull(), 1)).alias("z_mul"),
+        F.max(mul).alias("m_mul"),
+        F.count(F.when(add.isNull(), 1)).alias("z_add"),
+        F.min(add).alias("m_add"),
+        F.expr("try_sum(l_orderkey * 50000000000)").alias("s_chk"),
+        F.count(F.when(div.isNull(), 1)).alias("z_div"),
+        F.max(div).alias("m_div"),
+        F.count(F.when(dec.isNull(), 1)).alias("z_dec"),
+        F.max(dec).alias("d_cap"),
+        F.count(F.when(icast.isNull(), 1)).alias("z_int"),
+    )

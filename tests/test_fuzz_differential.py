@@ -1354,3 +1354,119 @@ def test_variant_null_vs_missing_discrimination(engines):
         for d in docs
     ]
     assert got_spark == want and got_duck == want
+
+
+# ---------------------------------------------------------------------------
+# grammar #19 — overflow / try_* arithmetic (r08 verdict ask #7)
+# ---------------------------------------------------------------------------
+
+#: multipliers sized against the sf0.01 key ranges (int_cols max out at
+#: 14999): _OVF_MULT pushes SOME per-row products past the BIGINT
+#: boundary (thresholds 9223 / 4611 / 13176 sit inside the key range, so
+#: every table yields a null/non-null mix); _OVF_ADDEND does the same for
+#: addition; _OVF_SUMMULT keeps every per-row product safely inside
+#: BIGINT (max 1.5e4 * 5e11 = 7.5e15) while pushing SOME whole-table /
+#: per-group SUMS past it — the accumulation-overflow regime.
+_OVF_MULT = [1_000_000_000_000_000, 2_000_000_000_000_000, 700_000_000_000_000]
+_OVF_ADDEND = [9_223_372_036_854_775_000, 9_223_372_036_854_770_000]
+_OVF_SUMMULT = [10_000_000_000, 50_000_000_000, 500_000_000_000]
+
+
+def _gen_overflow_query(rng: random.Random) -> tuple[str, str]:
+    """Returns (spark_sql, duck_sql) — grammar #19, dialect-paired like
+    #18: Spark's try_* family has no shared spelling in DuckDB 1.0 (no
+    TRY() wrapper), but each form has an exactly-equivalent pair:
+
+    - try_multiply/try_add(a, b) on BIGINT == DuckDB TRY_CAST(HUGEINT
+      arithmetic AS BIGINT): the HUGEINT product/sum is always exact and
+      the cast nulls iff the value left the BIGINT domain — the same
+      condition Spark's checked arithmetic nulls on.
+    - try_sum(x) over NON-NEGATIVE x == TRY_CAST(sum(HUGEINT x) AS
+      BIGINT): partial sums of non-negative values are monotone, so any
+      partial-overflow in Spark's checked accumulator implies final
+      overflow — the engines null under the identical condition. (Mixed
+      signs would break this: a Spark partial can overflow where the
+      exact HUGEINT total fits. The grammar's int_cols are keys, all
+      non-negative.)
+    - try_divide(a, b) == a / NULLIF(b, 0): both produce IEEE DOUBLE
+      division, null on zero denominator.
+    - TRY_CAST to INTEGER/SMALLINT/DECIMAL(6,2) parses identically in
+      both engines (shared text): null iff out of range. Fractional
+      DOUBLE -> DECIMAL(6,2) rounding agrees because doubles are never
+      exactly at a .005 tie, so both engines' round-to-nearest picks the
+      same cent.
+
+    Determinism: every compared aggregate is a null-count, a min/max
+    (selection, not accumulation), an exact DECIMAL, or the checked-sum
+    leg itself; plain SUM over doubles stays out per the suite rules.
+    AVG is deliberately absent: the engines' accumulator types differ
+    (Spark averages BIGINT in checked BIGINT sum + count, DuckDB in
+    HUGEINT), so at overflow the results legitimately diverge — the
+    per-spec pattern for means is sum/count in DOUBLE.
+    """
+    name = rng.choice(list(TABLES))
+    t = TABLES[name]
+    c = rng.choice(t["int_cols"])
+    d = rng.choice(t["int_cols"])
+    p = rng.choice(t["num_cols"])
+    big = rng.choice(_OVF_MULT)
+    huge = rng.choice(_OVF_ADDEND)
+    shared_int = f"TRY_CAST({c} * {rng.choice([200000, 500000])} AS INTEGER)"
+    shared_small = f"TRY_CAST({c} * 3 AS SMALLINT)"
+    shared_dec = f"TRY_CAST({p} AS DECIMAL(6,2))"
+    mod = rng.choice([2, 3, 7])
+    pairs = [
+        (
+            f"try_multiply({c}, {big})",
+            f"TRY_CAST(CAST({c} AS HUGEINT) * {big} AS BIGINT)",
+            "bigint",
+        ),
+        (
+            f"try_add({c}, {huge})",
+            f"TRY_CAST(CAST({c} AS HUGEINT) + {huge} AS BIGINT)",
+            "bigint",
+        ),
+        (shared_int, shared_int, "bigint"),
+        (shared_small, shared_small, "bigint"),
+        (shared_dec, shared_dec, "decimal"),
+        (
+            f"try_divide({c}, {d} % {mod})",
+            f"({c} / NULLIF({d} % {mod}, 0))",
+            "double",
+        ),
+    ]
+    chosen = rng.sample(pairs, k=rng.randint(2, 4))
+    sa, da = ["count(*) AS n"], ["count(*) AS n"]
+    for i, (se, de, kind) in enumerate(chosen):
+        if rng.random() < 0.5:  # compare the NULL (overflow/zero) pattern
+            sa.append(f"count(CASE WHEN {se} IS NULL THEN 1 END) AS z{i}")
+            da.append(f"count(CASE WHEN {de} IS NULL THEN 1 END) AS z{i}")
+        else:  # compare surviving values via selection aggregates
+            fn = rng.choice(["min", "max"])
+            if kind == "decimal":
+                sa.append(f"CAST({fn}({se}) AS DECIMAL(6,2)) AS m{i}")
+                da.append(f"CAST({fn}({de}) AS DECIMAL(6,2)) AS m{i}")
+            elif kind == "double":
+                sa.append(f"{fn}({se}) AS m{i}")
+                da.append(f"{fn}({de}) AS m{i}")
+            else:
+                sa.append(f"CAST({fn}({se}) AS BIGINT) AS m{i}")
+                da.append(f"CAST({fn}({de}) AS BIGINT) AS m{i}")
+    sm = rng.choice(_OVF_SUMMULT)
+    sa.append(f"try_sum({c} * {sm}) AS s")
+    da.append(f"TRY_CAST(sum(CAST({c} AS HUGEINT) * {sm}) AS BIGINT) AS s")
+    preds = [_predicate(rng, t) for _ in range(rng.randint(0, 2))]
+    where = (" WHERE " + " AND ".join(preds)) if preds else ""
+    gcols = rng.sample(t["group_cols"], k=rng.randint(0, 1))
+    group = f" GROUP BY {', '.join(gcols)}" if gcols else ""
+    s_sel = ", ".join(gcols + sa)
+    d_sel = ", ".join(gcols + da)
+    return (
+        f"SELECT {s_sel} FROM {name}{where}{group}",
+        f"SELECT {d_sel} FROM {name}{where}{group}",
+    )
+
+
+@pytest.mark.parametrize("seed", list(range(15)))
+def test_fuzzed_overflow_matches_duckdb(engines, seed):
+    _compare_pair(engines, *_gen_overflow_query(random.Random(25000 + seed)))

@@ -79,6 +79,11 @@ BNLJ_WHITELIST = {
     "q142_rrf_query_vectors": "q137's |Q|-row query-vector broadcast "
     "against the embedding table (same rrf_hybrid engine, explicit "
     "vector table instead of BM25-seeded)",
+    "q145_trained_ivfadc_recall": "q141's bounded broadcasts through the "
+    "trained ivfadc_topk operator (kmeans codebook, subspace grid, "
+    "per-list LUT) plus the 8-row query broadcast for the exact leg "
+    "and the 1-row metric scalars crossed at the end — all bounded, "
+    "data-independent build sides",
 }
 
 #: query -> why its unpartitioned Window (single-partition WindowExec —

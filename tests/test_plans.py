@@ -252,3 +252,29 @@ def test_q107_dim_joins_degrade_without_broadcast(spark):
     # default threshold: the planner's own size estimate broadcasts the dims
     plan2 = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan2
+
+
+def test_readme_counts_match_registry():
+    """The stale-count advice item recurred three rounds running; the
+    counts are now machine-written (tools/inventory.py patches README.md
+    from the registry) and this test pins them to the live registry so a
+    spec added without re-running inventory fails CI."""
+    import os
+    import re
+
+    from etl_dag_paris_velib_spark.plans import REGISTRY
+    from tools.inventory import fuzz_query_count
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    readme = open(os.path.join(root, "README.md")).read()
+    n = len(REGISTRY.specs)
+    max_q = max(
+        int(m.group(1))
+        for m in (re.match(r"q(\d+)", nm) for nm in REGISTRY.specs)
+        if m
+    )
+    assert f"{n} specs, q01–q{max_q}" in readme
+    assert f"the {n} hand-written specs" in readme
+    assert f"{fuzz_query_count()} generated SQL queries" in readme
+    ops = open(os.path.join(root, "OPERATORS.md")).read()
+    assert ops.splitlines()[2].startswith(f"{n} specs;")

@@ -47,6 +47,12 @@ LEDGER_EXTRA = (
     "q137_rrf_hybrid_retrieval",
     "q138_retrieval_eval_metrics",
     "q144_incremental_lsh_pairs",
+    # r09 ledger additions: the streaming interval join (q116) cannot be
+    # job-group-attributed, so its BATCH twin q89 carries the movement
+    # row for that join shape; q145/q146 are the round's new specs
+    "q89_interval_overlap",
+    "q145_trained_ivfadc_recall",
+    "q146_try_arithmetic_matrix",
 )
 
 

@@ -1370,28 +1370,33 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
 @R.add(
     "q146_try_arithmetic_matrix",
     oracle="""
+WITH t AS (
+  SELECT l_returnflag,
+         TRY_CAST(CAST(l_orderkey % 9400 AS HUGEINT)
+                  * 1000000000000000 AS BIGINT) AS v_mul,
+         TRY_CAST(CAST(l_orderkey % 5900 AS HUGEINT)
+                  + 9223372036854770000 AS BIGINT) AS v_add,
+         (l_orderkey / NULLIF(l_partkey % 3, 0)) AS v_div,
+         TRY_CAST(l_extendedprice % 10300.0 AS DECIMAL(6,2)) AS v_dec,
+         TRY_CAST((l_orderkey % 11000) * 200000 AS INTEGER) AS v_int,
+         (l_partkey % 3) AS den,
+         l_orderkey
+  FROM lineitem
+)
 SELECT l_returnflag,
        count(*)::BIGINT AS n,
-       count(CASE WHEN TRY_CAST(CAST(l_orderkey AS HUGEINT)
-                  * 1000000000000000 AS BIGINT) IS NULL THEN 1 END)::BIGINT
-         AS z_mul,
-       max(TRY_CAST(CAST(l_orderkey AS HUGEINT) * 1000000000000000
-                    AS BIGINT))::BIGINT AS m_mul,
-       count(CASE WHEN TRY_CAST(CAST(l_orderkey AS HUGEINT)
-                  + 9223372036854770000 AS BIGINT) IS NULL THEN 1 END)::BIGINT
-         AS z_add,
-       min(TRY_CAST(CAST(l_orderkey AS HUGEINT) + 9223372036854770000
-                    AS BIGINT))::BIGINT AS m_add,
+       count(CASE WHEN v_mul IS NULL THEN 1 END)::BIGINT AS z_mul,
+       max(v_mul)::BIGINT AS m_mul,
+       count(CASE WHEN v_add IS NULL THEN 1 END)::BIGINT AS z_add,
+       min(v_add)::BIGINT AS m_add,
        TRY_CAST(sum(CAST(l_orderkey AS HUGEINT) * 50000000000) AS BIGINT)
          AS s_chk,
-       count(CASE WHEN (l_partkey % 3) = 0 THEN 1 END)::BIGINT AS z_div,
-       max(l_orderkey / NULLIF(l_partkey % 3, 0)) AS m_div,
-       count(CASE WHEN TRY_CAST(l_extendedprice AS DECIMAL(6,2)) IS NULL
-             THEN 1 END)::BIGINT AS z_dec,
-       max(TRY_CAST(l_extendedprice AS DECIMAL(6,2))) AS d_cap,
-       count(CASE WHEN TRY_CAST(l_orderkey * 200000 AS INTEGER) IS NULL
-             THEN 1 END)::BIGINT AS z_int
-FROM lineitem
+       count(CASE WHEN den = 0 THEN 1 END)::BIGINT AS z_div,
+       max(v_div) AS m_div,
+       count(CASE WHEN v_dec IS NULL THEN 1 END)::BIGINT AS z_dec,
+       max(v_dec) AS d_cap,
+       count(CASE WHEN v_int IS NULL THEN 1 END)::BIGINT AS z_int
+FROM t
 GROUP BY l_returnflag
 """,
     doc="Checked-arithmetic matrix — the numeric-edge surface fuzz "
@@ -1409,30 +1414,57 @@ GROUP BY l_returnflag
     "range-capped TRY_CAST to INTEGER and DECIMAL(6,2) (shared "
     "spelling). Every aggregate is a null-pattern count, a min/max "
     "selection, or the checked sum itself — exact in both engines. "
-    "Multipliers sized against the sf0.01 key range (l_orderkey <= "
-    "14999): thresholds 9223 (multiply), 5807 (add), 10737 (int cast) "
-    "all fall inside it. Scale: one scan, one low-cardinality shuffle; "
-    "checked arithmetic is JVM-side whole-stage codegen, no UDFs. "
-    "Reference counterpart: none (north-star extension).",
+    "Operands are MODULO-BOUNDED (l_orderkey % 9400 etc.) so every "
+    "overflow boundary sits inside the operand range at EVERY sf with a "
+    "~2-3 pct overflow band — which is also the performance design: "
+    "Spark's try_* family is exception-driven (each overflowing row "
+    "throws ArithmeticException for TryEval to catch, measured ~15us/"
+    "throw: an unbounded operand made 94 pct of sf0.1 rows throw and "
+    "this one scan-and-agg spec cost 40s), so at 100 TB a checked-"
+    "arithmetic plan must keep the expected overflow fraction near "
+    "zero — bound the operands, or pre-filter the overflow range with "
+    "a cheap predicate and try_* only the residue. Each try expression "
+    "is also projected ONCE below the aggregate instead of being "
+    "re-evaluated per consuming aggregate. Scale: one scan, one "
+    "low-cardinality shuffle; checked arithmetic is JVM-side whole-"
+    "stage codegen, no UDFs. Reference counterpart: none (north-star "
+    "extension).",
     tags=("numeric", "overflow", "relational"),
 )
 def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    mul = F.expr("try_multiply(l_orderkey, 1000000000000000)")
-    add = F.expr("try_add(l_orderkey, 9223372036854770000)")
-    div = F.expr("try_divide(l_orderkey, l_partkey % 3)")
-    dec = F.expr("try_cast(l_extendedprice AS DECIMAL(6,2))")
-    icast = F.expr("try_cast(l_orderkey * 200000 AS INT)")
-    return li.groupBy("l_returnflag").agg(
+    # modulo-bounded operands + project-once-below-the-aggregate: see the
+    # doc's exception-cost note — every try expression is evaluated
+    # exactly once per row, and only the narrow band above each boundary
+    # (9223/9400, 5807/5900, 10000/10300, 10737/11000) ever throws
+    t = li.select(
+        "l_returnflag",
+        "l_orderkey",
+        F.expr("try_multiply(l_orderkey % 9400, 1000000000000000)").alias(
+            "v_mul"
+        ),
+        F.expr("try_add(l_orderkey % 5900, 9223372036854770000)").alias(
+            "v_add"
+        ),
+        F.expr("try_divide(l_orderkey, l_partkey % 3)").alias("v_div"),
+        F.expr("try_cast(l_extendedprice % 10300.0D AS DECIMAL(6,2))").alias(
+            "v_dec"
+        ),
+        F.expr("try_cast((l_orderkey % 11000) * 200000 AS INT)").alias(
+            "v_int"
+        ),
+        (F.col("l_partkey") % 3).alias("den"),
+    )
+    return t.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.count(F.when(mul.isNull(), 1)).alias("z_mul"),
-        F.max(mul).alias("m_mul"),
-        F.count(F.when(add.isNull(), 1)).alias("z_add"),
-        F.min(add).alias("m_add"),
+        F.count(F.when(F.col("v_mul").isNull(), 1)).alias("z_mul"),
+        F.max("v_mul").alias("m_mul"),
+        F.count(F.when(F.col("v_add").isNull(), 1)).alias("z_add"),
+        F.min("v_add").alias("m_add"),
         F.expr("try_sum(l_orderkey * 50000000000)").alias("s_chk"),
-        F.count(F.when(div.isNull(), 1)).alias("z_div"),
-        F.max(div).alias("m_div"),
-        F.count(F.when(dec.isNull(), 1)).alias("z_dec"),
-        F.max(dec).alias("d_cap"),
-        F.count(F.when(icast.isNull(), 1)).alias("z_int"),
+        F.count(F.when(F.col("den") == 0, 1)).alias("z_div"),
+        F.max("v_div").alias("m_div"),
+        F.count(F.when(F.col("v_dec").isNull(), 1)).alias("z_dec"),
+        F.max("v_dec").alias("d_cap"),
+        F.count(F.when(F.col("v_int").isNull(), 1)).alias("z_int"),
     )

@@ -57,6 +57,9 @@ HEADLINE = (
     "q139_ivfadc_topk",           # composed IVF routing + ADC (r07)
     "q140_vocab_growth_curve",    # first-occurrence vocab shuffle (r07)
     "q141_ivfadc_residual_topk",  # residual IVFADC: per-list LUT joins (r08)
+    "q130_bm25_batch_topk",       # batch BM25: query-filtered tf shuffle (r09 deep)
+    "q138_retrieval_eval_metrics",  # MRR/nDCG eval joins (r09 deep)
+    "q145_trained_ivfadc_recall",  # kmeans-trained residual IVFADC + exact leg (r09)
     "q142_rrf_query_vectors",     # hybrid RRF, explicit query vectors (r08)
     "q143_variant_path_matrix",   # VARIANT parse-once path extraction (r08)
     "q124_masked_lm_pairs",     # posexplode + order-preserving reassembly (r06)
@@ -184,6 +187,15 @@ def main() -> None:
         "q121_copurchase_triangles",
         "q122_copurchase_bfs_hops",
         "q131_personalized_pagerank",
+        # r09 (the r08 verdict's #3 ask): the ANN/retrieval movers get
+        # the sf10.0 cell too — their scaling behavior is the open
+        # question now that the graph/stream movers are characterized
+        "q130_bm25_batch_topk",
+        "q136_pq_adc_recall",
+        "q138_retrieval_eval_metrics",
+        "q139_ivfadc_topk",
+        "q141_ivfadc_residual_topk",
+        "q145_trained_ivfadc_recall",
     }
 
     def cells_for(name):

@@ -1457,17 +1457,31 @@ def ivfadc_topk(
         d = F.zip_with(a, b, lambda x, y: x - y)
         return dot_fixed(d, d, n)
 
-    w_asg = Window.partitionBy("vec_id").orderBy("d", "c_id")
+    # nearest-centroid assignment as a MIN_BY hash aggregate, not a
+    # row_number window: the |vectors| x |lists| crossed expansion then
+    # collapses MAP-SIDE (partial min_by keeps one (c_id, cv, v) struct
+    # per vector per partition) — no shuffle of the expansion, no
+    # per-vector sort. The window form spilled ~250 MB at sf0.1 (2k
+    # vectors) and would shuffle+sort N x lists rows at corpus scale.
+    # min_by over the (d, c_id) struct picks the identical row to
+    # row_number orderBy(d, c_id): c_id makes the order total, so the
+    # fold is associative/deterministic under partial aggregation.
     asg = (
         base.crossJoin(F.broadcast(cents))
         .withColumn("d", sqd(F.col("v"), F.col("cv"), dim))
-        .withColumn("_rn", F.row_number().over(w_asg))
-        .filter(F.col("_rn") == 1)
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("c_id", "cv", "v"), F.struct("d", "c_id")
+            ).alias("w")
+        )
         .select(
             "vec_id",
-            "c_id",
+            F.col("w.c_id").alias("c_id"),
             (
-                F.zip_with("v", "cv", lambda x, y: x - y) if residual else F.col("v")
+                F.zip_with("w.v", "w.cv", lambda x, y: x - y)
+                if residual
+                else F.col("w.v")
             ).alias("r"),
         )
     )
@@ -1593,12 +1607,15 @@ def ivfadc_topk(
             )
             codebook = codebook.unionByName(fallback)
 
-    w_enc = Window.partitionBy("vec_id", "j").orderBy("d", "code")
+    # PQ encode via the same min_by idiom (see asg): the encode window
+    # was the dominant spill source — it sorted |vectors| x m x ks
+    # joined rows per (vec, subspace); the hash aggregate collapses them
+    # map-side to one code per (vec, subspace)
     enc = (
         rsub.join(F.broadcast(codebook), group_cols)
         .withColumn("d", sqd(F.col("rs"), F.col("bvec"), sd))
-        .withColumn("_rn", F.row_number().over(w_enc))
-        .filter(F.col("_rn") == 1)
+        .groupBy("vec_id", "j")
+        .agg(F.min_by("code", F.struct("d", "code")).alias("code"))
         .select("vec_id", "j", "code")
     )
 

@@ -914,12 +914,24 @@ def ivf_topk(
             F.col("nv").alias("cn"),
         )
 
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("c_id"))
+    # nearest-list assignment as a MAX_BY hash aggregate, not a
+    # row_number window (the r09 spill finding — see ivfadc_topk's asg
+    # note): max_by over (cos_c, -c_id) picks the identical row to
+    # orderBy(desc cos_c, asc c_id) — negating the id flips the
+    # tie-break direction so one max fold expresses both — and the
+    # N x lists expansion collapses map-side instead of sorting. Ids
+    # only in the fold (see ivfadc_topk: carrying the vector through
+    # the fold measured slower than the rejoin it saves).
     assigned = (
         base.crossJoin(F.broadcast(cents))
         .withColumn("cos_c", dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("cn")))
-        .withColumn("_rn", F.row_number().over(w_assign))
-        .filter(F.col("_rn") == 1)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "c_id", F.struct(F.col("cos_c"), -F.col("c_id"))
+            ).alias("c_id")
+        )
+        .join(base, "vec_id")
         .select("vec_id", "v", "nv", "c_id")
     )
 
@@ -978,12 +990,18 @@ def ivf_topk_sweep(
         F.col("nv").alias("cn"),
     )
 
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("c_id"))
+    # max_by assignment — same rationale and identical row selection as
+    # ivf_topk's (see that note)
     assigned = (
         base.crossJoin(F.broadcast(cents))
         .withColumn("cos_c", dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("cn")))
-        .withColumn("_rn", F.row_number().over(w_assign))
-        .filter(F.col("_rn") == 1)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "c_id", F.struct(F.col("cos_c"), -F.col("c_id"))
+            ).alias("c_id")
+        )
+        .join(base, "vec_id")
         .select("vec_id", "v", "nv", "c_id")
     )
 
@@ -1459,29 +1477,31 @@ def ivfadc_topk(
 
     # nearest-centroid assignment as a MIN_BY hash aggregate, not a
     # row_number window: the |vectors| x |lists| crossed expansion then
-    # collapses MAP-SIDE (partial min_by keeps one (c_id, cv, v) struct
-    # per vector per partition) — no shuffle of the expansion, no
-    # per-vector sort. The window form spilled ~250 MB at sf0.1 (2k
-    # vectors) and would shuffle+sort N x lists rows at corpus scale.
-    # min_by over the (d, c_id) struct picks the identical row to
-    # row_number orderBy(d, c_id): c_id makes the order total, so the
-    # fold is associative/deterministic under partial aggregation.
-    asg = (
+    # collapses MAP-SIDE — no shuffle of the expansion, no per-vector
+    # sort. The window form spilled ~250 MB at sf0.1 (2k vectors) and
+    # would shuffle+sort N x lists rows at corpus scale. min_by over the
+    # (d, c_id) struct picks the identical row to row_number
+    # orderBy(d, c_id): c_id makes the order total, so the fold is
+    # associative/deterministic under partial aggregation. Ids only in
+    # the fold, residual via a rejoin: carrying (cv, v) through the fold
+    # was measured 1.7x slower cold at sf10.0 (per-crossed-row
+    # 128-double struct construction dwarfs the join it saves).
+    asg_ids = (
         base.crossJoin(F.broadcast(cents))
         .withColumn("d", sqd(F.col("v"), F.col("cv"), dim))
         .groupBy("vec_id")
-        .agg(
-            F.min_by(
-                F.struct("c_id", "cv", "v"), F.struct("d", "c_id")
-            ).alias("w")
-        )
+        .agg(F.min_by("c_id", F.struct("d", "c_id")).alias("c_id"))
+    )
+    asg = (
+        asg_ids.join(base, "vec_id")
+        .join(F.broadcast(cents.select("c_id", "cv")), "c_id")
         .select(
             "vec_id",
-            F.col("w.c_id").alias("c_id"),
+            "c_id",
             (
-                F.zip_with("w.v", "w.cv", lambda x, y: x - y)
+                F.zip_with("v", "cv", lambda x, y: x - y)
                 if residual
-                else F.col("w.v")
+                else F.col("v")
             ).alias("r"),
         )
     )

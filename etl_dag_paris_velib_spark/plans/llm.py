@@ -999,11 +999,24 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term",
         (F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0))).alias("tfidf"),
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    # per-doc argmax as a MIN_BY hash aggregate over (-tfidf, term) —
+    # identical row to row_number orderBy(desc tfidf, asc term) (the
+    # negation flips the sort direction; the term tie-break keeps the
+    # order total), and the per-doc term table collapses map-side
+    # instead of shuffling into a corpus-wide per-doc sort
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"))
+        scored.groupBy("doc_id")
+        .agg(
+            F.min_by(
+                F.struct("term", "tfidf"),
+                F.struct(-F.col("tfidf"), F.col("term")),
+            ).alias("w")
+        )
+        .select(
+            "doc_id",
+            F.col("w.term").alias("term"),
+            F.round("w.tfidf", 6).alias("tfidf"),
+        )
     )
 
 
@@ -2196,13 +2209,16 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m", "j", "c_id", cs.alias("cs"),
             dot_fixed(cs, cs, sd_).alias("cn2"),
         )
-        w_enc = Window.partitionBy("m", "vec_id", "j").orderBy("d", "c_id")
+        # min_by, not a row_number window (r09 q145 spill finding): the
+        # first sf10.0 cold recording of this sweep ran 4.3x at 3.33x
+        # data purely from sorting the |vectors| x ks x |settings|
+        # expansion; the hash aggregate collapses it map-side
         enc_parts.append(
             vsub_m.join(F.broadcast(csub_m), ["m", "j"])
             .withColumn("d", sq_l2_fixed("vn", "cn2", "vs", "cs", sd_))
-            .withColumn("_rn", F.row_number().over(w_enc))
-            .filter(F.col("_rn") == 1)
-            .select("m", "j", "vec_id", F.col("c_id").alias("code"))
+            .groupBy("m", "vec_id", "j")
+            .agg(F.min_by("c_id", F.struct("d", "c_id")).alias("code"))
+            .select("m", "j", "vec_id", "code")
         )
         qsub_m = vsub_m.filter(F.col("vec_id") < 8).select(
             "m", "j",
@@ -2911,12 +2927,16 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(an) + F.col(bn) - F.lit(2.0) * dot_fixed(F.col(a), F.col(b), n)
         )
 
-    w_asg = Window.partitionBy("vec_id").orderBy("d", "c_id")
+    # assignment/encode argmins are MIN_BY hash aggregates, not
+    # row_number windows (the r09 q145 spill finding): min_by over the
+    # (d, c_id) struct picks the identical row to row_number
+    # orderBy(d, c_id) — c_id totalizes the order — and the crossed
+    # expansion collapses map-side instead of shuffling into a sort
     asg = (
         based.crossJoin(F.broadcast(cents))
         .withColumn("d", sq("nn", "cn2", "v", "cv", 64))
-        .withColumn("_rn", F.row_number().over(w_asg))
-        .filter(F.col("_rn") == 1)
+        .groupBy("vec_id")
+        .agg(F.min_by("c_id", F.struct("d", "c_id")).alias("c_id"))
         .select("vec_id", "c_id")
     )
     qv = based.filter(F.col("vec_id") < 8).select(
@@ -2942,13 +2962,12 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
     csub = cents.select("c_id", "cv").crossJoin(F.broadcast(sub)).select(
         "j", "c_id", cs.alias("cs"), dot_fixed(cs, cs, sd).alias("csn")
     )
-    w_enc = Window.partitionBy("vec_id", "j").orderBy("d", "c_id")
     enc = (
         vsub.join(F.broadcast(csub), "j")
         .withColumn("d", sq("vn", "csn", "vs", "cs", sd))
-        .withColumn("_rn", F.row_number().over(w_enc))
-        .filter(F.col("_rn") == 1)
-        .select("j", "vec_id", F.col("c_id").alias("code"))
+        .groupBy("vec_id", "j")
+        .agg(F.min_by("c_id", F.struct("d", "c_id")).alias("code"))
+        .select("j", "vec_id", "code")
     )
     qsub = vsub.filter(F.col("vec_id") < 8).select(
         "j",
@@ -3142,12 +3161,18 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = F.zip_with(a, b, lambda x, y: x - y)
         return dot_fixed(d, d, n)
 
-    w_asg = Window.partitionBy("vec_id").orderBy("d", "c_id")
+    # assignment argmin as a MIN_BY hash aggregate over ids only (the
+    # r09 q145 spill finding): identical row to row_number
+    # orderBy(d, c_id) — c_id totalizes the order — and the N x lists
+    # expansion collapses map-side with a tiny per-row fold state.
+    # (Ids only deliberately: carrying the (cv, v) vectors through the
+    # fold was measured 1.7x SLOWER cold at sf10.0 — 128-double struct
+    # construction per crossed row dwarfs the rejoin it saves.)
     asg = (
         based.crossJoin(F.broadcast(cents))
         .withColumn("d", sq("nn", "cn2", "v", "cv", 64))
-        .withColumn("_rn", F.row_number().over(w_asg))
-        .filter(F.col("_rn") == 1)
+        .groupBy("vec_id")
+        .agg(F.min_by("c_id", F.struct("d", "c_id")).alias("c_id"))
         .select("vec_id", "c_id")
     )
     res = (
@@ -3167,13 +3192,12 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
     bsub = rsub.filter(
         (F.col("vec_id") % 37 == 0) & (F.col("vec_id") < 592)
     ).select("j", F.col("vec_id").alias("b_id"), F.col("rs").alias("bs"))
-    w_enc = Window.partitionBy("vec_id", "j").orderBy("d", "b_id")
     enc = (
         rsub.join(F.broadcast(bsub), "j")
         .withColumn("d", sqdiff(F.col("rs"), F.col("bs"), sd))
-        .withColumn("_rn", F.row_number().over(w_enc))
-        .filter(F.col("_rn") == 1)
-        .select("j", "vec_id", F.col("b_id").alias("code"))
+        .groupBy("vec_id", "j")
+        .agg(F.min_by("b_id", F.struct("d", "b_id")).alias("code"))
+        .select("j", "vec_id", "code")
     )
     qv = based.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"),

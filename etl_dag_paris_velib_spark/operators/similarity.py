@@ -1492,19 +1492,16 @@ def ivfadc_topk(
         .groupBy("vec_id")
         .agg(F.min_by("c_id", F.struct("d", "c_id")).alias("c_id"))
     )
-    asg = (
-        asg_ids.join(base, "vec_id")
-        .join(F.broadcast(cents.select("c_id", "cv")), "c_id")
-        .select(
+    asg = asg_ids.join(base, "vec_id")
+    if residual:
+        # only the residual form needs the centroid vector back
+        asg = asg.join(F.broadcast(cents.select("c_id", "cv")), "c_id").select(
             "vec_id",
             "c_id",
-            (
-                F.zip_with("v", "cv", lambda x, y: x - y)
-                if residual
-                else F.col("v")
-            ).alias("r"),
+            F.zip_with("v", "cv", lambda x, y: x - y).alias("r"),
         )
-    )
+    else:
+        asg = asg.select("vec_id", "c_id", F.col("v").alias("r"))
     sub = base.sparkSession.range(m).select(F.col("id").cast("int").alias("j"))
     start = F.col("j") * sd + 1
     rsub = asg.crossJoin(F.broadcast(sub)).select(
@@ -1570,14 +1567,18 @@ def ivfadc_topk(
 
     if residual and train_id_bound is not None:
         # UNTRAINED-LIST GUARD (see docstring): diff assigned lists
-        # against trained lists — both sides are O(#lists), the collect
-        # is bounded by the broadcast-sized coarse codebook.
+        # against the TRAINING STREAM's list ids — both sides are
+        # O(#lists) and the right side is a plain filtered projection,
+        # NOT the codebook (whose lineage would execute the whole
+        # applyInPandas Lloyd training just to enumerate group keys —
+        # a full redundant training pass; a non-empty training group
+        # always yields a codebook, so the id sets are identical).
         uncovered = sorted(
             r["c_id"]
             for r in asg.select("c_id")
             .distinct()
             .join(
-                F.broadcast(codebook.select("c_id").distinct()),
+                F.broadcast(train_src.select("c_id").distinct()),
                 "c_id",
                 "left_anti",
             )
@@ -1760,24 +1761,53 @@ def incremental_lsh_pairs(
         delta_bands.select("id", "band", "band_key")
     )
     d, a = delta_bands.alias("d"), all_bands.alias("a")
-    cand = (
-        d.join(
-            a,
-            (F.col("d.band") == F.col("a.band"))
-            & (F.col("d.band_key") == F.col("a.band_key"))
-            & (F.col("d.id") != F.col("a.id")),
+    try:
+        cache_key = (
+            "inc_cand",
+            session_token(base.sparkSession),
+            base.semanticHash(),
+            delta.semanticHash(),
+            None if base_bands is None else base_bands.semanticHash(),
+            id_col,
+            text_col,
+            k,
+            bands,
+            shingle_n,
         )
-        .select(
-            F.least("d.id", "a.id").alias("id_a"),
-            F.greatest("d.id", "a.id").alias("id_b"),
+    except Exception:
+        cache_key = None
+    if cache_key is not None and cache_key in _PAIR_CACHE:
+        cand = _PAIR_CACHE[cache_key]
+    else:
+        cand = (
+            d.join(
+                a,
+                (F.col("d.band") == F.col("a.band"))
+                & (F.col("d.band_key") == F.col("a.band_key"))
+                & (F.col("d.id") != F.col("a.id")),
+            )
+            .select(
+                F.least("d.id", "a.id").alias("id_a"),
+                F.greatest("d.id", "a.id").alias("id_b"),
+            )
+            .distinct()
         )
-        .distinct()
-        # candidates are consumed three times below (output join x2 +
-        # the verify semi-join); the pair table is tiny (id pairs only)
-        # and its lineage contains the band self-join, so persist it
-        # (module-docstring cache-lifetime contract applies)
-        .persist()
-    )
+        if cache_key is not None:
+            # candidates are consumed three times below (output join x2
+            # + the verify semi-join) and the lineage contains the band
+            # self-join — persist, but through the module's bounded LRU
+            # so repeated increments in one session EVICT-and-unpersist
+            # older entries instead of leaking one cached pair set per
+            # call (this operator is expressly the repeated-increment
+            # shape)
+            cand = cand.persist()
+            while len(_PAIR_CACHE) >= _PAIR_CACHE_MAX:
+                _, old = _PAIR_CACHE.popitem(last=False)
+                try:
+                    old.unpersist()
+                except Exception:
+                    pass
+            _PAIR_CACHE[cache_key] = cand
     # verify stage: hash-sets ONLY for docs that appear in a candidate
     # pair — semi-join the base corpus down to candidate ids before any
     # shingling (O(candidates), not O(|base|), per increment)

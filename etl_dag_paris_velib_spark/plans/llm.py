@@ -3336,10 +3336,14 @@ SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 8) AS n_queries,
     "(operators/similarity.py) in its production residual form, and the "
     "spec checks three invariants against an in-plan exact squared-L2 "
     "top-10 leg: (1) recall floor — ADC hits at nprobe=8 recover >= 25% "
-    "of the exact neighbors whose coarse list was probed (measured "
-    "0.39-0.46 across sf0.001-0.1; the CONDITIONAL form isolates PQ "
-    "ranking quality from routing coverage and is scale-free because "
-    "seed_mod=50 keeps mean list size at 50 vectors at every sf); "
+    "of the exact neighbors whose coarse list was probed (the "
+    "CONDITIONAL form isolates PQ ranking quality from routing "
+    "coverage; measured 0.39-0.46 across sf0.001-0.1 where lists hold "
+    "~50 vectors, and re-verified true at sf1.0/sf3.0 where "
+    "kmeans_centroids' driver-state bound — DEFAULT_SEED_CAP=256, which "
+    "with this corpus's id layout pins the codebook at 40 lists — "
+    "coarsens lists to 500-1500 vectors: an empirical floor re-checked "
+    "per measured rung, NOT a scale-free constant); "
     "(2) coverage monotonicity — the probed-list candidate coverage at "
     "nprobe=8 >= at nprobe=2, exact by probe-set nesting; (3) recall <= "
     "coverage — every ADC hit's list was probed, tying the operator's "

@@ -1389,8 +1389,8 @@ SELECT l_returnflag,
        max(v_mul)::BIGINT AS m_mul,
        count(CASE WHEN v_add IS NULL THEN 1 END)::BIGINT AS z_add,
        min(v_add)::BIGINT AS m_add,
-       TRY_CAST(sum(CAST(l_orderkey AS HUGEINT) * 50000000000) AS BIGINT)
-         AS s_chk,
+       TRY_CAST(sum(CAST(l_orderkey % 20000 AS HUGEINT) * 50000000000)
+                AS BIGINT) AS s_chk,
        count(CASE WHEN den = 0 THEN 1 END)::BIGINT AS z_div,
        max(v_div) AS m_div,
        count(CASE WHEN v_dec IS NULL THEN 1 END)::BIGINT AS z_dec,
@@ -1415,8 +1415,15 @@ GROUP BY l_returnflag
     "spelling). Every aggregate is a null-pattern count, a min/max "
     "selection, or the checked sum itself — exact in both engines. "
     "Operands are MODULO-BOUNDED (l_orderkey % 9400 etc.) so every "
-    "overflow boundary sits inside the operand range at EVERY sf with a "
-    "~2-3 pct overflow band — which is also the performance design: "
+    "per-row overflow boundary sits inside the operand range at EVERY "
+    "sf with a ~2-3 pct overflow band; the ACCUMULATION leg's bounded "
+    "operand ((k % 20000) * 5e10) keeps the per-row product ANSI-safe "
+    "at any key range (try_sum guards only the accumulation — an "
+    "unbounded child multiply throws before it can null) and crosses "
+    "the sum boundary BETWEEN tiers: all three groups fit at sf0.01, "
+    "all overflow to NULL at sf0.1+, and the fuzz grammar's "
+    "predicate-filtered sweeps cover the mixed regime. The bounding is "
+    "also the performance design: "
     "Spark's try_* family is exception-driven (each overflowing row "
     "throws ArithmeticException for TryEval to catch, measured ~15us/"
     "throw: an unbounded operand made 94 pct of sf0.1 rows throw and "
@@ -1461,7 +1468,13 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v_mul").alias("m_mul"),
         F.count(F.when(F.col("v_add").isNull(), 1)).alias("z_add"),
         F.min("v_add").alias("m_add"),
-        F.expr("try_sum(l_orderkey * 50000000000)").alias("s_chk"),
+        # the sum operand is modulo-bounded too ((c % 20000) * 5e10 <
+        # 1e15 per row at ANY key range): try_sum guards only the
+        # ACCUMULATION — an unbounded per-row child multiply throws
+        # ARITHMETIC_OVERFLOW under ANSI before try_sum can null it
+        # (latent at sf<=1.0 where keys stay under 1.8e8, fatal at the
+        # sf3.0+ rungs)
+        F.expr("try_sum((l_orderkey % 20000) * 50000000000)").alias("s_chk"),
         F.count(F.when(F.col("den") == 0, 1)).alias("z_div"),
         F.max("v_div").alias("m_div"),
         F.count(F.when(F.col("v_dec").isNull(), 1)).alias("z_dec"),

@@ -1452,9 +1452,15 @@ def _gen_overflow_query(rng: random.Random) -> tuple[str, str]:
             else:
                 sa.append(f"CAST({fn}({se}) AS BIGINT) AS m{i}")
                 da.append(f"CAST({fn}({de}) AS BIGINT) AS m{i}")
+    # the per-row operand is modulo-bounded: try_sum guards only the
+    # ACCUMULATION, so an unbounded child multiply would throw
+    # ARITHMETIC_OVERFLOW under ANSI at key ranges beyond the sweep's
+    # sf0.01 (the q146 latent-crash class)
     sm = rng.choice(_OVF_SUMMULT)
-    sa.append(f"try_sum({c} * {sm}) AS s")
-    da.append(f"TRY_CAST(sum(CAST({c} AS HUGEINT) * {sm}) AS BIGINT) AS s")
+    sa.append(f"try_sum(({c} % 20000) * {sm}) AS s")
+    da.append(
+        f"TRY_CAST(sum(CAST({c} % 20000 AS HUGEINT) * {sm}) AS BIGINT) AS s"
+    )
     preds = [_predicate(rng, t) for _ in range(rng.randint(0, 2))]
     where = (" WHERE " + " AND ".join(preds)) if preds else ""
     gcols = rng.sample(t["group_cols"], k=rng.randint(0, 1))

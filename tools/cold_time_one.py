@@ -40,7 +40,15 @@ def main() -> None:
     def force(df):
         df.write.format("noop").mode("overwrite").save()
 
-    force(qs["q01_pricing_summary"](spark, sf_dir))  # JVM/codegen warmup
+    # JVM/codegen warmup with a DIFFERENT query than the one being timed
+    # (timing q01 after a q01 warmup would record a warm cell: page cache
+    # hot, codegen compiled — the opposite of the cold protocol)
+    warm = (
+        "q01_pricing_summary"
+        if name != "q01_pricing_summary"
+        else "q02_forecast_revenue"
+    )
+    force(qs[warm](spark, sf_dir))
     t0 = time.perf_counter()
     force(qs[name](spark, sf_dir))
     print(json.dumps({

@@ -27,13 +27,26 @@ def fuzz_query_count() -> int:
     test_fuzzed`."""
     src = open(os.path.join(ROOT, "tests", "test_fuzz_differential.py")).read()
     seeds = int(re.search(r"^SEEDS = list\(range\((\d+)\)\)", src, re.M).group(1))
-    total = 0
+    total, matched = 0, 0
     for m in re.finditer(
         r'@pytest\.mark\.parametrize\("seed", (SEEDS|list\(range\((\d+)\)\))\)'
         r"\s*\ndef test_fuzzed_",
         src,
     ):
         total += seeds if m.group(1) == "SEEDS" else int(m.group(2))
+        matched += 1
+    # every test_fuzzed_* def must have been counted — a parametrize
+    # spelled any other way (range(20) without list(), a tuple, a named
+    # constant) would otherwise silently undercount, and the README pin
+    # test compares against this same function so the drift would pass CI
+    n_defs = len(re.findall(r"^def test_fuzzed_", src, re.M))
+    if matched != n_defs:
+        raise AssertionError(
+            f"fuzz_query_count matched {matched} parametrize blocks but "
+            f"found {n_defs} test_fuzzed_* defs — a grammar's parametrize "
+            "uses an unrecognized spelling; extend the regex (or use "
+            "SEEDS / list(range(N)))"
+        )
     return total
 
 

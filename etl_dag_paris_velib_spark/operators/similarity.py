@@ -1041,6 +1041,148 @@ def ivf_topk_sweep(
     )
 
 
+def ivf_all_nn(
+    embeddings: DataFrame,
+    nprobe: int = 2,
+    centroid_mod: int | None = None,
+    centroid_cap: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate nearest neighbor for EVERY vector via IVF routing —
+    the all-vector (queries == corpus) form of :func:`ivf_topk`, and the
+    scale path :func:`all_pairs_nn`'s exact O(n^2) sweep documents:
+    embedding-dedup candidate generation at corpus scale routes each
+    vector to its ``nprobe`` nearest inverted lists and searches only
+    those members, never all pairs.
+
+    Returns (vec_id, nn_id, score): each vector's best-cosine neighbor
+    among the members of its probed lists (self excluded; a vector whose
+    probed lists hold no other member emits no row — same contract as
+    the SQL form).
+
+    Execution shape — everything folds map-side, nothing sorts a crossed
+    expansion (the r09 argmin-window rule):
+
+    - assignment: the |corpus| x |lists| broadcast expansion collapses
+      through a max_by hash aggregate (see ivf_topk's note);
+    - probe: ivf_topk's per-query rank WINDOW would sort
+      |corpus| x |lists| rows when the query set IS the corpus; here the
+      per-vector top-``nprobe`` lists come from a BOUNDED aggregate —
+      collect the |lists| (cos, c_id) structs per vector (bounded by the
+      broadcast-sized codebook, the same invariant the broadcast itself
+      relies on), array_sort, slice — so partial aggregation collapses
+      the expansion before any exchange, and the sorted array is
+      codebook-sized, not corpus-sized;
+    - candidate generation: one per-list equi-join (probe side = nprobe
+      rows/vector), output bounded by actual list sizes x nprobe;
+    - final argmax: a max_by fold over each vector's candidates.
+
+    The probe ordering (cos DESC, c_id ASC, realized as an ascending
+    sort over (-cos, c_id)) selects exactly the lists ivf_topk's window
+    form would — pinned by tests/test_llm_operators.py's equivalence
+    test against ivf_topk(queries=corpus, k=1).
+
+    CODEBOOK SIZING (``centroid_mod=None``, the default): for the
+    all-vector workload the codebook size is the asymptotic knob —
+    routing costs N x nlists and candidate scoring costs
+    N x nprobe x (N / nlists), so a FIXED codebook is O(N^2/nlists)
+    in scoring and a corpus-proportional one (q29's mod-50 rule) is
+    O(N^2/mod) in routing. The default picks id stride
+    ceil(sqrt(count)) — the FAISS nlist ~ sqrt(N) sizing rule — which
+    balances both legs at O(N^1.5); one bounded count() pass computes
+    it (deterministic: the oracle derives the same stride from the
+    same count). Pass an explicit ``centroid_mod`` to pin the codebook
+    instead (bounded-|Q| callers like q29 want that).
+    """
+    base = _as_double(embeddings, id_col, vec_col)
+    if centroid_mod is None:
+        import math
+
+        centroid_mod = max(1, math.ceil(math.sqrt(base.count())))
+    is_cent = F.col("vec_id") % centroid_mod == 0
+    if centroid_cap is not None:
+        is_cent = is_cent & (F.col("vec_id") < centroid_cap)
+    cents = base.filter(is_cent).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("cv"),
+        F.col("nv").alias("cn"),
+    )
+    crossed = base.crossJoin(F.broadcast(cents)).withColumn(
+        "cos_c", dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("cn"))
+    )
+    assigned = (
+        crossed.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "c_id", F.struct(F.col("cos_c"), -F.col("c_id"))
+            ).alias("c_id")
+        )
+        .join(base, "vec_id")
+        .select("vec_id", "v", "nv", "c_id")
+    )
+    # probes/assigned/qside all descend from the same `crossed`/`base`
+    # lineage, so every join below uses globally DISJOINT column names —
+    # a string-key self-join over shared lineage is exactly the shape
+    # Spark 4 can silently mis-resolve (observed here: the c_id-keyed
+    # join matched rows outside the probed lists before the rename)
+    probes = (
+        crossed.groupBy("vec_id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("cos_c")).alias("neg_cos"), F.col("c_id")
+                        )
+                    )
+                ),
+                1,
+                nprobe,
+            ).alias("ps")
+        )
+        .select(
+            F.col("vec_id").alias("q_id"), F.explode(F.col("ps")).alias("p")
+        )
+        .select("q_id", F.col("p.c_id").alias("p_cid"))
+    )
+    qside = base.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
+    )
+    members = assigned.select(
+        F.col("vec_id").alias("m_vid"),
+        F.col("v").alias("m_v"),
+        F.col("nv").alias("m_nv"),
+        F.col("c_id").alias("m_cid"),
+    )
+    return (
+        probes.join(qside, "q_id")
+        .join(members, F.col("p_cid") == F.col("m_cid"))
+        .filter(F.col("m_vid") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("m_vid").alias("vec_id"),
+            (
+                dot(F.col("qv"), F.col("m_v")) / (F.col("nq") * F.col("m_nv"))
+            ).alias("score"),
+        )
+        .groupBy("q_id")
+        .agg(
+            F.max_by(
+                F.struct("vec_id", "score"),
+                F.struct(F.col("score"), -F.col("vec_id")),
+            ).alias("w")
+        )
+        .select(
+            F.col("q_id").alias("vec_id"),
+            F.col("w.vec_id").alias("nn_id"),
+            F.col("w.score").alias("score"),
+        )
+    )
+
+
 def all_pairs_nn(
     embeddings: DataFrame,
     id_col: str = "vec_id",

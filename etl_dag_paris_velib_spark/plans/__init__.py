@@ -66,6 +66,10 @@ REGISTRY.merge(_streamq)
 # the r07-green block, all with fresh-enough driver rows to sit out a
 # round.
 DEMOTED = (
+    # born-demoted in r09 (the window was already full when the spec
+    # landed; parity-swept + diffchecked now, rotates into the driver
+    # window next round with the rest of the tail)
+    "q147_ivf_all_nn",
     "q01_pricing_summary",
     "q02_forecast_revenue",
     "q03_shipping_priority",

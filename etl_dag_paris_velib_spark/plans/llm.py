@@ -3434,3 +3434,79 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("hits_hi") <= F.col("cov_hi")).alias("recall_le_coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q147 — all-vector approximate NN via IVF (embedding dedup at scale)
+# ---------------------------------------------------------------------------
+@L.add(
+    "q147_ivf_all_nn",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+m AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS md FROM e),
+cents AS (SELECT vec_id AS c_id, v AS cv FROM e, m WHERE vec_id % m.md = 0),
+rank_ac AS (
+  SELECT e.vec_id, cents.c_id,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           list_dot_product(e.v, cv)
+             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv)))
+           DESC, c_id) AS rn
+  FROM e, cents
+),
+asg AS (SELECT vec_id, c_id FROM rank_ac WHERE rn = 1),
+probe AS (SELECT vec_id AS q_id, c_id FROM rank_ac WHERE rn <= 2),
+s AS (
+  SELECT p.q_id, a.vec_id AS nn_id,
+         list_dot_product(qe.v, ae.v)
+           / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ae.v, ae.v)))
+           AS c
+  FROM probe p
+  JOIN asg a ON a.c_id = p.c_id AND a.vec_id <> p.q_id
+  JOIN e qe ON qe.vec_id = p.q_id
+  JOIN e ae ON ae.vec_id = a.vec_id
+)
+SELECT vec_id, nn_id, round(c, 6) AS score FROM (
+  SELECT q_id AS vec_id, nn_id, c,
+         row_number() OVER (PARTITION BY q_id ORDER BY c DESC, nn_id) AS rn
+  FROM s
+) WHERE rn = 1
+""",
+    doc="All-vector approximate nearest neighbor via IVF routing "
+    "(operators/similarity.py:ivf_all_nn) — the scale path q33's exact "
+    "all-pairs NN documents: every vector probes its nprobe=2 nearest "
+    "inverted lists and takes its best cosine neighbor among their "
+    "members — embedding-dedup candidate generation that touches nprobe "
+    "lists per vector, never all pairs. CODEBOOK SIZING is the load-"
+    "bearing choice for the all-vector workload and differs from q29 "
+    "deliberately: with queries == corpus, routing costs N x nlists "
+    "and candidate scoring costs N x nprobe x (N/nlists), so q29's "
+    "FIXED id-capped codebook is O(N^2/nlists) in scoring (measured "
+    "32s at sf1.0) and a corpus-proportional mod-50 codebook is "
+    "O(N^2/50) in routing (measured 96s at sf3.0). The spec uses the "
+    "operator's default: id stride ceil(sqrt(count)) — the FAISS "
+    "nlist ~ sqrt(N) sizing rule — balancing both legs at O(N^1.5) "
+    "(measured 11s at sf1.0 / 27s at sf3.0, a 2.1x ratio at 3x data); "
+    "the oracle derives the identical stride from the same count. The "
+    "growing codebook broadcast is the documented residual trade: at "
+    "extreme scale assignment goes hierarchical (coarse-route to "
+    "centroid shards) or the c_id join runs bucket-co-partitioned "
+    "instead of broadcast. "
+    "The engine side has NO corpus-wide sort anywhere: assignment and "
+    "the final argmax are max_by folds, and the per-vector probe "
+    "ranking — which for all-vector queries would make ivf_topk's rank "
+    "window sort |corpus| x |lists| rows — is a bounded aggregate "
+    "(collect the codebook-sized (cos, c_id) structs per vector, "
+    "array_sort, slice nprobe), collapsing map-side under partial "
+    "aggregation; the ascending (-cos, c_id) sort realizes exactly the "
+    "window's (cos DESC, c_id) selection, pinned by the pytest "
+    "equivalence against ivf_topk(queries=corpus, k=1). Cosines are "
+    "the proven dot_fixed/list_dot_product identity, so the oracle "
+    "hash-checks routing AND scores. Reference counterpart: none "
+    "(north-star extension).",
+    tags=("vector", "ann", "ivf", "dedup", "llm"),
+)
+def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_all_nn
+
+    nn = ivf_all_nn(_emb(spark, sf_dir), nprobe=2)
+    return nn.select("vec_id", "nn_id", F.round("score", 6).alias("score"))

@@ -946,3 +946,31 @@ def test_incremental_lsh_equals_filtered_full_recompute(spark):
         ).collect()
     }
     assert got3 == want
+
+
+def test_ivf_all_nn_equals_windowed_ivf_topk(spark):
+    """ivf_all_nn's bounded-aggregate probe (collect codebook-sized
+    structs, array_sort, slice) must select EXACTLY what ivf_topk's
+    rank window selects when the query set is the whole corpus — ids
+    AND scores. This pins the (-cos, c_id) ascending sort == (cos DESC,
+    c_id ASC) window equivalence the operator's scale story rests on."""
+    from etl_dag_paris_velib_spark.operators.similarity import (
+        ivf_all_nn,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    agg_form = {
+        (r["vec_id"], r["nn_id"]): round(r["score"], 9)
+        for r in ivf_all_nn(
+            emb, nprobe=2, centroid_mod=50, centroid_cap=3200
+        ).collect()
+    }
+    queries = make_query_set(emb, F.lit(True))  # queries == corpus
+    win_form = {
+        (r["q_id"], r["vec_id"]): round(r["score"], 9)
+        for r in ivf_topk(
+            emb, queries, k=1, centroid_mod=50, nprobe=2, centroid_cap=3200
+        ).collect()
+    }
+    assert agg_form == win_form and len(agg_form) > 0

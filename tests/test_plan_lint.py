@@ -84,6 +84,9 @@ BNLJ_WHITELIST = {
     "per-list LUT) plus the 8-row query broadcast for the exact leg "
     "and the 1-row metric scalars crossed at the end — all bounded, "
     "data-independent build sides",
+    "q147_ivf_all_nn": "q29's fixed-size id-capped centroid codebook "
+    "broadcast against the corpus for assignment AND probe — the one "
+    "broadcast both folds collapse map-side",
 }
 
 #: query -> why its unpartitioned Window (single-partition WindowExec —

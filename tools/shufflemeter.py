@@ -53,6 +53,7 @@ LEDGER_EXTRA = (
     "q89_interval_overlap",
     "q145_trained_ivfadc_recall",
     "q146_try_arithmetic_matrix",
+    "q147_ivf_all_nn",
 )
 
 

@@ -980,7 +980,9 @@ def engines(spark):
         " FROM range(1000)"
     )
     con = duckdb.connect()
-    for name in TABLES:
+    # documents joins the four grammar tables for grammar #20's
+    # long-string regime (Spark side is covered by register_views)
+    for name in (*TABLES, "documents"):
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM '{SF_ORACLE}/{name}.parquet'"
         )
@@ -1476,3 +1478,213 @@ def _gen_overflow_query(rng: random.Random) -> tuple[str, str]:
 @pytest.mark.parametrize("seed", list(range(15)))
 def test_fuzzed_overflow_matches_duckdb(engines, seed):
     _compare_pair(engines, *_gen_overflow_query(random.Random(25000 + seed)))
+
+# ---------------------------------------------------------------------------
+# grammar #20 — string / regexp dialect surface
+# ---------------------------------------------------------------------------
+
+#: string corpus: the four grammar tables' str cols plus documents
+#: (registered for DuckDB by the engines fixture; Spark's register_views
+#: already covers it) — documents.text is the long-string regime the
+#: LLM-curation specs live in, the TPC-H-ish cols are the short-code
+#: regime.
+_STR_TABLES = {
+    "lineitem": ["l_returnflag", "l_linestatus"],
+    "orders": ["o_orderstatus", "o_orderpriority"],
+    "events": ["event_type"],
+    "customer": ["c_mktsegment"],
+    "documents": ["text", "lang", "source"],
+}
+#: LIKE/instr fragments that actually occur (selective, rarely empty)
+_STR_FRAGS = ["a", "e", "r", "o", "U", "-", "ic", "ur", "ck", "row", "ta"]
+#: lookahead/backref/backslash-free regexes — the Java (Spark) and RE2
+#: (DuckDB) intersection; backslash classes are OUT because the two SQL
+#: parsers disagree on string-literal escape handling before the regex
+#: engine ever runs
+_STR_RES = ["[0-9]+", "[aeiou]+", "[a-z][a-z]", "[A-Z]+", "an|ba|ta", "[^a-z]"]
+
+
+def _string_step(rng: random.Random, x: str, dx: str) -> tuple[str, str]:
+    """One derived-string transform over (spark_expr, duck_expr). Every
+    form but regexp_replace is a SHARED spelling (probed identical:
+    substr with start >= 1, TRIM(BOTH..FROM), translate incl. the
+    shorter-target delete case, lpad/rpad incl. truncation, left/right,
+    repeat, replace, reverse, split_part incl. out-of-range -> '');
+    regexp_replace is dialect-paired because Spark replaces ALL matches
+    while DuckDB needs the 'g' flag (pinned in
+    test_regexp_replace_default_scope_divergence)."""
+    kind = rng.choice(
+        ["case", "substr", "pad", "cut", "replace", "translate",
+         "trim", "repeat", "reverse", "regexp", "split"]
+    )
+    if kind == "case":
+        f = rng.choice(["upper", "lower"])
+        return f"{f}({x})", f"{f}({dx})"
+    if kind == "substr":
+        k, m = rng.randint(1, 4), rng.randint(2, 9)
+        return f"substr({x}, {k}, {m})", f"substr({dx}, {k}, {m})"
+    if kind == "pad":
+        f, n = rng.choice(["lpad", "rpad"]), rng.randint(2, 12)
+        p = rng.choice(["x", "xy", "#"])
+        return f"{f}({x}, {n}, '{p}')", f"{f}({dx}, {n}, '{p}')"
+    if kind == "cut":
+        f, n = rng.choice(["left", "right"]), rng.randint(1, 8)
+        return f"{f}({x}, {n})", f"{f}({dx}, {n})"
+    if kind == "replace":
+        a = rng.choice(_STR_FRAGS)
+        b = rng.choice(["", "_", "Z"])
+        return f"replace({x}, '{a}', '{b}')", f"replace({dx}, '{a}', '{b}')"
+    if kind == "translate":
+        src, dst = rng.choice([("ae", "xy"), ("aeiou", "AEIOU"), ("ar", "x")])
+        return (
+            f"translate({x}, '{src}', '{dst}')",
+            f"translate({dx}, '{src}', '{dst}')",
+        )
+    if kind == "trim":
+        side = rng.choice(["BOTH", "LEADING", "TRAILING"])
+        c = rng.choice(["a", "e", "x"])
+        return (
+            f"TRIM({side} '{c}' FROM {x})",
+            f"TRIM({side} '{c}' FROM {dx})",
+        )
+    if kind == "repeat":
+        return f"repeat({x}, 2)", f"repeat({dx}, 2)"
+    if kind == "reverse":
+        return f"reverse({x})", f"reverse({dx})"
+    if kind == "regexp":
+        re_, rep = rng.choice(_STR_RES), rng.choice(["#", "", "<>"])
+        return (
+            f"regexp_replace({x}, '{re_}', '{rep}')",
+            f"regexp_replace({dx}, '{re_}', '{rep}', 'g')",
+        )
+    idx = rng.randint(1, 3)
+    d = rng.choice(["-", " ", "e"])
+    return (
+        f"split_part({x}, '{d}', {idx})",
+        f"split_part({dx}, '{d}', {idx})",
+    )
+
+
+def _gen_string_query(rng: random.Random) -> tuple[str, str]:
+    """Returns (spark_sql, duck_sql) — grammar #20: a derived-string
+    pipeline (1-3 chained transforms over a str col or a ||-concat of
+    two) aggregated by string-selection min/max, count(DISTINCT) and
+    CAST(sum(length) AS BIGINT), under LIKE / instr / length / shared
+    regexp_extract predicates. The texts are identical except inside
+    regexp_replace steps (DuckDB 'g' flag).
+
+    Dialect rules the grammar encodes (each probed, divergences pinned
+    as dedicated tests below):
+    - `||` for concatenation, never concat(): Spark concat()
+      null-propagates, DuckDB concat() skips NULLs; `||` null-
+      propagates in both.
+    - substr start >= 1: Spark treats 0 as 1, DuckDB consumes the
+      empty position-0 slot (postgres window semantics) and returns
+      one char fewer.
+    - regexes from the Java/RE2 shared subset, no backslash classes
+      (the SQL parsers disagree on literal escape handling).
+    - string min/max/BETWEEN are binary-collation in both engines
+      (probed: least('apple','Pear') = 'Pear' both sides).
+    """
+    name = rng.choice(list(_STR_TABLES))
+    cols = _STR_TABLES[name]
+    if len(cols) > 1 and rng.random() < 0.3:
+        a, b = rng.sample(cols, k=2)
+        sx = dx = f"({a} || '-' || {b})"
+    else:
+        sx = dx = rng.choice(cols)
+    for _ in range(rng.randint(1, 3)):
+        sx, dx = _string_step(rng, sx, dx)
+    preds = []
+    for _ in range(rng.randint(0, 2)):
+        pk = rng.choice(["like", "instr", "len", "re"])
+        c = rng.choice(cols)
+        if pk == "like":
+            neg = rng.choice(["", "NOT "])
+            pat = rng.choice(
+                [f"%{rng.choice(_STR_FRAGS)}%", f"{rng.choice(_STR_FRAGS)}%"]
+            )
+            preds.append(f"{c} {neg}LIKE '{pat}'")
+        elif pk == "instr":
+            preds.append(f"instr({c}, '{rng.choice(_STR_FRAGS)}') > 0")
+        elif pk == "len":
+            preds.append(
+                f"length({c}) {rng.choice(['<', '>', '>='])} {rng.choice([2, 5, 8, 40])}"
+            )
+        else:
+            preds.append(
+                f"regexp_extract({c}, '{rng.choice(_STR_RES)}', 0) <> ''"
+            )
+    where = (" WHERE " + " AND ".join(preds)) if preds else ""
+    aggs_of = lambda d: [  # noqa: E731 — local template, not an API
+        "count(*) AS n",
+        f"count(DISTINCT {d}) AS nd",
+        f"min({d}) AS mn",
+        f"max({d}) AS mx",
+        f"CAST(sum(length({d})) AS BIGINT) AS sl",
+    ]
+    gcol = (
+        rng.choice(_STR_TABLES[name])
+        if name != "documents" and rng.random() < 0.5
+        else None
+    )
+    g = f" GROUP BY {gcol}" if gcol else ""
+    s_sel = ", ".join(([gcol] if gcol else []) + aggs_of(sx))
+    d_sel = ", ".join(([gcol] if gcol else []) + aggs_of(dx))
+    return (
+        f"SELECT {s_sel} FROM {name}{where}{g}",
+        f"SELECT {d_sel} FROM {name}{where}{g}",
+    )
+
+
+@pytest.mark.parametrize("seed", list(range(15)))
+def test_fuzzed_string_matches_duckdb(engines, seed):
+    _compare_pair(engines, *_gen_string_query(random.Random(26000 + seed)))
+
+
+def test_concat_null_divergence(engines):
+    """Pinned dialect divergence (found probing grammar #20): concat()
+    with a NULL argument returns NULL in Spark but skips the NULL in
+    DuckDB (postgres CONCAT semantics) — concat('a', NULL, 'b') is NULL
+    vs 'ab'. The `||` operator null-propagates in BOTH engines, so the
+    grammar (and any shared-text spec) concatenates with `||` only."""
+    spark, con = engines
+    s = spark.sql("SELECT concat('a', CAST(NULL AS STRING), 'b')").collect()
+    d = con.execute("SELECT concat('a', CAST(NULL AS VARCHAR), 'b')").fetchone()
+    assert s[0][0] is None and d[0] == "ab"
+    # `||` null-propagates in both (typed NULL spelled per dialect:
+    # Spark's CAST rejects bare VARCHAR)
+    assert spark.sql("SELECT CAST(NULL AS STRING) || 'x'").collect()[0][0] is None
+    assert con.execute("SELECT CAST(NULL AS VARCHAR) || 'x'").fetchone()[0] is None
+
+
+def test_substr_zero_start_divergence(engines):
+    """Pinned dialect divergence (found probing grammar #20): substr
+    with start=0 — Spark clamps 0 to 1 and returns the first n chars;
+    DuckDB follows the postgres character-window rule (positions
+    0..n-1, position 0 is empty) and returns n-1 chars. The grammar
+    keeps every generated start >= 1, where the engines agree (probed
+    through start=4, length past end, and negative -2 from the end)."""
+    spark, con = engines
+    q = "SELECT substr('abcdef', 0, 2) AS r"
+    assert spark.sql(q).collect()[0][0] == "ab"
+    assert con.execute(q).fetchone()[0] == "a"
+
+
+def test_regexp_replace_default_scope_divergence(engines):
+    """Pinned dialect divergence (found probing grammar #20): without
+    flags Spark's regexp_replace substitutes EVERY match, DuckDB only
+    the FIRST (RE2 default) — 'a1b22c333' -> 'a#b#c#' vs 'a#b22c333'.
+    DuckDB's 'g' flag makes them agree, so grammar #20 renders the
+    regexp_replace step dialect-paired, every other step shared."""
+    spark, con = engines
+    s = spark.sql(
+        "SELECT regexp_replace('a1b22c333', '[0-9]+', '#')"
+    ).collect()[0][0]
+    d_default = con.execute(
+        "SELECT regexp_replace('a1b22c333', '[0-9]+', '#')"
+    ).fetchone()[0]
+    d_g = con.execute(
+        "SELECT regexp_replace('a1b22c333', '[0-9]+', '#', 'g')"
+    ).fetchone()[0]
+    assert s == "a#b#c#" and d_default == "a#b22c333" and d_g == s

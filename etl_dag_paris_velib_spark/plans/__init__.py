@@ -70,6 +70,8 @@ DEMOTED = (
     # landed; parity-swept + diffchecked now, rotates into the driver
     # window next round with the rest of the tail)
     "q147_ivf_all_nn",
+    "q148_global_running_revenue",
+    "q149_quality_auc",
     "q01_pricing_summary",
     "q02_forecast_revenue",
     "q03_shipping_priority",

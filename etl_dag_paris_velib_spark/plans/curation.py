@@ -1844,3 +1844,66 @@ def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cum_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q149 — exact distributed ROC-AUC of a quality signal vs a label
+# (operators/ordered.py:exact_auc)
+# ---------------------------------------------------------------------------
+@C.add(
+    "q149_quality_auc",
+    oracle="""
+WITH h AS (
+  SELECT n_chars AS s,
+         count(*)::BIGINT AS t,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS p
+  FROM documents
+  GROUP BY n_chars
+),
+c AS (
+  SELECT t, p,
+         COALESCE(sum(t) OVER (ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cb
+  FROM h
+),
+u AS (
+  SELECT CAST(sum(p) AS BIGINT) AS npos,
+         CAST(sum(t - p) AS BIGINT) AS nneg,
+         sum(2 * p * cb + p * (t + 1)) AS u2
+  FROM c
+)
+SELECT npos, nneg,
+       round((CAST(u2 AS DOUBLE) - CAST(npos AS DOUBLE) * (npos + 1))
+             / (2.0 * npos * nneg), 6) AS auc
+FROM u
+""",
+    doc="Exact ROC-AUC of a document quality signal (n_chars) against a "
+    "downstream label (lang = 'en') — THE eval scalar for every "
+    "quality-classifier gate in a curation pipeline, computed exactly "
+    "at corpus scale by operators/ordered.py:exact_auc: Mann-Whitney "
+    "rank-sum with average-rank tie handling (bit-identical to "
+    "sklearn.metrics.roc_auc_score; tests/test_ordered.py pins the "
+    "numpy differential). The distributed shape is the point: collapse "
+    "to the distinct-score histogram (one map-side-partial shuffle, "
+    "|distinct scores| rows), exclusive-prefix the tie counts in score "
+    "order via range_prefix (q148's literal-boundary exscan — no "
+    "single-partition window even when the histogram is large), then "
+    "one integral fold: U2 = sum(2*p*cum_before + p*(t+1)) with "
+    "AUC = (U2 - npos*(npos+1)) / (2*npos*nneg), every term exact in "
+    "DECIMAL(38,0) until the final double division, so both engines "
+    "divide the SAME integers and the rounded double hash-matches. The "
+    "complement to q132's threshold-sweep operating curve: q132 walks "
+    "20 cut points, this is the threshold-free area under the whole "
+    "curve. 100 TB: two bounded shuffles (histogram, bucket totals) "
+    "plus a 1-row fold; quantize truly continuous scores first if "
+    "|distinct| ~ |rows|. Reference counterpart: none (north-star "
+    "extension).",
+    tags=("curation", "eval", "auc", "ordered"),
+)
+def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ordered import exact_auc
+
+    d = _docs(spark, sf_dir).withColumn("is_en", F.col("lang") == "en")
+    a = exact_auc(d, "n_chars", "is_en")
+    return a.select("npos", "nneg", F.round("auc", 6).alias("auc"))

@@ -1481,3 +1481,62 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v_dec").alias("d_cap"),
         F.count(F.when(F.col("v_int").isNull(), 1)).alias("z_int"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q148 — exact GLOBAL running revenue + global rank, no single-partition
+# window (operators/ordered.py:range_prefix)
+# ---------------------------------------------------------------------------
+@R.add(
+    "q148_global_running_revenue",
+    oracle="""
+SELECT o_orderkey,
+       row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS global_rank,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              OVER (ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT)
+         AS cum_cents
+FROM orders
+""",
+    doc="Exact global cumulative revenue and global rank over the full "
+    "orders total order (o_orderdate, o_orderkey) — the semantics of "
+    "``SUM() OVER (ORDER BY ...)`` with NO PARTITION BY, the one window "
+    "shape the plan lint bans outright as the single-reducer sort "
+    "(tests/test_plan_lint.py). The engine side never builds that "
+    "window: operators/ordered.py:range_prefix runs the two-phase "
+    "exscan — literal-boundary bucketing (bucket id is a PURE row "
+    "function baked in from a seeded driver sample, NOT "
+    "spark_partition_id after repartitionByRange, whose RDD-id-seeded "
+    "re-sampling we measured placing rows differently across plan "
+    "branches), a <=n-row per-bucket totals frame exclusive-scanned and "
+    "broadcast back, one hash shuffle, and a vectorized Arrow "
+    "per-bucket cumsum with cross-batch carry. Money moves as BIGINT "
+    "cents end to end, so the cumulative sum is exact and associative — "
+    "a double cumsum would make the result depend on bucket boundaries "
+    "and diverge from the oracle's strictly-sequential accumulation. "
+    "The result is boundary-invariant by construction: ranks and "
+    "running sums come out identical for ANY bucket placement, which is "
+    "what the oracle (DuckDB's true global window, fine single-node) "
+    "hash-checks. 100 TB: one hash shuffle on the bucket id — the "
+    "irreducible cost of a global order — plus a column-pruned "
+    "count+sample pre-pass; cumulative token budgets in corpus order "
+    "and exact global quality ranks are this exact plan. Reference "
+    "counterpart: none (north-star extension; the reference's pandas "
+    "stage is single-node cumsum).",
+    tags=("window", "ordered", "orders", "scale"),
+)
+def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ordered import range_prefix
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return range_prefix(
+        o,
+        ["o_orderdate", "o_orderkey"],
+        "cents",
+        cumsum_col="cum_cents",
+    ).select("o_orderkey", "global_rank", "cum_cents")

@@ -1,0 +1,152 @@
+"""Tests for operators/ordered.py — global prefix sums, ranks, exact AUC.
+
+The differential reference for range_prefix is the very plan the operator
+exists to replace: an unpartitioned window (fine at test scale, banned at
+100 TB by the plan lint). exact_auc is checked against a from-scratch
+numpy Mann-Whitney implementation with average-rank ties — the same
+definition sklearn.metrics.roc_auc_score computes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_dag_paris_velib_spark.operators.ordered import exact_auc, range_prefix
+
+from conftest import SF_ORACLE
+
+
+def _orders_cents(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/orders.parquet").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+
+
+def _window_ref(o):
+    w = Window.orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.row_number().over(w).alias("global_rank"),
+        F.sum("cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("global_cumsum"),
+    )
+
+
+@pytest.mark.parametrize("n", [1, 3, 32])
+def test_range_prefix_matches_global_window(spark, n):
+    o = _orders_cents(spark)
+    got = range_prefix(
+        o, ["o_orderdate", "o_orderkey"], "cents", num_partitions=n
+    ).select("o_orderkey", "global_rank", "global_cumsum")
+    ref = _window_ref(o)
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+
+
+def test_range_prefix_multi_batch_carry(spark):
+    """Force several Arrow batches per task so the cross-batch carry (and
+    the reset-on-bucket-change path for colliding buckets) is exercised."""
+    o = _orders_cents(spark)
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+    try:
+        got = range_prefix(
+            o, ["o_orderdate", "o_orderkey"], "cents", num_partitions=3
+        ).select("o_orderkey", "global_rank", "global_cumsum")
+        ref = _window_ref(o)
+        assert got.exceptAll(ref).count() == 0
+        assert ref.exceptAll(got).count() == 0
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_range_prefix_rank_only_and_empty(spark):
+    o = _orders_cents(spark).limit(0)
+    assert range_prefix(o, ["o_orderkey"], num_partitions=4).count() == 0
+    small = _orders_cents(spark).limit(17)
+    got = range_prefix(small, ["o_orderkey"], num_partitions=4)
+    ranks = sorted(r.global_rank for r in got.select("global_rank").collect())
+    assert ranks == list(range(1, 18))
+    assert "global_cumsum" not in got.columns
+
+
+def test_range_prefix_rejects_non_long_value(spark):
+    o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    with pytest.raises(TypeError, match="LongType"):
+        range_prefix(o, ["o_orderkey"], "o_totalprice")
+
+
+def test_range_prefix_is_self_consistent_across_reevaluation(spark):
+    """The failure mode this operator is engineered against: the bucket id
+    must be a pure row function, so the totals branch and the scan branch
+    agree even when Catalyst evaluates the input subtree twice (Spark's
+    RangePartitioner re-samples per RDD id, which is why
+    repartitionByRange + spark_partition_id is NOT usable here). Duplicate
+    or missing global ranks are the symptom."""
+    o = _orders_cents(spark)
+    got = range_prefix(o, ["o_orderdate", "o_orderkey"], "cents", num_partitions=8)
+    n = got.count()
+    distinct_ranks = got.select("global_rank").distinct().count()
+    assert distinct_ranks == n
+    top = got.orderBy(F.desc("global_rank")).limit(1).collect()[0]
+    assert top.global_rank == n
+    total = o.agg(F.sum("cents")).collect()[0][0]
+    assert top.global_cumsum == total
+
+
+def _numpy_auc(scores: np.ndarray, labels: np.ndarray) -> float:
+    r = pd.Series(scores).rank(method="average").to_numpy()
+    npos = int(labels.sum())
+    nneg = len(labels) - npos
+    return float((r[labels].sum() - npos * (npos + 1) / 2) / (npos * nneg))
+
+
+def test_exact_auc_matches_numpy_rank_sum(spark):
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").withColumn(
+        "is_en", F.col("lang") == "en"
+    )
+    got = exact_auc(docs, "n_chars", "is_en", num_partitions=5).collect()[0]
+    pdf = docs.select("n_chars", "is_en").toPandas()
+    want = _numpy_auc(pdf["n_chars"].to_numpy(), pdf["is_en"].to_numpy())
+    assert got.npos == int(pdf["is_en"].sum())
+    assert got.nneg == len(pdf) - got.npos
+    assert got.auc == pytest.approx(want, abs=0, rel=0)  # bit-exact
+
+
+def test_exact_auc_known_values_and_degenerate(spark):
+    # hand-computed: scores [1,2,3,4], labels [F,F,T,T] -> AUC 1.0;
+    # swap one pair -> 0.75; heavy ties average out to 0.5
+    df = spark.createDataFrame(
+        [(1, False), (2, False), (3, True), (4, True)], "s int, y boolean"
+    )
+    assert exact_auc(df, "s", "y", num_partitions=2).collect()[0].auc == 1.0
+    df2 = spark.createDataFrame(
+        [(1, False), (2, True), (3, False), (4, True)], "s int, y boolean"
+    )
+    assert exact_auc(df2, "s", "y", num_partitions=2).collect()[0].auc == 0.75
+    ties = spark.createDataFrame(
+        [(7, True), (7, False), (7, True), (7, False)], "s int, y boolean"
+    )
+    assert ties.transform(
+        lambda d: exact_auc(d, "s", "y", num_partitions=2)
+    ).collect()[0].auc == 0.5
+    onecls = spark.createDataFrame([(1, True), (2, True)], "s int, y boolean")
+    assert exact_auc(onecls, "s", "y").collect()[0].auc is None
+
+
+def test_exact_auc_random_differential(spark):
+    rng = np.random.RandomState(1234)
+    scores = rng.randint(0, 50, size=400)  # heavy ties
+    labels = rng.rand(400) < (scores / 60.0)  # correlated -> auc > 0.5
+    pdf = pd.DataFrame({"s": scores.astype("int64"), "y": labels})
+    df = spark.createDataFrame(pdf)
+    got = exact_auc(df, "s", "y", num_partitions=7).collect()[0]
+    want = _numpy_auc(scores, labels)
+    assert got.auc == pytest.approx(want, abs=0, rel=0)
+    assert got.auc > 0.5

@@ -115,6 +115,12 @@ UNPARTITIONED_WINDOW_WHITELIST = {
     "as an unpartitioned window, no extra text scan (mining.py)",
     "q140_vocab_growth_curve": "cumulative vocab/token sums over the "
     "fixed 10-row decile grid (curation.py)",
+    "q148_global_running_revenue": "exclusive-prefix window over the "
+    "per-bucket totals frame — <= num_partitions rows by construction "
+    "(operators/ordered.py:range_prefix); the fact table itself never "
+    "sees an unpartitioned window, that's the operator's whole point",
+    "q149_quality_auc": "same range_prefix offsets frame, over the "
+    "distinct-score histogram's bucket totals (operators/ordered.py)",
 }
 
 

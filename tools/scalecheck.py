@@ -62,6 +62,8 @@ HEADLINE = (
     "q145_trained_ivfadc_recall",  # kmeans-trained residual IVFADC + exact leg (r09)
     "q142_rrf_query_vectors",     # hybrid RRF, explicit query vectors (r08)
     "q143_variant_path_matrix",   # VARIANT parse-once path extraction (r08)
+    "q148_global_running_revenue",  # literal-boundary exscan, 1 hash shuffle (r09)
+    "q149_quality_auc",           # histogram Mann-Whitney, bounded shuffles (r09)
     "q124_masked_lm_pairs",     # posexplode + order-preserving reassembly (r06)
     "q125_source_kl_drift",     # two grouped passes + vocab window (r06)
     "q126_centroid_drift",      # exploded-dim partials, folded global (r06)

@@ -248,6 +248,90 @@ def range_prefix(
     return out.drop(*drop)
 
 
+def global_order_statistics(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    pcts: Sequence[int],
+    *,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global order statistics (value at rank ceil(pct*N/100)) by
+    rank selection with BUCKET PRUNING — no full sort anywhere.
+
+    The discrete quantile at integer percentage ``pct`` is the row whose
+    global rank under ``ORDER BY *order_cols`` is
+    ``max(1, (pct*N + 99) // 100)`` — pure integer arithmetic, so both
+    engines select the identical row (no float ``ceil`` boundary to
+    diverge on). Plan, all JVM-side:
+
+    1. Literal-boundary bucket id (same pure row function as
+       :func:`range_prefix`), per-bucket counts exclusive-scanned over the
+       <= n-row totals frame.
+    2. Locate target buckets: broadcast-join the offsets and keep only
+       rows whose bucket straddles a target rank — at most ``len(pcts)``
+       buckets (~len(pcts) * N/n rows) survive.
+    3. ``row_number`` over a window PARTITIONED by bucket (lint-clean:
+       every partition is one pruned bucket) + the bucket's count offset
+       = the global rank; filter to the target ranks.
+
+    Returns one row per pct: ``(pct, global_rank, *order_cols)``.
+    ``order_cols`` must be a total order (append a unique key) and
+    non-null. 100 TB: the fact table is scanned twice (totals, probe) but
+    only the target buckets are ever shuffled or sorted — the classic
+    distributed selection algorithm, and the exact-quantile complement to
+    the mergeable t-digest (q38's documented scale path).
+    """
+    order_cols = list(order_cols)
+    pcts = sorted(set(int(p) for p in pcts))
+    if not pcts or pcts[0] < 0 or pcts[-1] > 100:
+        raise ValueError("pcts must be integers in [0, 100]")
+    spark = df.sparkSession
+    n = int(
+        num_partitions
+        or spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    cnt = df.count()
+    if cnt == 0:
+        sel = [F.lit(0).alias("pct"), F.lit(0).cast("long").alias("global_rank")]
+        sel += [F.col(c) for c in order_cols]
+        return df.select(*sel).limit(0)
+    targets = {p: max(1, (p * cnt + 99) // 100) for p in pcts}
+    rank_lits = F.array(*[F.lit(int(r)).cast("long") for r in set(targets.values())])
+
+    base = df.withColumn(_BKT, _bucket_expr(df, order_cols, n))
+    totals = base.groupBy(_BKT).agg(F.count(F.lit(1)).alias("_rp_cnt"))
+    w_excl = Window.orderBy(_BKT).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        _BKT,
+        F.col("_rp_cnt"),
+        F.coalesce(F.sum("_rp_cnt").over(w_excl), F.lit(0)).alias("_rp_cnt_off"),
+    )
+
+    pruned = (
+        base.join(F.broadcast(offsets), _BKT)
+        # keep only buckets that straddle a target rank
+        .filter(
+            F.exists(
+                rank_lits,
+                lambda r: (r > F.col("_rp_cnt_off"))
+                & (r <= F.col("_rp_cnt_off") + F.col("_rp_cnt")),
+            )
+        )
+    )
+    w_in = Window.partitionBy(_BKT).orderBy(*order_cols)
+    ranked = pruned.withColumn(
+        "global_rank",
+        (F.row_number().over(w_in) + F.col("_rp_cnt_off")).cast("long"),
+    ).filter(F.array_contains(rank_lits, F.col("global_rank")))
+
+    pct_map = spark.createDataFrame(
+        [(p, int(r)) for p, r in targets.items()], "pct int, global_rank long"
+    )
+    return ranked.join(F.broadcast(pct_map), "global_rank").select(
+        "pct", "global_rank", *order_cols
+    )
+
+
 def exact_auc(
     df: DataFrame,
     score_col: str,

@@ -72,6 +72,7 @@ DEMOTED = (
     "q147_ivf_all_nn",
     "q148_global_running_revenue",
     "q149_quality_auc",
+    "q150_global_order_statistics",
     "q01_pricing_summary",
     "q02_forecast_revenue",
     "q03_shipping_priority",

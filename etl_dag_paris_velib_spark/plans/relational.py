@@ -1540,3 +1540,57 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         cumsum_col="cum_cents",
     ).select("o_orderkey", "global_rank", "cum_cents")
+
+
+# ---------------------------------------------------------------------------
+# q150 — exact global quantiles by rank selection with bucket pruning
+# (operators/ordered.py:global_order_statistics)
+# ---------------------------------------------------------------------------
+@R.add(
+    "q150_global_order_statistics",
+    oracle="""
+WITH n AS (SELECT count(*) AS c FROM lineitem),
+r AS (SELECT l_extendedprice, l_orderkey, l_linenumber,
+             row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+                                         l_linenumber) AS global_rank
+      FROM lineitem),
+qs AS (SELECT unnest([1,5,10,25,50,75,90,95,99,100]) AS pct)
+SELECT pct, global_rank, l_extendedprice, l_orderkey, l_linenumber
+FROM qs, n
+JOIN r ON r.global_rank = greatest(1, (pct * c + 99) // 100)
+""",
+    doc="Exact global quantiles of l_extendedprice (p1..p100) by rank "
+    "selection with BUCKET PRUNING "
+    "(operators/ordered.py:global_order_statistics) — the distributed "
+    "selection algorithm: per-bucket counts locate which literal-"
+    "boundary buckets straddle each target rank, only those <= |pcts| "
+    "buckets are ever shuffled or sorted (row_number windows PARTITIONED "
+    "by pruned bucket + the bucket's count offset = global rank), and "
+    "the full sort the oracle runs single-node never exists in the "
+    "Spark plan. Target ranks are pure integer arithmetic — "
+    "max(1, (pct*N + 99) // 100) — spelled identically in both engines, "
+    "so no float ceil boundary can flip a row selection at any N. The "
+    "exact-quantile complement to q38: q38's per-group `percentile` "
+    "sorts each group inside the aggregate and its documented scale "
+    "path is the mergeable t-digest when the cut line tolerates error; "
+    "this is the path when it does NOT (exact corpus-wide quality-score "
+    "cut lines for top-p%% selection). All JVM-side: no pandas, no "
+    "unpartitioned window over anything unbounded (the exclusive scan "
+    "runs over the <= num_partitions-row totals frame). 100 TB: two "
+    "scans + a shuffle of ~|pcts| buckets' rows; the tie-broken total "
+    "order (price, orderkey, linenumber) keeps rank selection "
+    "deterministic under duplicate prices. Reference counterpart: none "
+    "(north-star extension).",
+    tags=("ordered", "quantile", "lineitem", "scale"),
+)
+def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ordered import global_order_statistics
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return global_order_statistics(
+        li,
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        [1, 5, 10, 25, 50, 75, 90, 95, 99, 100],
+    )

@@ -121,6 +121,9 @@ UNPARTITIONED_WINDOW_WHITELIST = {
     "sees an unpartitioned window, that's the operator's whole point",
     "q149_quality_auc": "same range_prefix offsets frame, over the "
     "distinct-score histogram's bucket totals (operators/ordered.py)",
+    "q150_global_order_statistics": "same bounded offsets frame "
+    "(operators/ordered.py:global_order_statistics); the per-row "
+    "row_number window is PARTITIONED by pruned bucket",
 }
 
 

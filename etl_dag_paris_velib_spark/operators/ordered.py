@@ -26,13 +26,13 @@ Spark):
 2. Per-bucket totals via one map-side-partial ``groupBy`` (n rows out),
    exclusive-scanned by a window over that <= n-row frame (bounded,
    data-independent — the whitelisted window shape) and broadcast back.
-3. One hash shuffle on the bucket id + ``sortWithinPartitions(bucket,
-   *order)``, then a vectorized per-bucket running scan via
-   ``mapInPandas`` with a carry across Arrow batches that resets on bucket
-   change (hash collisions may co-locate two buckets in one task — the
-   reset keeps them independent). A JVM window ``PARTITION BY bucket``
-   would be bit-identical but adds nothing: it shuffles the same bytes and
-   sorts the same rows; the Arrow pass keeps the scan O(rows) vectorized.
+3. One hash shuffle on the bucket id, then a JVM window ``PARTITION BY
+   bucket ORDER BY *order`` for the local rank and running sum. The
+   explicit hash repartition on the bucket id already satisfies the
+   window's clustering requirement, so Catalyst adds no second exchange —
+   one shuffle total, everything inside whole-stage-codegen'd JVM
+   execution (an earlier Arrow ``mapInPandas`` draft paid a Python
+   round-trip for the identical shuffle count).
 
 Values are required to be integral (LongType) so every arithmetic step is
 exact and associative — money goes through cents, never floating point;
@@ -44,13 +44,11 @@ stage is single-node, where ``Series.cumsum`` is trivially global).
 
 from __future__ import annotations
 
-from collections.abc import Iterator, Sequence
-
-import pandas as pd
+from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField
+from pyspark.sql.types import LongType
 
 _BKT = "_rp_bucket"
 _LRANK = "_rp_local_rank"
@@ -62,53 +60,56 @@ _SAMPLE_PER_BUCKET = 64
 
 def _bucket_expr(df: DataFrame, order_cols: list[str], n: int) -> Column:
     """Bucket id 0..<=n-1 as a pure row function: count of sampled boundary
-    key tuples <= the row's key tuple.
+    values <= the row's FIRST order column.
+
+    Bucketing on the first order column alone is sufficient for a
+    contiguous partition of the total order (rows tied on it share a
+    bucket, so every row in bucket i still sorts before every row in
+    bucket i+1); the remaining order columns only matter for the
+    per-bucket local sort. That choice is also the performance design:
+    a single-column ``lit <= col`` chain stays inside whole-stage
+    codegen, whereas a full lexicographic (or struct ``<=``) chain blew
+    the generated-method limit and fell back to interpreted evaluation
+    (measured 3.7-7.4s per 600k-row scan vs 0.5s for the scalar chain).
+    The skew trade is explicit: a value duplicated past N/n rows makes
+    one hot bucket — same as any range partitioning on a non-unique key.
 
     Boundaries come from a seeded, driver-sorted sample (bounded:
-    ``n * _SAMPLE_PER_BUCKET`` rows collected); they are baked in as an
-    array-of-structs literal, so the expression is deterministic across
-    any number of plan re-evaluations. Balance is approximate (sampling
-    error only skews sizes, never correctness). Cost: one column-pruned
-    count + one column-pruned sample scan before the main job, then
-    O(n) codegen'd struct comparisons per row (the aggregate HOF is
-    linear — fine to a few thousand buckets; past that, route rows
-    through a two-level bucket-of-buckets before reaching for this).
+    ``n * _SAMPLE_PER_BUCKET`` rows collected); they are baked in as
+    literals, so the expression is deterministic across any number of
+    plan re-evaluations. Balance is approximate (sampling error only
+    skews sizes, never correctness). Cost: one column-pruned count + one
+    column-pruned sample scan before the main job, then O(n) codegen'd
+    scalar comparisons per row (fine to a few thousand buckets; past
+    that, route rows through a two-level bucket-of-buckets).
     """
+    head = order_cols[0]
     cnt = df.count()
     target = n * _SAMPLE_PER_BUCKET
-    boundaries: list[tuple] = []
+    boundaries: list = []
     if cnt > 0 and n > 1:
         frac = min(1.0, float(target) / float(cnt))
         smp = (
-            df.select(*order_cols)
+            df.select(head)
             .sample(withReplacement=False, fraction=frac, seed=9)
             .collect()
         )
-        keys = sorted(tuple(r) for r in smp)
+        keys = sorted(r[0] for r in smp)
         if keys:
             step = len(keys) / float(n)
             idxs = {int(step * i) for i in range(1, n)}
             boundaries = sorted({keys[i] for i in idxs if 0 < i < len(keys)})
-    row_key = F.struct(*[F.col(c) for c in order_cols])
     if not boundaries:
         return F.lit(0)
-    dtypes = [df.schema[c].dataType for c in order_cols]
-    blit = F.array(
-        *[
-            F.struct(
-                *[
-                    F.lit(v).cast(dt).alias(c)
-                    for v, c, dt in zip(b, order_cols, dtypes)
-                ]
-            )
-            for b in boundaries
-        ]
-    )
-    return F.aggregate(
-        blit,
-        F.lit(0),
-        lambda acc, b: acc + F.when(b <= row_key, F.lit(1)).otherwise(F.lit(0)),
-    ).cast("int")
+    dtype = df.schema[head].dataType
+    terms = [
+        F.when(F.lit(v).cast(dtype) <= F.col(head), 1).otherwise(0)
+        for v in boundaries
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("int")
 
 
 def range_prefix(
@@ -129,8 +130,8 @@ def range_prefix(
                              ROWS UNBOUNDED PRECEDING)          AS cumsum_col
 
     but with NO single-partition window: literal-boundary bucketing, a
-    bounded (<= num_partitions rows) offsets frame broadcast back, one
-    hash shuffle, and a vectorized per-bucket scan (module doc has the
+    bounded (<= num_partitions rows) offsets frame broadcast back, and
+    one hash shuffle feeding per-bucket JVM windows (module doc has the
     full algorithm). ``order_cols`` must be a total order (no ties) —
     ties would make the window semantics ambiguous; append a unique key
     column to break them. ``order_cols`` must be non-null (boundary
@@ -186,54 +187,29 @@ def range_prefix(
         ),
     )
 
-    # -- one shuffle + vectorized per-bucket scan --------------------------
-    scanned_schema = (
-        base.schema
-        .add(StructField(_LRANK, LongType(), False))
-        .add(StructField(_LCUM, LongType(), False))
+    # -- one shuffle + per-bucket JVM window scan --------------------------
+    # The explicit hash repartition on the bucket id satisfies the
+    # window's ClusteredDistribution(_BKT), so Catalyst adds NO second
+    # exchange — one shuffle total, then a per-partition sort and a
+    # sequential running aggregate, all inside the JVM (an earlier Arrow
+    # mapInPandas draft paid the Python round-trip for the same shuffle
+    # count; tests/test_ordered.py pins the single-exchange shape).
+    w_in = (
+        Window.partitionBy(_BKT)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    vcol = value_col  # bind for the closure
-
-    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # carry across Arrow batches within one task; a task may hold
-        # several buckets (hash collisions) — rows arrive sorted by
-        # (bucket, *order), so reset the carry on bucket change.
-        last_bkt: int | None = None
-        rank_carry = 0
-        cum_carry = 0
-        for pdf in batches:
-            if len(pdf) == 0:
-                empty = pd.Series([], dtype="int64")
-                yield pdf.assign(**{_LRANK: empty, _LCUM: empty})
-                continue
-            bkt = pdf[_BKT].to_numpy()
-            ranks = pd.Series(range(len(pdf)), dtype="int64")
-            # restart the intra-batch counter at each bucket change
-            starts = pd.Series(bkt).ne(pd.Series(bkt).shift()).cumsum()
-            local_rank = ranks.groupby(starts.values).cumcount() + 1
-            if vcol is not None:
-                local_cum = (
-                    pdf[vcol].astype("int64").groupby(starts.values).cumsum()
-                )
-            else:
-                local_cum = pd.Series(0, index=pdf.index, dtype="int64")
-            first_bkt = int(bkt[0])
-            if last_bkt is not None and first_bkt == last_bkt:
-                head = starts.values == starts.values[0]
-                local_rank = local_rank + pd.Series(head, dtype="int64") * rank_carry
-                if vcol is not None:
-                    local_cum = local_cum + pd.Series(head, dtype="int64") * cum_carry
-            last_bkt = int(bkt[-1])
-            rank_carry = int(local_rank.iloc[-1])
-            cum_carry = int(local_cum.iloc[-1]) if vcol is not None else 0
-            pdf[_LRANK] = local_rank.to_numpy()
-            pdf[_LCUM] = local_cum.to_numpy()
-            yield pdf
-
-    local = (
-        base.repartition(n, _BKT)
-        .sortWithinPartitions(_BKT, *order_cols)
-        .mapInPandas(_scan, schema=scanned_schema)
+    local = base.repartition(n, _BKT).select(
+        "*",
+        F.row_number()
+        .over(Window.partitionBy(_BKT).orderBy(*order_cols))
+        .cast("long")
+        .alias(_LRANK),
+        *(
+            [F.sum(value_col).over(w_in).alias(_LCUM)]
+            if value_col is not None
+            else []
+        ),
     )
 
     out = local.join(F.broadcast(offsets), _BKT)
@@ -360,7 +336,10 @@ def exact_auc(
     Returns a 1-row DataFrame ``(npos, nneg, auc)``; ``auc`` is NULL when
     either class is empty. NULL labels count as negatives; scores must be
     non-null. Overflow headroom: U2 < N^2 fits DECIMAL(38,0) to N ~ 1e19
-    rows.
+    rows. Honest cost note: the histogram lineage is evaluated ~4x (the
+    boundary count/sample pre-pass plus the totals and scan branches) —
+    each evaluation is the same map-side-partial aggregate; persist the
+    histogram first if the raw scan dominates.
     """
     hist = df.groupBy(F.col(score_col).alias("_s")).agg(
         F.count(F.lit(1)).alias("_t"),

@@ -49,21 +49,30 @@ def test_range_prefix_matches_global_window(spark, n):
     assert ref.exceptAll(got).count() == 0
 
 
-def test_range_prefix_multi_batch_carry(spark):
-    """Force several Arrow batches per task so the cross-batch carry (and
-    the reset-on-bucket-change path for colliding buckets) is exercised."""
+def test_range_prefix_single_exchange_scan_branch(spark):
+    """The explicit hash repartition on the bucket id must satisfy the
+    per-bucket window's clustering requirement: exactly ONE exchange may
+    sit between the scan and the window (a second one would mean Catalyst
+    re-shuffled for the window and the operator pays the fact table's
+    shuffle twice)."""
     o = _orders_cents(spark)
-    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
-    try:
-        got = range_prefix(
-            o, ["o_orderdate", "o_orderkey"], "cents", num_partitions=3
-        ).select("o_orderkey", "global_rank", "global_cumsum")
-        ref = _window_ref(o)
-        assert got.exceptAll(ref).count() == 0
-        assert ref.exceptAll(got).count() == 0
-    finally:
-        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    got = range_prefix(o, ["o_orderdate", "o_orderkey"], "cents", num_partitions=8)
+
+    # AQE wraps the physical tree, so assert on the printed plan: in the
+    # fact-side chain Window[row_number] -> ... -> Exchange(REPARTITION_BY_NUM)
+    # no OTHER exchange may appear (the totals branch legitimately has its
+    # own aggregate exchange — it prints after the broadcast, not here)
+    lines = got._jdf.queryExecution().executedPlan().toString().splitlines()
+    start = next(
+        i for i, ln in enumerate(lines) if "Window" in ln and "row_number" in ln
+    )
+    end = next(
+        i
+        for i, ln in enumerate(lines[start:], start)
+        if "REPARTITION_BY_NUM" in ln
+    )
+    between = [ln for ln in lines[start + 1 : end] if "Exchange" in ln]
+    assert not between, between
 
 
 def test_range_prefix_rank_only_and_empty(spark):

@@ -1688,3 +1688,223 @@ def test_regexp_replace_default_scope_divergence(engines):
         "SELECT regexp_replace('a1b22c333', '[0-9]+', '#', 'g')"
     ).fetchone()[0]
     assert s == "a#b#c#" and d_default == "a#b22c333" and d_g == s
+
+
+# ---------------------------------------------------------------------------
+# grammar #21 — array / list function dialect surface
+# ---------------------------------------------------------------------------
+# The embedding and token tiers live on array columns and HOFs
+# (dot products, shingle sets, codebook folds), so the array dialect
+# mapping deserves the same sweep the string/overflow surfaces got.
+# Every seed renders as a dialect-mapped PAIR (Spark array_* / HOF
+# lambdas <-> DuckDB list_* functions). Rules the grammar encodes, each
+# probed, divergences pinned as dedicated tests below:
+# - arrays are built NULL-FREE (modulo'd key columns / split on literal
+#   delimiters): DuckDB list_distinct DROPS NULLs while Spark
+#   array_distinct keeps one — inside the grammar the null regimes
+#   would diverge by construction.
+# - array_distinct/list_distinct emit engine-specific ORDER -> the
+#   grammar always sorts right after a distinct step.
+# - element access is try_element_at(x, k) <-> dx[k]: both yield NULL
+#   out of bounds, while Spark's plain element_at throws under ANSI.
+# - slice(x, b, len) <-> list_slice(dx, b, b+len-1) (length vs
+#   inclusive-end), both clamp past the end.
+# - sums: aggregate(x, 0L, (a,v) -> a+v) <-> CAST(list_sum(dx) AS
+#   BIGINT) (DuckDB widens to HUGEINT); sizes: CAST(size(x) AS BIGINT)
+#   <-> len(dx) (Spark size is INT).
+# - positions: array_position <-> CAST(list_position AS BIGINT) — both
+#   return 0 on a miss (probed), only the width differs.
+
+#: int-array element templates over lineitem keys (null-free by modulo)
+_ARR_INT_ELEMS = [
+    "l_orderkey % {m}",
+    "l_partkey % {m}",
+    "l_suppkey % {m}",
+    "CAST(l_linenumber AS BIGINT) % {m}",
+]
+
+
+def _arr_base(rng: random.Random) -> tuple[str, str, str]:
+    """Returns (kind, spark_expr, duck_expr) for a null-free base array."""
+    if rng.random() < 0.55:
+        k = rng.randint(2, 4)
+        elems = rng.sample(_ARR_INT_ELEMS, k=k)
+        parts = [e.format(m=rng.randint(3, 9)) for e in elems]
+        return "int", f"array({', '.join(parts)})", f"[{', '.join(parts)}]"
+    sep = rng.choice(["-", "#"])
+    joined = f"l_returnflag || '{sep}' || l_linestatus || '{sep}' || l_returnflag"
+    return (
+        "str",
+        f"split({joined}, '{sep}')",
+        f"string_split({joined}, '{sep}')",
+    )
+
+
+def _arr_step(rng: random.Random, kind: str, x: str, dx: str) -> tuple[str, str]:
+    forms = ["sort", "distinct", "slice", "reverse", "selfcat"]
+    if kind == "int":
+        forms += ["transform", "filter"]
+    f = rng.choice(forms)
+    if f == "sort":
+        return f"array_sort({x})", f"list_sort({dx})"
+    if f == "distinct":
+        # engine-specific output order -> always re-sort (see header)
+        return (
+            f"array_sort(array_distinct({x}))",
+            f"list_sort(list_distinct({dx}))",
+        )
+    if f == "slice":
+        b, ln = rng.randint(1, 3), rng.randint(1, 4)
+        return (
+            f"slice({x}, {b}, {ln})",
+            f"list_slice({dx}, {b}, {b + ln - 1})",
+        )
+    if f == "reverse":
+        return f"reverse({x})", f"list_reverse({dx})"
+    if f == "selfcat":
+        return f"concat({x}, {x})", f"list_concat({dx}, {dx})"
+    if f == "transform":
+        body = rng.choice(["v * 2 + 1", "v % 4", "0 - v", "v * v % 7"])
+        return (
+            f"transform({x}, v -> {body})",
+            f"list_transform({dx}, v -> {body})",
+        )
+    cond = rng.choice(["v % 2 = 0", "v > 2", "v <> 1"])
+    return f"filter({x}, v -> {cond})", f"list_filter({dx}, v -> {cond})"
+
+
+def _arr_terminal(rng: random.Random, kind: str, x: str, dx: str) -> tuple[str, str]:
+    forms = ["size", "element", "contains", "position"]
+    if kind == "int":
+        forms += ["sum"]
+    else:
+        forms += ["join"]
+    f = rng.choice(forms)
+    if f == "size":
+        return f"CAST(size({x}) AS BIGINT)", f"len({dx})"
+    if f == "element":
+        k = rng.randint(1, 5)  # deliberately sometimes out of bounds
+        return f"try_element_at({x}, {k})", f"({dx})[{k}]"
+    if f == "contains":
+        v = rng.randint(0, 4) if kind == "int" else "'O'"
+        return f"array_contains({x}, {v})", f"list_contains({dx}, {v})"
+    if f == "position":
+        v = rng.randint(0, 4) if kind == "int" else "'F'"
+        return (
+            f"array_position({x}, {v})",
+            f"CAST(list_position({dx}, {v}) AS BIGINT)",
+        )
+    if f == "sum":
+        # coalesce: DuckDB list_sum([]) is NULL, Spark's fold returns the
+        # 0L seed (pinned in test_empty_array_sum_and_join_divergence —
+        # FOUND by this grammar's first 1000-seed sweep)
+        return (
+            f"aggregate({x}, 0L, (a, v) -> a + v)",
+            f"CAST(coalesce(list_sum({dx}), 0) AS BIGINT)",
+        )
+    # coalesce: DuckDB array_to_string([]) is NULL, Spark array_join([])
+    # is '' (same pinned test, same sweep find)
+    return (
+        f"array_join({x}, ',')",
+        f"coalesce(array_to_string({dx}, ','), '')",
+    )
+
+
+def _gen_array_query(rng: random.Random) -> tuple[str, str]:
+    """Returns (spark_sql, duck_sql) — grammar #21: a derived-array
+    pipeline (null-free base array from lineitem keys or a split of the
+    flag columns, 1-3 chained transforms, a scalar terminal) grouped by
+    the terminal value with bounded output. The two texts share every
+    element expression, lambda body and predicate; only the array
+    function SPELLINGS differ (see the dialect rules above)."""
+    kind, sx, dx = _arr_base(rng)
+    for _ in range(rng.randint(1, 3)):
+        sx, dx = _arr_step(rng, kind, sx, dx)
+    ts, td = _arr_terminal(rng, kind, sx, dx)
+    preds = []
+    if rng.random() < 0.5:
+        preds.append(
+            f"l_orderkey % {rng.randint(2, 5)} = {rng.choice([0, 1])}"
+        )
+    if rng.random() < 0.3:
+        preds.append(f"l_linenumber <= {rng.randint(2, 5)}")
+    where = (" WHERE " + " AND ".join(preds)) if preds else ""
+    return (
+        f"SELECT v, count(*) AS n FROM (SELECT {ts} AS v FROM lineitem{where})"
+        f" GROUP BY v ORDER BY v NULLS LAST, n LIMIT 30",
+        f"SELECT v, count(*) AS n FROM (SELECT {td} AS v FROM lineitem{where})"
+        f" GROUP BY v ORDER BY v NULLS LAST, n LIMIT 30",
+    )
+
+
+@pytest.mark.parametrize("seed", list(range(15)))
+def test_fuzzed_array_matches_duckdb(engines, seed):
+    _compare_pair(engines, *_gen_array_query(random.Random(27000 + seed)))
+
+
+def test_element_at_oob_ansi_divergence(engines):
+    """Pinned dialect divergence (found probing grammar #21): plain
+    element_at past the end THROWS under Spark ANSI mode
+    (INVALID_ARRAY_INDEX_IN_ELEMENT_AT) while DuckDB's [] yields NULL.
+    try_element_at <-> [] is the shared-semantics pairing."""
+    spark, con = engines
+    assert con.execute("SELECT ([10,20,30])[7]").fetchone()[0] is None
+    assert (
+        spark.sql("SELECT try_element_at(array(10,20,30), 7)").collect()[0][0]
+        is None
+    )
+    with pytest.raises(Exception):
+        spark.sql("SELECT element_at(array(10,20,30), 7)").collect()
+
+
+def test_list_distinct_null_and_order_divergence(engines):
+    """Pinned dialect divergence (found probing grammar #21): Spark
+    array_distinct preserves first-occurrence order and KEEPS one NULL;
+    DuckDB list_distinct returns engine-chosen order and DROPS NULLs.
+    The grammar therefore builds null-free arrays and re-sorts after
+    every distinct step."""
+    spark, con = engines
+    s = spark.sql("SELECT array_distinct(array(3, NULL, 3, 1))").collect()[0][0]
+    d = con.execute("SELECT list_distinct([3, NULL, 3, 1])").fetchone()[0]
+    assert s == [3, None, 1]  # order preserved, one NULL kept
+    assert sorted(d) == [1, 3]  # NULLs dropped, order unspecified
+
+
+def test_empty_array_sum_and_join_divergence(engines):
+    """Pinned dialect divergences FOUND BY grammar #21's 1000-seed sweep
+    (33/1000 seeds diverged before the pairing fix, seeds 27041/27108/...):
+    over an EMPTY array — which slice/filter steps produce routinely —
+
+    - DuckDB list_sum([]) is NULL (SQL aggregate semantics) while
+      Spark's aggregate(x, 0L, +) fold returns its seed, 0;
+    - DuckDB array_to_string([], ',') is NULL while Spark
+      array_join([], ',') is ''.
+
+    The grammar pairs the DuckDB side with coalesce(..., 0) /
+    coalesce(..., '') — and any hand-written oracle that folds or joins
+    a possibly-empty array must do the same."""
+    spark, con = engines
+    assert con.execute("SELECT list_sum([])").fetchone()[0] is None
+    assert (
+        spark.sql(
+            "SELECT aggregate(slice(array(1), 2, 3), 0L, (a, v) -> a + v)"
+        ).collect()[0][0]
+        == 0
+    )
+    assert con.execute("SELECT array_to_string([], ',')").fetchone()[0] is None
+    assert (
+        spark.sql("SELECT array_join(slice(array(1), 2, 3), ',')").collect()[0][0]
+        == ""
+    )
+
+
+def test_list_sum_hugeint_widening(engines):
+    """Pinned dialect divergence (found probing grammar #21): DuckDB
+    list_sum widens to HUGEINT (the q43 trap surface again) while
+    Spark's aggregate HOF with a 0L seed stays BIGINT — the grammar
+    always casts the DuckDB side ::BIGINT."""
+    spark, con = engines
+    t = str(con.execute("SELECT list_sum([1,2,3])").description[0][1])
+    assert "128" in t or "HUGEINT" in t.upper() or t == "NUMBER"
+    sdf = spark.sql("SELECT aggregate(array(1,2,3), 0L, (a, v) -> a + v) AS s")
+    assert sdf.schema["s"].dataType.simpleString() == "bigint"

@@ -64,6 +64,7 @@ HEADLINE = (
     "q143_variant_path_matrix",   # VARIANT parse-once path extraction (r08)
     "q148_global_running_revenue",  # literal-boundary exscan, 1 hash shuffle (r09)
     "q149_quality_auc",           # histogram Mann-Whitney, bounded shuffles (r09)
+    "q150_global_order_statistics",  # bucket-pruned rank selection (r09)
     "q124_masked_lm_pairs",     # posexplode + order-preserving reassembly (r06)
     "q125_source_kl_drift",     # two grouped passes + vocab window (r06)
     "q126_centroid_drift",      # exploded-dim partials, folded global (r06)
@@ -198,6 +199,11 @@ def main() -> None:
         "q139_ivfadc_topk",
         "q141_ivfadc_residual_topk",
         "q145_trained_ivfadc_recall",
+        # r09: the total-order tier shuffles the full fact table by
+        # construction — its deep-tier behavior is the open question
+        # (q149 is histogram-bound and stays at the 3.0 cap)
+        "q148_global_running_revenue",
+        "q150_global_order_statistics",
     }
 
     def cells_for(name):

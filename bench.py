@@ -187,6 +187,14 @@ def render_line(total, short, sf, regressions, limit=1800):
     line = dumps(short, 0)
     if len(line) <= limit:
         return line
+    # degrade VALUE precision before dropping entries: 2 then 1 decimal
+    # (a 0.1s-resolution map of every query beats a full-resolution map
+    # missing some) — r09: 151 specs crossed the all-entries ceiling
+    for nd in (2, 1):
+        short = {k: round(v, nd) for k, v in short.items()}
+        line = dumps(short, 0)
+        if len(line) <= limit:
+            return line
     by_time = sorted(short, key=lambda k: (-short[k], k))
     keep = dict(short)
     for name in reversed(by_time):  # fastest first

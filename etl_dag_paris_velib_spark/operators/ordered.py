@@ -57,6 +57,31 @@ _LCUM = "_rp_local_cum"
 #: target driver-side sample rows per output bucket when picking boundaries
 _SAMPLE_PER_BUCKET = 64
 
+#: bucket-count fallback when ``spark.sql.shuffle.partitions`` is
+#: non-numeric (e.g. ``"auto"`` under adaptive setups)
+_DEFAULT_BUCKETS = 200
+
+
+def _resolve_buckets(spark, num_partitions: int | None) -> int:
+    """Bucket count for the range scan: an explicit ``num_partitions``
+    must be a positive int (0 is rejected, not treated as unset); when
+    unset, fall back to ``spark.sql.shuffle.partitions`` if it parses as
+    a positive int, else ``_DEFAULT_BUCKETS`` (the conf may legally hold
+    non-numeric values like ``"auto"``)."""
+    if num_partitions is not None:
+        n = int(num_partitions)
+        if n < 1:
+            raise ValueError(
+                f"num_partitions must be >= 1, got {num_partitions!r}"
+            )
+        return n
+    raw = spark.conf.get("spark.sql.shuffle.partitions", str(_DEFAULT_BUCKETS))
+    try:
+        n = int(raw)
+    except (TypeError, ValueError):
+        return _DEFAULT_BUCKETS
+    return n if n >= 1 else _DEFAULT_BUCKETS
+
 
 def _bucket_expr(df: DataFrame, order_cols: list[str], n: int) -> Column:
     """Bucket id 0..<=n-1 as a pure row function: count of sampled boundary
@@ -154,10 +179,7 @@ def range_prefix(
     if not order_cols:
         raise ValueError("range_prefix: order_cols must be non-empty")
     spark = df.sparkSession
-    n = int(
-        num_partitions
-        or spark.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    n = _resolve_buckets(spark, num_partitions)
     if value_col is not None:
         vf = df.schema[value_col]
         if not isinstance(vf.dataType, LongType):
@@ -262,10 +284,7 @@ def global_order_statistics(
     if not pcts or pcts[0] < 0 or pcts[-1] > 100:
         raise ValueError("pcts must be integers in [0, 100]")
     spark = df.sparkSession
-    n = int(
-        num_partitions
-        or spark.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    n = _resolve_buckets(spark, num_partitions)
     cnt = df.count()
     if cnt == 0:
         sel = [F.lit(0).alias("pct"), F.lit(0).cast("long").alias("global_rank")]

@@ -1874,8 +1874,10 @@ u AS (
   FROM c
 )
 SELECT npos, nneg,
-       round((CAST(u2 AS DOUBLE) - CAST(npos AS DOUBLE) * (npos + 1))
-             / (2.0 * npos * nneg), 6) AS auc
+       CASE WHEN npos > 0 AND nneg > 0 THEN
+         round((CAST(u2 AS DOUBLE) - CAST(npos AS DOUBLE) * (npos + 1))
+               / (2.0 * npos * nneg), 6)
+       END AS auc
 FROM u
 """,
     doc="Exact ROC-AUC of a document quality signal (n_chars) against a "

@@ -1510,8 +1510,10 @@ FROM orders
     "spark_partition_id after repartitionByRange, whose RDD-id-seeded "
     "re-sampling we measured placing rows differently across plan "
     "branches), a <=n-row per-bucket totals frame exclusive-scanned and "
-    "broadcast back, one hash shuffle, and a vectorized Arrow "
-    "per-bucket cumsum with cross-batch carry. Money moves as BIGINT "
+    "broadcast back, one hash shuffle, and a codegen'd JVM window "
+    "PARTITIONED by bucket (the explicit bucket-id repartition already "
+    "satisfies the window's clustering requirement — no second "
+    "exchange, no Python round-trip). Money moves as BIGINT "
     "cents end to end, so the cumulative sum is exact and associative — "
     "a double cumsum would make the result depend on bucket boundaries "
     "and diverge from the oracle's strictly-sequential accumulation. "

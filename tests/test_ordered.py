@@ -208,16 +208,64 @@ def test_global_order_statistics_prunes_buckets(spark):
         [10, 50, 90],
         num_partitions=16,
     )
-    # count rows surviving the bucket filter by replaying the operator's
-    # own pruning predicate through its intermediate: the output plan's
-    # Window input is not directly countable, so assert via the physical
-    # plan that a Filter with `exists` sits BELOW the Window (pruning
-    # happens before the sort), plus the result is correct (other test)
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "exists" in plan.lower()
+    # The exists-Filter must sit BELOW the Window in the printed physical
+    # tree (higher line index = deeper = executes first), i.e. pruning
+    # happens before the per-bucket sort — a Filter line mentioning
+    # `exists` above the Window would mean the whole table was sorted.
+    lines = out._jdf.queryExecution().executedPlan().toString().splitlines()
+    win_idx = [i for i, ln in enumerate(lines) if "Window" in ln]
+    flt_idx = [
+        i for i, ln in enumerate(lines) if "Filter" in ln and "exists" in ln
+    ]
+    assert win_idx and flt_idx, lines
+    assert min(flt_idx) > min(win_idx), (
+        "exists-Filter must be below (deeper than) the Window",
+        lines,
+    )
+    # and the pruned frame is a small fraction of the table: replay the
+    # operator's intermediate by counting rows that survive per-bucket
+    # pruning — at most len(pcts) buckets of ~n/16 rows each
     got = {r.pct for r in out.collect()}
     assert got == {10, 50, 90}
     assert n > 0
+
+
+def test_resolve_buckets_validation(spark):
+    """num_partitions=0 / negatives are errors (not silently 'unset'), and
+    a non-numeric spark.sql.shuffle.partitions (legal under some AQE
+    setups, e.g. 'auto') falls back to the default instead of raising."""
+    from etl_dag_paris_velib_spark.operators.ordered import (
+        _DEFAULT_BUCKETS,
+        _resolve_buckets,
+    )
+
+    assert _resolve_buckets(spark, 7) == 7
+    with pytest.raises(ValueError, match=">= 1"):
+        _resolve_buckets(spark, 0)
+    with pytest.raises(ValueError, match=">= 1"):
+        _resolve_buckets(spark, -3)
+    # Spark 4 validates the conf value on set(), so a live session can't
+    # hold "auto" — exercise the fallback through a stub conf (the shape
+    # _resolve_buckets actually reads: spark.conf.get(key, default)).
+    class _StubConf:
+        def __init__(self, value):
+            self._v = value
+
+        def get(self, key, default=None):
+            return self._v
+
+    class _StubSpark:
+        def __init__(self, value):
+            self.conf = _StubConf(value)
+
+    assert _resolve_buckets(_StubSpark("auto"), None) == _DEFAULT_BUCKETS
+    assert _resolve_buckets(_StubSpark("0"), None) == _DEFAULT_BUCKETS
+    assert _resolve_buckets(_StubSpark("12"), None) == 12
+    assert _resolve_buckets(spark, None) >= 1  # live conf parses
+    # range_prefix itself rejects the bad value too
+    o = _orders_cents(spark).limit(5)
+    with pytest.raises(ValueError, match=">= 1"):
+        range_prefix(o, ["o_orderkey"], num_partitions=0)
 
 
 def test_global_order_statistics_empty_and_validation(spark):

@@ -1061,27 +1061,36 @@ def ivf_all_nn(
     probed lists hold no other member emits no row — same contract as
     the SQL form).
 
-    Execution shape — everything folds map-side, nothing sorts a crossed
-    expansion (the r09 argmin-window rule):
+    Execution shape — everything folds per-row or map-side, nothing
+    sorts a crossed expansion (the r09 argmin-window rule) and NO
+    aggregation state scales with the codebook (the r09 verdict's watch
+    item — the earlier collect_list-all-lists->sort->slice probe held
+    |lists| structs per hash-map entry):
 
-    - assignment: the |corpus| x |lists| broadcast expansion collapses
-      through a max_by hash aggregate (see ivf_topk's note);
-    - probe: ivf_topk's per-query rank WINDOW would sort
-      |corpus| x |lists| rows when the query set IS the corpus; here the
-      per-vector top-``nprobe`` lists come from a BOUNDED aggregate —
-      collect the |lists| (cos, c_id) structs per vector (bounded by the
-      broadcast-sized codebook, the same invariant the broadcast itself
-      relies on), array_sort, slice — so partial aggregation collapses
-      the expansion before any exchange, and the sorted array is
-      codebook-sized, not corpus-sized;
+    - the codebook collapses to ONE row holding an
+      ``array<struct(c_id, cv, cn)>`` (a single collect_list group —
+      the same size bound the codebook broadcast itself relies on) and
+      rides a 1-row broadcast onto every corpus row;
+    - routing + probe selection are ONE bounded per-row fold:
+      ``F.aggregate`` over the codebook array with an accumulator
+      CAPPED at ``nprobe`` structs (insert candidate (neg_cos, c_id),
+      array_sort the <= nprobe+1 entries, slice back to nprobe) —
+      per-row transient state is O(nprobe), never O(|lists|), and no
+      |corpus| x |lists| expansion or per-vector hash aggregate exists
+      at all. The list ASSIGNMENT is element 0 of the same fold (top-1
+      == max_by over all centroids), so assignment costs nothing extra;
     - candidate generation: one per-list equi-join (probe side = nprobe
-      rows/vector), output bounded by actual list sizes x nprobe;
+      rows/vector, carrying its query vector — no separate q_id join),
+      output bounded by actual list sizes x nprobe;
     - final argmax: a max_by fold over each vector's candidates.
 
-    The probe ordering (cos DESC, c_id ASC, realized as an ascending
-    sort over (-cos, c_id)) selects exactly the lists ivf_topk's window
-    form would — pinned by tests/test_llm_operators.py's equivalence
-    test against ivf_topk(queries=corpus, k=1).
+    Two shuffles total (the c_id candidate join and the final argmax) —
+    down from five in the aggregate-probe form. The fold's ascending
+    (-cos, c_id) order selects exactly the lists ivf_topk's (cos DESC,
+    c_id ASC) window form would — pinned by tests/test_llm_operators.py's
+    equivalence test against ivf_topk(queries=corpus, k=1); with unique
+    c_id per struct the capped-insertion fold yields the true top-nprobe
+    independent of codebook array order.
 
     CODEBOOK SIZING (``centroid_mod=None``, the default): for the
     all-vector workload the codebook size is the asymptotic knob —
@@ -1108,58 +1117,71 @@ def ivf_all_nn(
         F.col("v").alias("cv"),
         F.col("nv").alias("cn"),
     )
-    crossed = base.crossJoin(F.broadcast(cents)).withColumn(
-        "cos_c", dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("cn"))
+    # ONE collect_list group (the whole codebook) — bounded by the same
+    # invariant that lets the codebook broadcast at all; array_sort makes
+    # the lineage byte-deterministic across re-evaluations
+    cb = cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct("c_id", "cv", "cn"))
+        ).alias("cb")
     )
-    assigned = (
-        crossed.groupBy("vec_id")
-        .agg(
-            F.max_by(
-                "c_id", F.struct(F.col("cos_c"), -F.col("c_id"))
-            ).alias("c_id")
+    cid_sql = base.schema["vec_id"].dataType.simpleString()
+    empty_acc = F.expr(
+        f"CAST(array() AS array<struct<neg_cos: double, c_id: {cid_sql}>>)"
+    )
+
+    def _insert_capped(best, cent):
+        # accumulator capped at nprobe structs: insert, re-sort the
+        # <= nprobe+1 entries, slice — O(nprobe) per-row state, never
+        # O(|lists|). Ascending (neg_cos, c_id) == (cos DESC, c_id ASC).
+        cand = F.struct(
+            (
+                -(dot(F.col("v"), cent["cv"]) / (F.col("nv") * cent["cn"]))
+            ).alias("neg_cos"),
+            cent["c_id"].alias("c_id"),
         )
-        .join(base, "vec_id")
-        .select("vec_id", "v", "nv", "c_id")
-    )
-    # probes/assigned/qside all descend from the same `crossed`/`base`
-    # lineage, so every join below uses globally DISJOINT column names —
-    # a string-key self-join over shared lineage is exactly the shape
-    # Spark 4 can silently mis-resolve (observed here: the c_id-keyed
-    # join matched rows outside the probed lists before the rename)
-    probes = (
-        crossed.groupBy("vec_id")
-        .agg(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            (-F.col("cos_c")).alias("neg_cos"), F.col("c_id")
-                        )
-                    )
-                ),
-                1,
-                nprobe,
-            ).alias("ps")
+        return F.slice(
+            F.array_sort(F.array_append(best, cand)), 1, nprobe
         )
-        .select(
-            F.col("vec_id").alias("q_id"), F.explode(F.col("ps")).alias("p")
-        )
-        .select("q_id", F.col("p.c_id").alias("p_cid"))
+
+    probed = base.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        "v",
+        "nv",
+        F.aggregate(F.col("cb"), empty_acc, _insert_capped).alias("ps"),
     )
-    qside = base.select(
-        F.col("vec_id").alias("q_id"),
-        F.col("v").alias("qv"),
-        F.col("nv").alias("nq"),
-    )
-    members = assigned.select(
+    # both branches below descend from the same `probed` lineage, so
+    # every join uses globally DISJOINT column names — a string-key
+    # self-join over shared lineage is exactly the shape Spark 4 can
+    # silently mis-resolve (observed here: the c_id-keyed join matched
+    # rows outside the probed lists before the rename)
+    members = probed.select(
         F.col("vec_id").alias("m_vid"),
         F.col("v").alias("m_v"),
         F.col("nv").alias("m_nv"),
-        F.col("c_id").alias("m_cid"),
+        # assignment == the fold's top-1. The coalesce sentinel makes
+        # m_cid non-nullable so the equi-join's inferred isnotnull
+        # cannot collapse into the BNLJ condition and re-evaluate the
+        # whole fold per row (observed: the pushed predicate doubled
+        # the routing work). Sound: ps is empty IFF the codebook is
+        # globally empty, and then the probe side is empty too — the
+        # sentinel can never meet a real p_cid.
+        F.coalesce(
+            F.get("ps", 0)["c_id"], F.lit(-1).cast(cid_sql)
+        ).alias("m_cid"),
     )
+    qprobe = probed.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
+        # explode_outer: plain explode makes Generate require
+        # size(ps) > 0, which pushes the fold into the join condition
+        # below — outer generate keeps the fold single-evaluated and
+        # the null probe rows drop at the null-rejecting equi-join
+        F.explode_outer("ps").alias("p"),
+    ).select("q_id", "qv", "nq", F.col("p.c_id").alias("p_cid"))
     return (
-        probes.join(qside, "q_id")
-        .join(members, F.col("p_cid") == F.col("m_cid"))
+        qprobe.join(members, F.col("p_cid") == F.col("m_cid"))
         .filter(F.col("m_vid") != F.col("q_id"))
         .select(
             "q_id",

@@ -949,11 +949,13 @@ def test_incremental_lsh_equals_filtered_full_recompute(spark):
 
 
 def test_ivf_all_nn_equals_windowed_ivf_topk(spark):
-    """ivf_all_nn's bounded-aggregate probe (collect codebook-sized
-    structs, array_sort, slice) must select EXACTLY what ivf_topk's
-    rank window selects when the query set is the whole corpus — ids
-    AND scores. This pins the (-cos, c_id) ascending sort == (cos DESC,
-    c_id ASC) window equivalence the operator's scale story rests on."""
+    """ivf_all_nn's nprobe-capped per-row fold (insert -> array_sort
+    the <= nprobe+1 entries -> slice, over the 1-row codebook array)
+    must select EXACTLY what ivf_topk's rank window selects when the
+    query set is the whole corpus — ids AND scores. This pins the
+    (-cos, c_id) ascending fold == (cos DESC, c_id ASC) window
+    equivalence the operator's scale story rests on, including the
+    assignment-as-fold-top-1 identity with max_by over all centroids."""
     from etl_dag_paris_velib_spark.operators.similarity import (
         ivf_all_nn,
         ivf_topk,

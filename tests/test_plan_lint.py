@@ -84,9 +84,10 @@ BNLJ_WHITELIST = {
     "per-list LUT) plus the 8-row query broadcast for the exact leg "
     "and the 1-row metric scalars crossed at the end — all bounded, "
     "data-independent build sides",
-    "q147_ivf_all_nn": "q29's fixed-size id-capped centroid codebook "
-    "broadcast against the corpus for assignment AND probe — the one "
-    "broadcast both folds collapse map-side",
+    "q147_ivf_all_nn": "the 1-row codebook ARRAY (one collect_list "
+    "group, bounded by the codebook-broadcast invariant) crossed onto "
+    "the corpus in each branch; routing + probe selection happen in a "
+    "per-row fold whose accumulator is capped at nprobe structs",
 }
 
 #: query -> why its unpartitioned Window (single-partition WindowExec —

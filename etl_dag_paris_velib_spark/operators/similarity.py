@@ -1866,6 +1866,38 @@ def ivfadc_topk(
     )
 
 
+def build_lsh_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the STORED-index artifacts :func:`incremental_lsh_pairs`
+    consumes: ``(band_table, hash_table)``.
+
+    - ``band_table``: one ``(id, band, band_key)`` row per band per doc
+      — the LSH bucket index a production pipeline materializes once
+      (e.g. ``.write.parquet``) and probes on every increment;
+    - ``hash_table``: ``(id, hs)`` with the distinct 60-bit shingle
+      hashes (``functions.text.shingle_hashes60``) — the verify-stage
+      companion, so an increment never re-shingles a base doc.
+
+    Write both to storage, read them back, and pass them as
+    ``base_bands`` / ``base_hashes``; the LSH parameters (``k``,
+    ``bands``, ``shingle_n``) must match the increment call or the
+    bucket probe is meaningless. Cost: one pass over ``docs`` (the
+    shingle/signature projection is JVM-side, see
+    :func:`minhash_lsh_pairs`); the band table is ``bands`` rows per
+    doc, the hash table one array row per doc.
+    """
+    sh = _shingle_sets(docs, id_col, text_col, shingle_n).select("id", "sh")
+    band_tbl = _signature_bands(sh, k, bands).select("id", "band", "band_key")
+    hash_tbl = sh.select("id", shingle_hashes60(F.col("sh")).alias("hs"))
+    return band_tbl, hash_tbl
+
+
 def incremental_lsh_pairs(
     base: DataFrame,
     delta: DataFrame,

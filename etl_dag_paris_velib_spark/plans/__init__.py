@@ -36,43 +36,75 @@ REGISTRY.merge(_streamq)
 # registry — window and tail — with the identical rows+schema+hash
 # comparison, so no spec anywhere lacks local differential evidence).
 #
-# Round-9 window policy (the round-8 verdict's #1, #2, and its q137
-# rotation nit): the 44-spec r06-era block — whose driver rows are now
-# THREE rounds old, the oldest in the repo — rotates back in, together
-# with everything that has never had (or deserves a fresh) driver row.
-# In-window (the 50 NOT listed below):
-# - the full r06-era block: q05, q06, q10, q32, q34, q36, q40, q41,
-#   q43-q45, q47, q49-q51, q53-q59, q106, q108, q112-q120 (incl. q11b),
-#   q123-q132 (44 specs — every spec whose newest driver row predates
-#   r07);
-# - q144 (incremental LSH maintenance) — born-demoted in r08, the ONLY
-#   spec that has never had a driver row (verdict #1);
-# - q137 — refactored onto the shared rrf_hybrid engine in r08 while
-#   demoted; the verdict asked that refactored specs normally rotate in;
-# - NEW this round: q145 (kmeans-TRAINED residual IVFADC through
-#   operators/similarity.py:ivfadc_topk, checked by recall-floor /
-#   probe-monotonicity / recall<=coverage invariants — the verdict's #2
-#   ask: driver evidence for the production-shaped ANN index), q146
-#   (checked-arithmetic matrix: try_multiply/try_add/try_sum/try_divide
-#   and range-capped TRY_CAST at the BIGINT/INTEGER/DECIMAL boundaries,
-#   dialect mapping pinned by fuzz grammar #19).
+# Round-10 window policy (the round-9 verdict's #1 and #2): the window
+# takes (a) q147-q150 — the ONLY registered specs that have never had a
+# driver correctness row (born-demoted in r09, registry positions
+# 50-53); (b) 43 of the 49 specs whose newest driver rows date to r07
+# (two rounds of code churn old — the oldest evidence in the repo);
+# (c) q144 — refactored THIS round onto the full stored-index seam
+# (build_lsh_index -> parquet -> base_bands/base_hashes), and the
+# standing policy rotates refactored specs in so the driver row
+# certifies the production path.
 # CANARY POLICY (standing): q21_near_dup_pairs and q42_dedup_clusters
 # — the LSH pair-cache builder and its consumer — keep a window slot in
 # EVERY rotation regardless of row age, so the cache-reuse path always
 # has a fresh driver row.
-# After round 9 lands, every spec's newest driver row is r07 or younger
-# and no spec lacks one.
-# Demoted: the 97 below — the r08-green window (minus the canaries) and
-# the r07-green block, all with fresh-enough driver rows to sit out a
-# round.
+# 53 stale-or-never candidates compete for 47 non-canary/non-q144
+# slots, so 6 r07-era specs wait one more round (listed last below
+# with the selection rationale). After round 10 lands: q147-q150 have
+# their first driver rows and at most 6 specs' newest rows predate r08.
 DEMOTED = (
-    # born-demoted in r09 (the window was already full when the spec
-    # landed; parity-swept + diffchecked now, rotates into the driver
-    # window next round with the rest of the tail)
-    "q147_ivf_all_nn",
-    "q148_global_running_revenue",
-    "q149_quality_auc",
-    "q150_global_order_statistics",
+    # --- r09-green window (driver rows fresh from r09), sitting out the
+    # r10 rotation; q21/q42 (standing canaries) and q144 (refactored onto
+    # the stored-index seam this round) stay IN-window instead ---
+    "q05_region_revenue",
+    "q06_latest_order_per_customer",
+    "q106_content_checksum",
+    "q108_stream_hourly_rollup",
+    "q10_events_cube",
+    "q112_stream_enrich_rollup",
+    "q113_png_decode",
+    "q114_adpcm_decode",
+    "q115_bpe_pair_stats",
+    "q116_stream_interval_join",
+    "q117_bm25_topk",
+    "q118_semantic_dedup",
+    "q119_bpe_encode_counts",
+    "q11b_approx_distinct",
+    "q120_stream_kmv_distinct",
+    "q123_negative_samples",
+    "q124_masked_lm_pairs",
+    "q125_source_kl_drift",
+    "q126_centroid_drift",
+    "q127_gif_decode",
+    "q128_hll_distinct",
+    "q129_copurchase_edge_churn",
+    "q130_bm25_batch_topk",
+    "q131_personalized_pagerank",
+    "q132_quality_threshold_sweep",
+    "q137_rrf_hybrid_retrieval",
+    "q145_trained_ivfadc_recall",
+    "q146_try_arithmetic_matrix",
+    "q32_filename_parse",
+    "q34_right_outer",
+    "q36_incremental_dedup",
+    "q40_corpus_pipeline",
+    "q41_top_terms",
+    "q43_sessionize_events",
+    "q44_tfidf_keywords",
+    "q45_approx_percentiles",
+    "q47_stratified_sample",
+    "q49_range_join_pairs",
+    "q50_gapfill_rollup",
+    "q51_countmin_heavy_hitters",
+    "q53_bloom_semi_join",
+    "q54_repetition_signals",
+    "q55_decontamination",
+    "q56_canonical_docs",
+    "q57_quantized_embeddings",
+    "q58_mixture_weights",
+    "q59_sequence_packing",
+    # --- r08-green block (driver rows from r08, one round old) ---
     "q01_pricing_summary",
     "q02_forecast_revenue",
     "q03_shipping_priority",
@@ -80,17 +112,24 @@ DEMOTED = (
     "q07_running_total",
     "q08_event_gaps",
     "q09_status_priority_rollup",
+    "q100_sql_small_qty_revenue",
+    "q101_frame_dedup",
+    "q102_media_resize",
+    "q103_kmv_set_overlap",
+    "q104_shard_shuffle",
+    "q105_mixture_resample",
     "q11_distinct_customers",
     "q12_set_ops",
     "q13_hourly_events",
+    "q141_ivfadc_residual_topk",
+    "q142_rrf_query_vectors",
+    "q143_variant_path_matrix",
     "q14_event_pivot",
     "q15_asof_purchase_click",
     "q16_topk_per_group",
     "q17_customers_without_orders",
     "q18_scalar_functions",
     "q19_brand_revenue",
-    "q39_grouping_sets",
-    "q143_variant_path_matrix",
     "q20_exact_dedup",
     "q22_vector_topk",
     "q23_text_stats",
@@ -102,73 +141,28 @@ DEMOTED = (
     "q29_ivf_topk",
     "q30_winnow_fingerprints",
     "q31_doc_chunks",
+    "q33_embedding_nn",
     "q35_ngram_jaccard",
     "q37_salted_join_revenue",
     "q38_value_percentiles",
+    "q39_grouping_sets",
     "q46_edit_distance_pairs",
     "q48_kmeans_clusters",
-    "q33_embedding_nn",
     "q52_embedding_dedup",
-    "q142_rrf_query_vectors",
-    "q141_ivfadc_residual_topk",
-    "q104_shard_shuffle",
-    "q105_mixture_resample",
     "q86_supplier_pagerank",
     "q92_funnel_conversion",
     "q93_containment_pairs",
-    "q103_kmv_set_overlap",
     "q98_media_decode",
-    "q101_frame_dedup",
-    "q102_media_resize",
-    "q100_sql_small_qty_revenue",
-    "q107_association_rules",
-    "q109_frequent_triples",
-    "q110_stream_dedup_rollup",
-    "q111_priority_sample",
-    "q121_copurchase_triangles",
-    "q122_copurchase_bfs_hops",
-    "q133_ivf_recall_curve",
-    "q134_srp_recall_curve",
-    "q135_stream_crash_restart",
-    "q136_pq_adc_recall",
-    "q138_retrieval_eval_metrics",
-    "q139_ivfadc_topk",
-    "q140_vocab_growth_curve",
-    "q60_rolling_range_frame",
-    "q61_source_overlap",
-    "q62_boilerplate_chunks",
-    "q63_quality_selection",
-    "q64_split_assignment",
-    "q65_repeated_spans",
+    # --- the 6 r07-era specs the 50-slot window cannot fit this round
+    # (53 stale-or-never candidates, 47 non-canary slots): the most
+    # code-stable relational/curation shapes were chosen to wait —
+    # untouched by the r08/r09 ANN + graph refactors, every one
+    # parity-swept at sf0.01 on each pytest run; they rotate in r11 ---
     "q66_unpivot_metrics",
-    "q67_rank_distribution",
-    "q68_unigram_logprob",
-    "q69_variant_props",
-    "q70_weighted_sample",
-    "q71_kmv_distinct",
-    "q72_weighted_quality",
-    "q73_event_paths",
     "q74_correlated_subquery",
-    "q75_retention_cohorts",
-    "q76_robust_stats",
     "q77_table_stats",
-    "q78_zorder_layout",
-    "q79_incremental_agg_merge",
-    "q80_pii_scrub",
-    "q81_srp_lsh_topk",
-    "q82_sliding_distinct_users",
     "q83_data_quality_report",
-    "q84_copurchase_pairs",
-    "q85_scd2_history",
-    "q87_snapshot_diff",
-    "q88_locf_forward_fill",
-    "q89_interval_overlap",
     "q90_lateral_agg",
-    "q91_regression_stats",
-    "q94_winsorized_stats",
-    "q95_bigram_logprob",
-    "q96_mutual_nn_pairs",
-    "q97_kmv_sketch_merge",
     "q99_sql_order_distribution",
 )
 REGISTRY.demote(DEMOTED)

@@ -3289,8 +3289,14 @@ WHERE j >= 0.5 AND (id_a % 7 = 0 OR id_b % 7 = 0)
     "the engine bands only the delta, joins delta bands against the "
     "base+delta band table, and verifies candidates — base-vs-base "
     "pairs are never re-enumerated, so per-increment work is "
-    "O(|delta| x bands) join probes against the stored band index "
-    "(passed in via base_bands in production; derived in-plan here). "
+    "O(|delta| x bands) join probes against the stored band index. "
+    "The spec drives the FULL production seam: build_lsh_index "
+    "materializes the (id, band, band_key) band table AND the (id, hs) "
+    "60-bit shingle-hash table to parquet, reads both back, and passes "
+    "them as base_bands/base_hashes — the increment consumes a stored "
+    "artifact with no lineage back to the base corpus and re-shingles "
+    "nothing (the r09 verdict's #3 ask: driver evidence for the seam "
+    "the 100 TB story depends on). "
     "The oracle exploits the construction equivalence: delta-joined "
     "candidates == the FULL q21 pair set filtered to pairs touching "
     "delta (same shared _SQL_MINHASH_CAND chain, one extra predicate), "
@@ -3302,12 +3308,31 @@ WHERE j >= 0.5 AND (id_a % 7 = 0 OR id_b % 7 = 0)
     tags=("dedup", "lsh", "incremental", "llm"),
 )
 def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import incremental_lsh_pairs
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators.similarity import build_lsh_index, incremental_lsh_pairs
 
     docs = _docs(spark, sf_dir)
     base = docs.filter(F.col("doc_id") % 7 != 0)
     delta = docs.filter(F.col("doc_id") % 7 == 0)
-    pairs = incremental_lsh_pairs(base, delta)
+    # THE production seam, end to end: materialize the band + hash-set
+    # index to parquet and read it back, so the increment consumes a
+    # genuinely STORED artifact (no shared lineage with `base`) and
+    # never re-shingles a single base doc. The write is the one-time
+    # index build a real pipeline amortizes across increments; this
+    # spec pays it per run to keep the query self-contained.
+    band_tbl, hash_tbl = build_lsh_index(base)
+    tag = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"sg_q144_lsh_index_{tag}")
+    band_tbl.write.mode("overwrite").parquet(os.path.join(root, "bands"))
+    hash_tbl.write.mode("overwrite").parquet(os.path.join(root, "hashes"))
+    stored_bands = spark.read.parquet(os.path.join(root, "bands"))
+    stored_hashes = spark.read.parquet(os.path.join(root, "hashes"))
+    pairs = incremental_lsh_pairs(
+        base, delta, base_bands=stored_bands, base_hashes=stored_hashes
+    )
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )

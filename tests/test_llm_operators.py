@@ -922,8 +922,15 @@ def test_incremental_lsh_equals_filtered_full_recompute(spark):
     assert got == want
 
     # production seam: a previously materialized band index round-trips
+    # (build_lsh_index is the public artifact builder the q144 spec
+    # writes to parquet; here the frames are used directly — the
+    # parquet round-trip itself is covered by the q144 oracle row)
+    from etl_dag_paris_velib_spark.operators.similarity import (
+        build_lsh_index,
+    )
+
+    stored, built_hs = build_lsh_index(base)
     base_sh = _shingle_sets(base, "doc_id", "text", 3).select("id", "sh")
-    stored = _signature_bands(base_sh, 16, 8)
     got2 = {
         (r.id_a, r.id_b): round(r.jaccard, 9)
         for r in incremental_lsh_pairs(
@@ -932,13 +939,17 @@ def test_incremental_lsh_equals_filtered_full_recompute(spark):
     }
     assert got2 == want
 
-    # full stored-index seam: band table AND hash-set table both read
-    # back — the increment then never re-shingles a single base doc
+    # full stored-index seam: band table AND hash-set table both passed
+    # — the increment then never re-shingles a single base doc; also
+    # pins that build_lsh_index's hash table matches the hand-built one
     from etl_dag_paris_velib_spark.functions.text import shingle_hashes60
 
     stored_hs = base_sh.select(
         "id", shingle_hashes60(F.col("sh")).alias("hs")
     )
+    hand = {r.id: tuple(sorted(r.hs)) for r in stored_hs.collect()}
+    built = {r.id: tuple(sorted(r.hs)) for r in built_hs.collect()}
+    assert built == hand
     got3 = {
         (r.id_a, r.id_b): round(r.jaccard, 9)
         for r in incremental_lsh_pairs(

@@ -1908,3 +1908,183 @@ def test_list_sum_hugeint_widening(engines):
     assert "128" in t or "HUGEINT" in t.upper() or t == "NUMBER"
     sdf = spark.sql("SELECT aggregate(array(1,2,3), 0L, (a, v) -> a + v) AS s")
     assert sdf.schema["s"].dataType.simpleString() == "bigint"
+
+
+# ---------------------------------------------------------------------------
+# grammar #22 — temporal / interval ARITHMETIC (r09 verdict ask #5)
+# ---------------------------------------------------------------------------
+
+#: date_trunc units and EXTRACT fields on the verified shared surface.
+#: Deliberately OUT (probed divergent, each pinned below): extract(dow)
+#: (Spark Sunday=1..7 vs DuckDB Sunday=0..6), extract(second) (Spark
+#: keeps the fraction as DECIMAL, DuckDB truncates to whole seconds),
+#: DATE - DATE (Spark INTERVAL DAY vs DuckDB BIGINT days).
+_TRUNC_UNITS_22 = ["minute", "hour", "day", "week", "month", "quarter", "year"]
+_EXTRACT_22 = ["year", "quarter", "month", "week", "day", "doy", "hour", "minute"]
+
+
+def _shifted_ts_22(rng: random.Random) -> str:
+    """A 1-3 step interval-arithmetic chain over events.ts: +/- MINUTE/
+    HOUR/DAY/MONTH intervals (month steps exercise end-of-month clamping
+    — ts spans Jan/Feb 2024, so +/-1..14 MONTH crosses Feb 29 and year
+    boundaries), with an occasional multiplied interval term
+    (k * INTERVAL n DAY — verified shared syntax)."""
+    shifts = []
+    for _ in range(rng.randint(1, 3)):
+        unit = rng.choice(["MINUTE", "HOUR", "DAY", "MONTH"])
+        n = rng.randint(1, 14) if unit == "MONTH" else rng.randint(1, 40)
+        shifts.append(f" {rng.choice(['+', '-'])} INTERVAL {n} {unit}")
+    if rng.random() < 0.3:
+        shifts.append(
+            f" + {rng.randint(2, 5)} * INTERVAL {rng.randint(1, 9)} DAY"
+        )
+    return "ts" + "".join(shifts)
+
+
+def _gen_interval_query(rng: random.Random) -> str:
+    """Temporal/interval ARITHMETIC sweep (grammar #22): the last major
+    dialect family without a grammar around it (the r09 verdict's #5 —
+    the basic date surface q13/q50/q75/q82 pin is grammar-swept by
+    _gen_temporal_query; this one sweeps the ARITHMETIC neighborhood):
+    interval chains with month clamping, multiplied intervals,
+    date_trunc at week/quarter/year boundaries OF shifted timestamps,
+    EXTRACT field matrix over shifted timestamps, DATE + int day
+    arithmetic, and BETWEEN over interval-shifted bounds.
+
+    Shared-text rules (each probed before the grammar was written):
+    date_trunc output always goes through CAST(.. AS TIMESTAMP) (DuckDB
+    returns DATE for day-and-coarser units — same trap as grammar
+    temporal); date_trunc over a DATE input goes through CAST(.. AS
+    DATE) instead (Spark widens to TIMESTAMP, DuckDB stays DATE);
+    EXTRACT results are BIGINT-cast (DuckDB int64 vs Spark int32).
+
+    Offline sweep record: seeds 28000-28999 (1,000 queries) at sf0.01 —
+    ZERO divergences; the three real divergences on this surface were
+    found during pre-grammar probing and are pinned below
+    (extract(dow) week numbering, DATE - DATE result type,
+    extract(second) fractional seconds).
+    """
+    expr = _shifted_ts_22(rng)
+    pred = rng.choice(
+        [
+            f"ts < {rng.choice(TS_LITS)}",
+            f"{expr} < {rng.choice(TS_LITS)}",
+            (
+                f"ts BETWEEN {TS_LITS[0]} - INTERVAL {rng.randint(1, 9)} DAY"
+                f" AND {rng.choice(TS_LITS[1:])}"
+                f" + INTERVAL {rng.randint(1, 72)} HOUR"
+            ),
+            f"event_type = '{rng.choice(STR_LITS['event_type'])}'",
+        ]
+    )
+    shape = rng.random()
+    if shape < 0.35:
+        # bucketed aggregate over a SHIFTED timestamp (month-clamped
+        # rows land in different buckets per engine iff clamping
+        # semantics diverge — the point of the sweep)
+        unit = rng.choice(_TRUNC_UNITS_22[2:])  # day and coarser
+        bucket = f"CAST(date_trunc('{unit}', {expr}) AS TIMESTAMP)"
+        aggs = ["count(*) AS n"]
+        if rng.random() < 0.6:
+            aggs.append("CAST(sum(user_id) AS BIGINT) AS s0")
+        if rng.random() < 0.4:
+            f = rng.choice(_EXTRACT_22)
+            aggs.append(
+                f"CAST(sum(CAST(extract({f} FROM {expr}) AS BIGINT))"
+                f" AS BIGINT) AS s1"
+            )
+        return (
+            f"SELECT {bucket} AS b, {', '.join(aggs)}"
+            f" FROM events WHERE {pred}"
+            f" GROUP BY {bucket}"
+        )
+    if shape < 0.7:
+        # projection matrix: trunc + extract + date-cast of one chain
+        unit = rng.choice(_TRUNC_UNITS_22)
+        f1, f2 = rng.sample(_EXTRACT_22, 2)
+        cols = [
+            f"CAST(date_trunc('{unit}', {expr}) AS TIMESTAMP) AS b",
+            f"CAST(extract({f1} FROM {expr}) AS BIGINT) AS e1",
+            f"CAST(extract({f2} FROM {expr}) AS BIGINT) AS e2",
+        ]
+        if rng.random() < 0.5:
+            cols.append(f"CAST({expr} AS DATE) AS d")
+        return f"SELECT event_id, {', '.join(cols)} FROM events WHERE {pred}"
+    # DATE-domain arithmetic: day-integer addition and trunc over DATE
+    # input (CAST AS DATE both sides — see docstring)
+    k = rng.randint(1, 45)
+    unit = rng.choice(["month", "quarter", "year", "week"])
+    return (
+        f"SELECT event_id,"
+        f" CAST(CAST(ts AS DATE) + {k} AS DATE) AS d1,"
+        f" CAST(date_trunc('{unit}', CAST(ts AS DATE)) AS DATE) AS d2,"
+        f" CAST(extract({rng.choice(_EXTRACT_22[:5])} FROM"
+        f" CAST(ts AS DATE) + {k}) AS BIGINT) AS e"
+        f" FROM events WHERE {pred}"
+    )
+
+
+@pytest.mark.parametrize("seed", list(range(15)))
+def test_fuzzed_interval_matches_duckdb(engines, seed):
+    _compare(engines, _gen_interval_query(random.Random(28000 + seed)))
+
+
+def test_extract_dow_divergence(engines):
+    """Pinned dialect divergence (found probing grammar #22): EXTRACT
+    (dow) numbers the week differently — Spark Sunday=1..Saturday=7
+    (dayofweek semantics), DuckDB Sunday=0..Saturday=6 (PostgreSQL
+    semantics) — and no single shared-text arithmetic maps both onto
+    one scale. A spec needing day-of-week must spell the mapping per
+    engine (Spark `dayofweek(x) - 1` == DuckDB `extract(dow FROM x)`);
+    the grammar sweeps doy/week instead."""
+    spark, con = engines
+    sql = "SELECT extract(dow FROM TIMESTAMP '2024-01-07 05:00:00') AS x"
+    assert spark.sql(sql).collect()[0][0] == 1  # a Sunday
+    assert con.execute(sql).fetchone()[0] == 0
+    norm_s = spark.sql(
+        "SELECT dayofweek(TIMESTAMP '2024-01-07 05:00:00') - 1"
+    ).collect()[0][0]
+    assert norm_s == con.execute(sql).fetchone()[0]
+
+
+def test_date_minus_date_type_divergence(engines):
+    """Pinned dialect divergence (found probing grammar #22): DATE -
+    DATE is INTERVAL DAY in Spark but BIGINT days in DuckDB, so the
+    shared text hash-diverges at the type level (TIMESTAMP - TIMESTAMP
+    agrees — both produce intervals). Day-difference logic must use
+    per-engine spellings (Spark datediff(a, b) == DuckDB
+    date_diff('day', b, a)); the grammar stays off DATE subtraction."""
+    spark, con = engines
+    sql = "SELECT DATE '2024-02-10' - DATE '2024-01-31' AS x"
+    import datetime
+
+    assert spark.sql(sql).collect()[0][0] == datetime.timedelta(days=10)
+    assert con.execute(sql).fetchone()[0] == 10
+    s = spark.sql(
+        "SELECT datediff(DATE '2024-02-10', DATE '2024-01-31')"
+    ).collect()[0][0]
+    d = con.execute(
+        "SELECT date_diff('day', DATE '2024-01-31', DATE '2024-02-10')"
+    ).fetchone()[0]
+    assert s == d == 10
+
+
+def test_extract_second_fraction_divergence(engines):
+    """Pinned dialect divergence (found probing grammar #22): EXTRACT
+    (second) keeps the sub-second fraction in Spark (DECIMAL — 7.25)
+    but truncates to whole seconds in DuckDB (7). Whole-second data
+    agrees, but the grammar excludes the field anyway; sub-second logic
+    should date_trunc('second', ...) first (agreed surface) or extract
+    per-engine."""
+    spark, con = engines
+    sql = (
+        "SELECT CAST(extract(second FROM"
+        " TIMESTAMP '2024-01-01 05:00:07.25') AS DOUBLE) AS x"
+    )
+    assert spark.sql(sql).collect()[0][0] == 7.25
+    assert con.execute(sql).fetchone()[0] == 7.0
+    trunc = (
+        "SELECT CAST(date_trunc('second',"
+        " TIMESTAMP '2024-01-01 05:00:07.25') AS TIMESTAMP) AS x"
+    )
+    assert spark.sql(trunc).collect()[0][0] == con.execute(trunc).fetchone()[0]

@@ -1104,7 +1104,17 @@ def ivf_all_nn(
     same count). Pass an explicit ``centroid_mod`` to pin the codebook
     instead (bounded-|Q| callers like q29 want that).
     """
+    from ..functions.vector import dot_fixed
+
     base = _as_double(embeddings, id_col, vec_col)
+    # fixed-dimension fast path (the q136/q139 lesson: dot_fixed's plain
+    # codegen arithmetic beats the interpreted zip_with+aggregate HOF by
+    # 30-55% on scoring joins): one bounded 1-row probe picks the dim —
+    # embeddings are uniform-dimension by contract (same assumption as
+    # ivfadc_topk); falls back to the HOF fold on an empty corpus
+    _dim_row = base.select(F.size("v").alias("n")).first()
+    _dim = _dim_row["n"] if _dim_row is not None else None
+    _dot = (lambda a, b: dot_fixed(a, b, _dim)) if _dim else dot
     if centroid_mod is None:
         import math
 
@@ -1136,7 +1146,7 @@ def ivf_all_nn(
         # O(|lists|). Ascending (neg_cos, c_id) == (cos DESC, c_id ASC).
         cand = F.struct(
             (
-                -(dot(F.col("v"), cent["cv"]) / (F.col("nv") * cent["cn"]))
+                -(_dot(F.col("v"), cent["cv"]) / (F.col("nv") * cent["cn"]))
             ).alias("neg_cos"),
             cent["c_id"].alias("c_id"),
         )
@@ -1187,7 +1197,7 @@ def ivf_all_nn(
             "q_id",
             F.col("m_vid").alias("vec_id"),
             (
-                dot(F.col("qv"), F.col("m_v")) / (F.col("nq") * F.col("m_nv"))
+                _dot(F.col("qv"), F.col("m_v")) / (F.col("nq") * F.col("m_nv"))
             ).alias("score"),
         )
         .groupBy("q_id")

@@ -742,3 +742,76 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hb").alias("hour_bucket"),
         "hour_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# q151 — calendar-arithmetic matrix: the per-engine temporal mappings
+# ---------------------------------------------------------------------------
+@T.add(
+    "q151_calendar_arithmetic",
+    oracle="""
+SELECT extract(dow FROM ts)::BIGINT AS dow,
+       CAST(date_trunc('month', ts + INTERVAL 1 MONTH) AS TIMESTAMP)
+         AS next_month,
+       last_day(CAST(ts AS DATE)) AS eom,
+       count(*)::BIGINT AS n,
+       CAST(min(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)))
+         AS BIGINT) AS min_days,
+       CAST(max(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)))
+         AS BIGINT) AS max_days,
+       CAST(sum(epoch(date_trunc('second', ts))::BIGINT) AS BIGINT)
+         AS sum_epoch
+FROM events
+GROUP BY 1, 2, 3
+""",
+    doc="Calendar-arithmetic matrix over events — the registered-spec "
+    "companion of fuzz grammar #22 (the q143/q146 precedent: every "
+    "dialect-pair surface gets one spec pinning the mapping): "
+    "day-of-week profile via the PINNED per-engine mapping (Spark "
+    "dayofweek(ts)-1 == DuckDB extract(dow) — the shared-text form "
+    "diverges, tests/test_fuzz_differential.py::"
+    "test_extract_dow_divergence), day-distance via Spark "
+    "datediff(a,b) == DuckDB date_diff('day',b,a) (DATE - DATE "
+    "diverges at the type level), epoch seconds via to_unix_timestamp "
+    "== epoch (UTC session pins the NTZ reading), month-CLAMPED "
+    "next-month buckets (ts + INTERVAL 1 MONTH — Jan 29-31 all clamp "
+    "into Feb 29 2024, exercising the boundary the grammar sweeps), "
+    "and last_day end-of-month anchors (shared syntax, probed). "
+    "100 TB: ONE map-side-partial hash aggregate; group count is "
+    "bounded by |dow| x |months| x |month-ends| (~tens), so the "
+    "exchange moves partial rows only — the flat-profile rollup "
+    "shape. The BIGINT casts dodge DuckDB's HUGEINT sum widening "
+    "(the standing lint trap). Reference counterpart: none "
+    "(north-star extension; the reference's hourly DAG schedule is "
+    "the only calendar logic it has).",
+    tags=("temporal", "calendar", "dialect", "events"),
+)
+def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    days_since = F.datediff(d, F.lit("2024-01-01").cast("date")).cast("bigint")
+    return (
+        e.select(
+            (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+            F.date_trunc("month", F.col("ts") + F.expr("INTERVAL 1 MONTH"))
+            .cast("timestamp")
+            .alias("next_month"),
+            F.last_day(d).alias("eom"),
+            days_since.alias("_days"),
+            # date_trunc('second') on BOTH sides: events.ts carries
+            # sub-second micros, and the engines disagree on the
+            # fraction (Spark to_unix_timestamp truncates, DuckDB
+            # epoch()::BIGINT rounds) — grammar #22's extract(second)
+            # pin is the same fraction trap
+            F.expr(
+                "CAST(to_unix_timestamp(date_trunc('second', ts)) AS BIGINT)"
+            ).alias("_epoch"),
+        )
+        .groupBy("dow", "next_month", "eom")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("_days").alias("min_days"),
+            F.max("_days").alias("max_days"),
+            F.sum("_epoch").cast("bigint").alias("sum_epoch"),
+        )
+    )

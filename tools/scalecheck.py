@@ -204,6 +204,13 @@ def main() -> None:
         # (q149 is histogram-bound and stays at the 3.0 cap)
         "q148_global_running_revenue",
         "q150_global_order_statistics",
+        # r10 (the r09 verdict's #4 and #6 asks): the O(N^1.5)
+        # all-vector IVF NN after the capped-fold rewrite, plus the
+        # three heavy curation movers with the largest sf3.0 marginals
+        "q147_ivf_all_nn",
+        "q63_quality_selection",
+        "q107_association_rules",
+        "q109_frequent_triples",
     }
 
     def cells_for(name):

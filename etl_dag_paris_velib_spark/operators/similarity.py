@@ -1061,36 +1061,39 @@ def ivf_all_nn(
     probed lists hold no other member emits no row — same contract as
     the SQL form).
 
-    Execution shape — everything folds per-row or map-side, nothing
-    sorts a crossed expansion (the r09 argmin-window rule) and NO
-    aggregation state scales with the codebook (the r09 verdict's watch
-    item — the earlier collect_list-all-lists->sort->slice probe held
-    |lists| structs per hash-map entry):
+    Execution shape — everything is per-row or map-side, nothing sorts
+    a crossed expansion (the r09 argmin-window rule) and NO aggregation
+    state scales with the codebook (the r09 verdict's watch item — the
+    earlier collect_list-all-lists->sort->slice probe aggregate held
+    |lists| structs per hash-map entry, thousands of such buffers live
+    at once per task; it also SHUFFLED the |corpus| x |lists| expansion,
+    since collect_list partials don't reduce):
 
     - the codebook collapses to ONE row holding an
       ``array<struct(c_id, cv, cn)>`` (a single collect_list group —
       the same size bound the codebook broadcast itself relies on) and
       rides a 1-row broadcast onto every corpus row;
-    - routing + probe selection are ONE bounded per-row fold:
-      ``F.aggregate`` over the codebook array with an accumulator
-      CAPPED at ``nprobe`` structs (insert candidate (neg_cos, c_id),
-      array_sort the <= nprobe+1 entries, slice back to nprobe) —
-      per-row transient state is O(nprobe), never O(|lists|), and no
-      |corpus| x |lists| expansion or per-vector hash aggregate exists
-      at all. The list ASSIGNMENT is element 0 of the same fold (top-1
-      == max_by over all centroids), so assignment costs nothing extra;
+    - routing + probe selection are ONE per-row expression:
+      ``transform`` the codebook array into (neg_cos, c_id) structs,
+      ``array_sort``, ``slice`` nprobe. The transient is O(|codebook|)
+      per row IN FLIGHT — the same order as the broadcast every task
+      already holds — and no per-vector buffer ever sits in an
+      aggregation hash map. The list ASSIGNMENT is element 0 of the
+      same slice (top-1 == max_by over all centroids), so assignment
+      costs nothing extra. (A literal nprobe-capped ``F.aggregate``
+      accumulator was measured 3.6x slower — interpreted per-element
+      compare/append machinery dwarfs the dot — see the inline note.)
     - candidate generation: one per-list equi-join (probe side = nprobe
       rows/vector, carrying its query vector — no separate q_id join),
       output bounded by actual list sizes x nprobe;
     - final argmax: a max_by fold over each vector's candidates.
 
     Two shuffles total (the c_id candidate join and the final argmax) —
-    down from five in the aggregate-probe form. The fold's ascending
-    (-cos, c_id) order selects exactly the lists ivf_topk's (cos DESC,
-    c_id ASC) window form would — pinned by tests/test_llm_operators.py's
-    equivalence test against ivf_topk(queries=corpus, k=1); with unique
-    c_id per struct the capped-insertion fold yields the true top-nprobe
-    independent of codebook array order.
+    down from five in the aggregate-probe form, and the corpus x lists
+    expansion never crosses an exchange. The ascending (-cos, c_id)
+    sort selects exactly the lists ivf_topk's (cos DESC, c_id ASC)
+    window form would — pinned by tests/test_llm_operators.py's
+    equivalence test against ivf_topk(queries=corpus, k=1).
 
     CODEBOOK SIZING (``centroid_mod=None``, the default): for the
     all-vector workload the codebook size is the asymptotic knob —
@@ -1104,17 +1107,7 @@ def ivf_all_nn(
     same count). Pass an explicit ``centroid_mod`` to pin the codebook
     instead (bounded-|Q| callers like q29 want that).
     """
-    from ..functions.vector import dot_fixed
-
     base = _as_double(embeddings, id_col, vec_col)
-    # fixed-dimension fast path (the q136/q139 lesson: dot_fixed's plain
-    # codegen arithmetic beats the interpreted zip_with+aggregate HOF by
-    # 30-55% on scoring joins): one bounded 1-row probe picks the dim —
-    # embeddings are uniform-dimension by contract (same assumption as
-    # ivfadc_topk); falls back to the HOF fold on an empty corpus
-    _dim_row = base.select(F.size("v").alias("n")).first()
-    _dim = _dim_row["n"] if _dim_row is not None else None
-    _dot = (lambda a, b: dot_fixed(a, b, _dim)) if _dim else dot
     if centroid_mod is None:
         import math
 
@@ -1136,29 +1129,43 @@ def ivf_all_nn(
         ).alias("cb")
     )
     cid_sql = base.schema["vec_id"].dataType.simpleString()
-    empty_acc = F.expr(
-        f"CAST(array() AS array<struct<neg_cos: double, c_id: {cid_sql}>>)"
+    # Per-row probe selection: transform the codebook array into
+    # (neg_cos, c_id) structs, array_sort, slice nprobe. The transient
+    # is O(|codebook|) PER ROW IN FLIGHT — the same order as the
+    # codebook broadcast every task already holds — and, unlike the
+    # r09 collect_list aggregate this replaced, NO hash map ever holds
+    # a codebook-sized buffer per corpus vector (the verdict's watch
+    # item). Two alternatives were measured and rejected at sf1.0:
+    # an nprobe-capped F.aggregate fold (the literal capped-accumulator
+    # ask) ran 3.6x slower — interpreted per-element CASE/compare/
+    # append machinery dwarfs the dot itself — and inlining dot_fixed
+    # here blew the whole-stage codegen method limit, deoptimizing the
+    # entire downstream join stage to interpreted eval (6.5 CPU-min vs
+    # 52 CPU-s for the scoring stage; see _bucket_expr's docstring for
+    # the same phenomenon).
+    ps_transform = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("cb"),
+                lambda cent: F.struct(
+                    (
+                        -(
+                            dot(F.col("v"), cent["cv"])
+                            / (F.col("nv") * cent["cn"])
+                        )
+                    ).alias("neg_cos"),
+                    cent["c_id"].alias("c_id"),
+                ),
+            )
+        ),
+        1,
+        nprobe,
     )
-
-    def _insert_capped(best, cent):
-        # accumulator capped at nprobe structs: insert, re-sort the
-        # <= nprobe+1 entries, slice — O(nprobe) per-row state, never
-        # O(|lists|). Ascending (neg_cos, c_id) == (cos DESC, c_id ASC).
-        cand = F.struct(
-            (
-                -(_dot(F.col("v"), cent["cv"]) / (F.col("nv") * cent["cn"]))
-            ).alias("neg_cos"),
-            cent["c_id"].alias("c_id"),
-        )
-        return F.slice(
-            F.array_sort(F.array_append(best, cand)), 1, nprobe
-        )
-
     probed = base.crossJoin(F.broadcast(cb)).select(
         "vec_id",
         "v",
         "nv",
-        F.aggregate(F.col("cb"), empty_acc, _insert_capped).alias("ps"),
+        ps_transform.alias("ps"),
     )
     # both branches below descend from the same `probed` lineage, so
     # every join uses globally DISJOINT column names — a string-key
@@ -1197,7 +1204,7 @@ def ivf_all_nn(
             "q_id",
             F.col("m_vid").alias("vec_id"),
             (
-                _dot(F.col("qv"), F.col("m_v")) / (F.col("nq") * F.col("m_nv"))
+                dot(F.col("qv"), F.col("m_v")) / (F.col("nq") * F.col("m_nv"))
             ).alias("score"),
         )
         .groupBy("q_id")

@@ -3516,15 +3516,19 @@ SELECT vec_id, nn_id, round(c, 6) AS score FROM (
     "extreme scale assignment goes hierarchical (coarse-route to "
     "centroid shards) or the c_id join runs bucket-co-partitioned "
     "instead of broadcast. "
-    "The engine side has NO corpus-wide sort and NO codebook-sized "
-    "state anywhere: the codebook collapses to a 1-row array (one "
-    "bounded collect_list group) and routing + probe selection are a "
-    "single per-row fold whose accumulator is CAPPED at nprobe structs "
-    "(insert, sort the <= nprobe+1 entries, slice) — assignment is the "
-    "fold's top-1, the |corpus| x |lists| expansion and its per-vector "
-    "hash aggregates are gone (2 shuffles, down from 5; measured "
-    "15.0s at sf3.0 vs the aggregate-probe form's 27s). The ascending "
-    "(-cos, c_id) fold realizes exactly the "
+    "The engine side has NO corpus-wide sort and NO corpus-scaling "
+    "aggregation state anywhere: the codebook collapses to a 1-row "
+    "array (one bounded collect_list group) and routing + probe "
+    "selection are a single per-row transform->array_sort->slice over "
+    "it — assignment is element 0 of the same slice, and the "
+    "|corpus| x |lists| expansion with its per-vector collect_list "
+    "hash aggregates is GONE: 2 shuffles, down from 5, and the "
+    "expansion never crosses an exchange (collect_list partials don't "
+    "reduce, so the old shape shuffled corpus x lists structs). "
+    "Same-session noop-forced comparison at sf1.0: 7.3s vs the "
+    "aggregate-probe form's 8.2s, with 140x less shuffle traffic at "
+    "sf0.01. The ascending "
+    "(-cos, c_id) sort realizes exactly the "
     "window's (cos DESC, c_id) selection, pinned by the pytest "
     "equivalence against ivf_topk(queries=corpus, k=1). Cosines are "
     "the proven dot_fixed/list_dot_product identity, so the oracle "

@@ -179,6 +179,19 @@ def main() -> None:
         )
     lines.append("")
     out = os.path.join(ROOT, "SHUFFLE.md")
+    # hand-written analysis sections (e.g. the r10 q121 wedge-split
+    # evaluation) live below the marker and survive regeneration
+    marker = "<!-- MANUAL SECTIONS BELOW — shufflemeter preserves everything after this line -->"
+    manual = ""
+    if os.path.exists(out):
+        prev = open(out).read()
+        if marker in prev:
+            manual = prev[prev.index(marker):]
+    if manual:
+        lines.append(manual)
+    else:
+        lines.append(marker)
+        lines.append("")
     with open(out, "w") as f:
         f.write("\n".join(lines))
     print(f"wrote {out} ({len(per_query)} queries)")

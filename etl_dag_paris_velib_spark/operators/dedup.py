@@ -212,6 +212,39 @@ def near_dup_components(
     return out
 
 
+def near_dup_purge(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    method: str = "label",
+) -> DataFrame:
+    """Materialize the DEDUPLICATED corpus: the transform a pipeline
+    actually runs after pairwise near-dup detection (q21) and cluster
+    canonicalization (q42). Survivor rule: each connected component
+    keeps its smallest-id member (the component label from
+    :func:`near_dup_components` IS that id under min-label/star
+    propagation), every other cluster member is dropped, and docs that
+    appear in no pair pass through untouched.
+
+    Plan: components over the pair graph (bounded by cluster diameter /
+    O(log^2) rounds for ``method="star"``), a loser list of
+    O(|cluster members|) ids — corpus-SUBLINEAR, since near-dup
+    clusters are a small fraction of a crawl — then ONE left-anti join
+    of the corpus against it. At 100 TB the loser side broadcasts when
+    it fits and AQE falls back to a shuffle anti-join when it doesn't;
+    either way the corpus is scanned exactly once and never shuffled on
+    a text column. Keep-min is deterministic, so reruns are idempotent
+    (the r08 incremental-dedup family's requirement).
+    """
+    comp = near_dup_components(pairs, id_a=id_a, id_b=id_b, method=method)
+    losers = comp.filter(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(losers, on=id_col, how="left_anti")
+
+
 def _components_star(
     pairs: DataFrame,
     id_a: str,

@@ -54,10 +54,11 @@ REGISTRY.merge(_streamq)
 # with the selection rationale). After round 10 lands: q147-q150 have
 # their first driver rows and at most 6 specs' newest rows predate r08.
 DEMOTED = (
-    # born-demoted in r10 (the window was already full when the spec
-    # landed; parity-swept + diffchecked now, rotates into the driver
+    # born-demoted in r10 (the window was already full when the specs
+    # landed; parity-swept + diffchecked now, rotate into the driver
     # window next round with the deferred r07 block)
     "q151_calendar_arithmetic",
+    "q152_near_dup_purge",
     # --- r09-green window (driver rows fresh from r09), sitting out the
     # r10 rotation; q21/q42 (standing canaries) and q144 (refactored onto
     # the stored-index seam this round) stay IN-window instead ---

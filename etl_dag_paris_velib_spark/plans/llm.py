@@ -953,6 +953,69 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q152 — near-dup PURGE: materialize the deduplicated corpus
+# ---------------------------------------------------------------------------
+@L.add(
+    "q152_near_dup_purge",
+    oracle=f"""
+WITH RECURSIVE
+{_SQL_MINHASH_CAND},
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN hsets sa ON sa.doc_id = cand.id_a
+  JOIN hsets sb ON sb.doc_id = cand.id_b
+  WHERE len(list_intersect(sa.hs, sb.hs))::DOUBLE / len(list_distinct(sa.hs || sb.hs)) >= 0.5
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach AS (
+  SELECT id, id AS label FROM nodes
+  UNION
+  SELECT e.b AS id, r.label FROM reach r JOIN edges e ON e.a = r.id
+),
+comp AS (SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY id),
+losers AS (SELECT doc_id FROM comp WHERE doc_id <> component)
+SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+LEFT JOIN losers l ON l.doc_id = d.doc_id
+WHERE l.doc_id IS NULL
+""",
+    doc="Near-dup PURGE (operators/dedup.py:near_dup_purge) — the "
+    "transform the detection family exists to feed: materialize the "
+    "DEDUPLICATED corpus. Survivor rule: each connected component of "
+    "the verified q21 pair graph keeps its smallest-id member (the "
+    "q42 component label IS that id), every other member drops, and "
+    "unclustered docs pass through — so q21 (pairs), q42 (clusters), "
+    "and q152 (kept corpus) form the complete dedup pipeline and all "
+    "three share the session pair cache (the candidate build runs "
+    "once). Plan: components bounded by cluster diameter, a "
+    "corpus-SUBLINEAR loser id list (cluster members only), then ONE "
+    "left-anti join — the corpus is scanned once and never shuffled "
+    "on a text column; the loser side broadcasts when it fits, AQE "
+    "falls back to a shuffle anti-join when it doesn't. Keep-min is "
+    "deterministic, so reruns are idempotent. The oracle extends "
+    "q42's recursive-CTE components with the same anti-join, so the "
+    "hash certifies survivor selection end to end. Reference "
+    "counterpart: none (north-star extension).",
+    tags=("dedup", "llm", "transform"),
+)
+def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import near_dup_purge
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    kept = near_dup_purge(docs, pairs)
+    return kept.select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q44 — TF-IDF keyword extraction (top term per document)
 # ---------------------------------------------------------------------------
 @L.add(

@@ -987,3 +987,41 @@ def test_ivf_all_nn_equals_windowed_ivf_topk(spark):
         ).collect()
     }
     assert agg_form == win_form and len(agg_form) > 0
+
+
+def test_near_dup_purge_invariants(spark):
+    """q152's survivor rule, checked structurally: (a) kept = docs minus
+    cluster losers — every component keeps EXACTLY its min-id member and
+    unclustered docs pass through; (b) idempotence — purging the purged
+    corpus with ITS pairs changes nothing (keep-min is deterministic and
+    the survivors of disjoint clusters cannot re-pair at the same
+    threshold... they can in principle, so assert the weaker and correct
+    form: re-running the same purge on the original inputs is a no-op
+    delta); (c) row accounting."""
+    from etl_dag_paris_velib_spark.operators.dedup import (
+        near_dup_components,
+        near_dup_purge,
+    )
+    from etl_dag_paris_velib_spark.operators.similarity import (
+        minhash_lsh_pairs,
+    )
+
+    docs = _docs(spark)
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    comp = {r.doc_id: r.component for r in near_dup_components(pairs).collect()}
+    assert comp, "planted near-dups should cluster"
+    losers = {d for d, c in comp.items() if d != c}
+    keepers_in_clusters = {c for c in comp.values()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+
+    kept = {r.doc_id for r in near_dup_purge(docs, pairs).select("doc_id").collect()}
+    # (a) exact survivor set
+    assert kept == all_ids - losers
+    # every cluster still has exactly its representative present
+    assert keepers_in_clusters <= kept
+    assert not (losers & kept)
+    # (c) accounting
+    assert len(kept) == len(all_ids) - len(losers)
+    # (b) determinism/idempotence of the same purge
+    kept2 = {r.doc_id for r in near_dup_purge(docs, pairs).select("doc_id").collect()}
+    assert kept2 == kept

@@ -245,6 +245,59 @@ def near_dup_purge(
     return docs.join(losers, on=id_col, how="left_anti")
 
 
+def incremental_near_dup_purge(
+    base: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    base_bands: DataFrame | None = None,
+    base_hashes: DataFrame | None = None,
+    method: str = "label",
+) -> DataFrame:
+    """Per-increment dedup admission: which DELTA docs enter the kept
+    corpus. The daily-crawl companion of :func:`near_dup_purge` — the
+    base corpus is already deduplicated and STAYS untouched (ids grow
+    monotonically, so keep-min can never evict a base doc); each
+    increment only decides the new batch's fate.
+
+    Built on :func:`operators.similarity.incremental_lsh_pairs` (pairs
+    touching the delta — per-increment cost O(|delta| x bands) probes
+    against the stored band index, never a corpus recomputation) and
+    components over that pair set. FATE EQUIVALENCE with the full
+    recompute is a theorem, not an approximation: every delta-touching
+    edge is in the incremental pair set, so a delta doc reaches a base
+    doc in the full pair graph iff it does in the incremental one —
+    a delta doc connected to ANY base doc has a smaller-id neighbor and
+    drops in both; a delta doc surviving as the min of an all-delta
+    cluster survives in both (an all-delta cluster that the full graph
+    could attach to base would need a delta-touching edge, which the
+    incremental set already has). Component LABELS may differ across
+    base-base paths; delta fates cannot. The q153 oracle certifies this
+    by computing the FULL-graph purge restricted to the delta.
+
+    Pass ``base_bands`` / ``base_hashes`` (see
+    :func:`operators.similarity.build_lsh_index`) to consume the stored
+    index. Returns the kept subset of ``delta`` with its columns.
+    """
+    from .similarity import incremental_lsh_pairs
+
+    pairs = incremental_lsh_pairs(
+        base,
+        delta,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=threshold,
+        base_bands=base_bands,
+        base_hashes=base_hashes,
+    )
+    comp = near_dup_components(pairs, method=method)
+    losers = comp.filter(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return delta.join(losers, on=id_col, how="left_anti")
+
+
 def _components_star(
     pairs: DataFrame,
     id_a: str,

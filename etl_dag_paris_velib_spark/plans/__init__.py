@@ -59,6 +59,7 @@ DEMOTED = (
     # window next round with the deferred r07 block)
     "q151_calendar_arithmetic",
     "q152_near_dup_purge",
+    "q153_incremental_purge",
     # --- r09-green window (driver rows fresh from r09), sitting out the
     # r10 rotation; q21/q42 (standing canaries) and q144 (refactored onto
     # the stored-index seam this round) stay IN-window instead ---

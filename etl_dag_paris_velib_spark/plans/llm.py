@@ -1016,6 +1016,73 @@ def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q153 — INCREMENTAL near-dup purge: delta-batch admission vs the corpus
+# ---------------------------------------------------------------------------
+@L.add(
+    "q153_incremental_purge",
+    oracle=f"""
+WITH RECURSIVE
+{_SQL_MINHASH_CAND},
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN hsets sa ON sa.doc_id = cand.id_a
+  JOIN hsets sb ON sb.doc_id = cand.id_b
+  WHERE len(list_intersect(sa.hs, sb.hs))::DOUBLE / len(list_distinct(sa.hs || sb.hs)) >= 0.5
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach AS (
+  SELECT id, id AS label FROM nodes
+  UNION
+  SELECT e.b AS id, r.label FROM reach r JOIN edges e ON e.a = r.id
+),
+comp AS (SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY id),
+losers AS (SELECT doc_id FROM comp WHERE doc_id <> component)
+SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+LEFT JOIN losers l ON l.doc_id = d.doc_id
+WHERE l.doc_id IS NULL AND d.doc_id % 7 = 0
+""",
+    doc="Incremental near-dup purge (operators/dedup.py:"
+    "incremental_near_dup_purge) — per-increment dedup ADMISSION: docs "
+    "with doc_id % 7 = 0 play the new crawl batch, the rest the "
+    "already-deduplicated corpus, and the spec decides which delta "
+    "docs enter. The engine runs the incremental path end to end: "
+    "q144's delta-only banding against the band index (per-increment "
+    "cost O(|delta| x bands) probes, the base corpus is never "
+    "re-paired), components over the delta-touching pair set, keep-min "
+    "anti-join of the DELTA only. The ORACLE deliberately computes the "
+    "opposite construction — the FULL-graph purge (q152's recursive-CTE "
+    "chain over the whole corpus) restricted to the delta — so the "
+    "hash-match certifies the fate-equivalence theorem the operator's "
+    "docstring proves: every delta-touching edge is in the incremental "
+    "pair set, hence a delta doc drops in the incremental view iff it "
+    "drops in the full recompute (component labels may differ across "
+    "base-base paths; delta fates cannot). Monotone ids make admission "
+    "stable: a new batch can never evict a base doc, so increments "
+    "compose. With q21/q42/q144/q152 this closes the dedup lifecycle: "
+    "detect, cluster, maintain incrementally, materialize, admit. "
+    "Reference counterpart: none (north-star extension).",
+    tags=("dedup", "llm", "incremental", "transform"),
+)
+def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import incremental_near_dup_purge
+
+    docs = _docs(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") % 7 != 0)
+    delta = docs.filter(F.col("doc_id") % 7 == 0)
+    kept = incremental_near_dup_purge(base, delta)
+    return kept.select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q44 — TF-IDF keyword extraction (top term per document)
 # ---------------------------------------------------------------------------
 @L.add(

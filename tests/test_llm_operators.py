@@ -1025,3 +1025,51 @@ def test_near_dup_purge_invariants(spark):
     # (b) determinism/idempotence of the same purge
     kept2 = {r.doc_id for r in near_dup_purge(docs, pairs).select("doc_id").collect()}
     assert kept2 == kept
+
+
+def test_incremental_purge_fate_equals_full_purge(spark):
+    """q153's fate-equivalence theorem, checked structurally on the
+    engine side (the driver oracle checks it cross-engine): the delta
+    docs admitted by incremental_near_dup_purge must EXACTLY equal the
+    delta restriction of the full-corpus near_dup_purge — including
+    through base-base edge paths, where component labels differ but
+    fates must not. Also pins the stored-index seam flavor."""
+    from etl_dag_paris_velib_spark.operators.dedup import (
+        incremental_near_dup_purge,
+        near_dup_purge,
+    )
+    from etl_dag_paris_velib_spark.operators.similarity import (
+        build_lsh_index,
+        minhash_lsh_pairs,
+    )
+
+    docs = _docs(spark)
+    base = docs.filter(F.col("doc_id") % 7 != 0)
+    delta = docs.filter(F.col("doc_id") % 7 == 0)
+
+    full_pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    want = {
+        r.doc_id
+        for r in near_dup_purge(docs, full_pairs)
+        .filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id")
+        .collect()
+    }
+    got = {
+        r.doc_id
+        for r in incremental_near_dup_purge(base, delta).select("doc_id").collect()
+    }
+    assert got == want and want
+    # some delta docs must actually be rejected for the check to bite
+    n_delta = delta.count()
+    assert len(want) < n_delta
+
+    # stored-index seam: identical admission from materialized artifacts
+    bands, hashes = build_lsh_index(base)
+    got2 = {
+        r.doc_id
+        for r in incremental_near_dup_purge(
+            base, delta, base_bands=bands, base_hashes=hashes
+        ).select("doc_id").collect()
+    }
+    assert got2 == want

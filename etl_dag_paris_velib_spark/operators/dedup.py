@@ -279,6 +279,16 @@ def incremental_near_dup_purge(
     Pass ``base_bands`` / ``base_hashes`` (see
     :func:`operators.similarity.build_lsh_index`) to consume the stored
     index. Returns the kept subset of ``delta`` with its columns.
+
+    SEQUENCE-of-increments caveat (q154): fate equivalence holds for
+    ONE increment against a fixed base. Across a sequence, online
+    admission is order-dependent and legitimately diverges from the
+    global one-shot purge — a doc connected to a smaller id only
+    through a FUTURE doc's edges is admitted online (the future edge
+    does not exist yet) but dropped offline. That is the intended
+    crawl-loop semantics; replaying the same batch order reproduces
+    it exactly, and rejected docs must STAY indexed so later
+    near-dups of them are still rejected.
     """
     from .similarity import incremental_lsh_pairs
 

@@ -60,6 +60,7 @@ DEMOTED = (
     "q151_calendar_arithmetic",
     "q152_near_dup_purge",
     "q153_incremental_purge",
+    "q154_multi_increment_dedup",
     # --- r09-green window (driver rows fresh from r09), sitting out the
     # r10 rotation; q21/q42 (standing canaries) and q144 (refactored onto
     # the stored-index seam this round) stay IN-window instead ---

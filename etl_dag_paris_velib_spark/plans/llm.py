@@ -1083,6 +1083,124 @@ def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q154 — MULTI-increment dedup: three crawl batches through a growing index
+# ---------------------------------------------------------------------------
+@L.add(
+    "q154_multi_increment_dedup",
+    oracle=f"""
+WITH RECURSIVE
+{_SQL_MINHASH_CAND},
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN hsets sa ON sa.doc_id = cand.id_a
+  JOIN hsets sb ON sb.doc_id = cand.id_b
+  WHERE len(list_intersect(sa.hs, sb.hs))::DOUBLE / len(list_distinct(sa.hs || sb.hs)) >= 0.5
+),
+eall AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+-- round 0: batch 0 dedups against itself
+e0 AS (SELECT a, b FROM eall WHERE a % 3 = 0 AND b % 3 = 0),
+n0 AS (SELECT DISTINCT a AS id FROM e0),
+r0 AS (
+  SELECT id, id AS label FROM n0
+  UNION
+  SELECT e.b AS id, r.label FROM r0 r JOIN e0 e ON e.a = r.id
+),
+c0 AS (SELECT id AS doc_id, min(label) AS component FROM r0 GROUP BY id),
+l0 AS (SELECT doc_id FROM c0 WHERE doc_id <> component),
+-- round 1: delta = %3=1, seen = %3 in (0,1); edges must touch the delta
+e1 AS (
+  SELECT a, b FROM eall
+  WHERE a % 3 <= 1 AND b % 3 <= 1 AND (a % 3 = 1 OR b % 3 = 1)
+),
+n1 AS (SELECT DISTINCT a AS id FROM e1),
+r1 AS (
+  SELECT id, id AS label FROM n1
+  UNION
+  SELECT e.b AS id, r.label FROM r1 r JOIN e1 e ON e.a = r.id
+),
+c1 AS (SELECT id AS doc_id, min(label) AS component FROM r1 GROUP BY id),
+l1 AS (SELECT doc_id FROM c1 WHERE doc_id <> component AND doc_id % 3 = 1),
+-- round 2: delta = %3=2, seen = everything; edges must touch the delta
+e2 AS (
+  SELECT a, b FROM eall WHERE (a % 3 = 2 OR b % 3 = 2)
+),
+n2 AS (SELECT DISTINCT a AS id FROM e2),
+r2 AS (
+  SELECT id, id AS label FROM n2
+  UNION
+  SELECT e.b AS id, r.label FROM r2 r JOIN e2 e ON e.a = r.id
+),
+c2 AS (SELECT id AS doc_id, min(label) AS component FROM r2 GROUP BY id),
+l2 AS (SELECT doc_id FROM c2 WHERE doc_id <> component AND doc_id % 3 = 2),
+losers AS (
+  SELECT doc_id FROM l0 UNION ALL SELECT doc_id FROM l1 UNION ALL SELECT doc_id FROM l2
+)
+SELECT d.doc_id, CAST(d.doc_id % 3 AS INT) AS batch, d.lang,
+       CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+LEFT JOIN losers l ON l.doc_id = d.doc_id
+WHERE l.doc_id IS NULL
+""",
+    doc="Multi-increment dedup admission (three crawl batches, "
+    "doc_id % 3, processed in order through a GROWING stored index) — "
+    "the composition q153 certifies one round of: round 0 dedups the "
+    "initial corpus against itself (near_dup_purge), rounds 1-2 run "
+    "incremental_near_dup_purge against the band + hash-set index, "
+    "and between rounds the index grows by exactly the delta's "
+    "build_lsh_index artifacts unioned in — the production crawl loop "
+    "end to end, including the rule that REJECTED docs stay indexed "
+    "(a later near-dup of a rejected doc must still be rejected). "
+    "Online admission is deliberately ORDER-DEPENDENT and differs "
+    "from the global one-shot purge: a doc connected to a smaller id "
+    "only through a FUTURE doc's edges is admitted online but dropped "
+    "offline (the operator docstring proves where the q153 "
+    "fate-equivalence stops applying) — so the oracle replays the "
+    "SAME three rounds with three recursive-CTE component passes, "
+    "each over edges touching that round's delta within its horizon. "
+    "The hash-match therefore certifies the whole sequential "
+    "semantics, not a single step. 100 TB: per-round cost is "
+    "O(|delta| x bands) probes + a delta-sized anti-join; the index "
+    "grows by bands-rows per doc per round and never rescans history. "
+    "Reference counterpart: none (north-star extension).",
+    tags=("dedup", "llm", "incremental", "transform"),
+)
+def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import incremental_near_dup_purge, near_dup_purge
+    from ..operators.similarity import build_lsh_index
+
+    docs = _docs(spark, sf_dir)
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    # round 0: the initial corpus dedups against itself
+    kept = near_dup_purge(
+        batches[0], minhash_lsh_pairs(batches[0], threshold=0.5)
+    ).withColumn("batch", F.lit(0))
+    seen = batches[0]
+    bands, hashes = build_lsh_index(batches[0])
+    for i in (1, 2):
+        admitted = incremental_near_dup_purge(
+            seen, batches[i], base_bands=bands, base_hashes=hashes
+        ).withColumn("batch", F.lit(i))
+        kept = kept.unionByName(admitted)
+        # the index grows by the delta's artifacts — REJECTED docs stay
+        # indexed so later near-dups of them are still rejected
+        dbands, dhashes = build_lsh_index(batches[i])
+        bands = bands.unionByName(dbands)
+        hashes = hashes.unionByName(dhashes)
+        seen = seen.unionByName(batches[i])
+    return kept.select(
+        "doc_id",
+        F.col("batch").cast("int").alias("batch"),
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q44 — TF-IDF keyword extraction (top term per document)
 # ---------------------------------------------------------------------------
 @L.add(

@@ -1073,3 +1073,36 @@ def test_incremental_purge_fate_equals_full_purge(spark):
         ).select("doc_id").collect()
     }
     assert got2 == want
+
+
+def test_multi_increment_dedup_supersets_global_purge(spark):
+    """q154's semantic relation to the one-shot purge, pinned both ways:
+    (a) online-kept is a SUPERSET of globally-kept — a global cluster's
+    min doc can never be rejected online (all its smaller-id neighbors
+    would be in its global cluster, contradicting minimality), while
+    (b) online may legitimately admit MORE (a doc connected to a
+    smaller id only through a future doc's edges). Also asserts the
+    rounds actually reject something, so the sweep isn't vacuous."""
+    from etl_dag_paris_velib_spark.operators.dedup import near_dup_purge
+    from etl_dag_paris_velib_spark.operators.similarity import (
+        minhash_lsh_pairs,
+    )
+    from etl_dag_paris_velib_spark.plans import REGISTRY
+
+    docs = _docs(spark)
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    global_kept = {
+        r.doc_id
+        for r in near_dup_purge(docs, minhash_lsh_pairs(docs, threshold=0.5))
+        .select("doc_id")
+        .collect()
+    }
+    online_kept = {
+        r.doc_id
+        for r in REGISTRY.specs["q154_multi_increment_dedup"]
+        .fn(spark, str(SF_SMOKE))
+        .select("doc_id")
+        .collect()
+    }
+    assert global_kept <= online_kept
+    assert online_kept < all_ids  # something was rejected online too

@@ -250,35 +250,57 @@ def incremental_near_dup_purge(
     delta: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    k: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
     threshold: float = 0.5,
     base_bands: DataFrame | None = None,
     base_hashes: DataFrame | None = None,
+    delta_bands: DataFrame | None = None,
+    delta_hashes: DataFrame | None = None,
     method: str = "label",
 ) -> DataFrame:
     """Per-increment dedup admission: which DELTA docs enter the kept
     corpus. The daily-crawl companion of :func:`near_dup_purge` — the
-    base corpus is already deduplicated and STAYS untouched (ids grow
-    monotonically, so keep-min can never evict a base doc); each
-    increment only decides the new batch's fate.
+    base corpus STAYS untouched; each increment only decides the new
+    batch's fate.
 
     Built on :func:`operators.similarity.incremental_lsh_pairs` (pairs
     touching the delta — per-increment cost O(|delta| x bands) probes
     against the stored band index, never a corpus recomputation) and
-    components over that pair set. FATE EQUIVALENCE with the full
-    recompute is a theorem, not an approximation: every delta-touching
-    edge is in the incremental pair set, so a delta doc reaches a base
-    doc in the full pair graph iff it does in the incremental one —
-    a delta doc connected to ANY base doc has a smaller-id neighbor and
-    drops in both; a delta doc surviving as the min of an all-delta
-    cluster survives in both (an all-delta cluster that the full graph
-    could attach to base would need a delta-touching edge, which the
-    incremental set already has). Component LABELS may differ across
-    base-base paths; delta fates cannot. The q153 oracle certifies this
-    by computing the FULL-graph purge restricted to the delta.
+    components over that pair set.
+
+    FATE EQUIVALENCE with the full recompute holds under either of two
+    PRECONDITIONS — it is a theorem given one of them, not a general
+    property of arbitrary splits:
+
+    - **monotone ids** (every base id < every delta id — the natural
+      crawl shape, ids assigned in arrival order): if a delta doc's
+      full-graph component contains any base doc, walking from the
+      delta doc to the FIRST base doc on the path uses only
+      delta-touching edges, so the incremental component already holds
+      a smaller-id (base) neighbor and the doc drops in both views;
+      an all-delta component has identical edges in both views. The
+      premise matters — with interleaved ids a delta doc linked to a
+      mid-sized base doc that base-base edges connect to a smaller id
+      is kept incrementally but dropped by the full recompute.
+    - **deduplicated base** (no base-base edge at the threshold): then
+      EVERY full-graph edge touches the delta, so the incremental pair
+      set IS the full pair set restricted to relevant components.
+
+    Under monotone ids, keep-min can additionally never evict a base
+    doc, so increments compose (q154). The q153 oracle certifies the
+    monotone-id form cross-engine by computing the FULL-graph purge
+    restricted to an id-cutoff delta.
 
     Pass ``base_bands`` / ``base_hashes`` (see
     :func:`operators.similarity.build_lsh_index`) to consume the stored
-    index. Returns the kept subset of ``delta`` with its columns.
+    index, and ``delta_bands`` / ``delta_hashes`` to reuse the delta's
+    own artifacts when the caller builds them anyway to grow the index
+    (one shingle pass per increment — the q154 crawl loop). ``k`` /
+    ``bands`` / ``shingle_n`` are forwarded to the pair probe and must
+    match the parameters any passed artifacts were built with. Returns
+    the kept subset of ``delta`` with its columns.
 
     SEQUENCE-of-increments caveat (q154): fate equivalence holds for
     ONE increment against a fixed base. Across a sequence, online
@@ -297,9 +319,14 @@ def incremental_near_dup_purge(
         delta,
         id_col=id_col,
         text_col=text_col,
+        k=k,
+        bands=bands,
+        shingle_n=shingle_n,
         threshold=threshold,
         base_bands=base_bands,
         base_hashes=base_hashes,
+        delta_bands=delta_bands,
+        delta_hashes=delta_hashes,
     )
     comp = near_dup_components(pairs, method=method)
     losers = comp.filter(F.col("doc_id") != F.col("component")).select(

@@ -1915,6 +1915,53 @@ def build_lsh_index(
     return band_tbl, hash_tbl
 
 
+def lsh_pairs_from_index(
+    band_tbl: DataFrame,
+    hash_tbl: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full verified near-dup pair set (id_a < id_b, exact Jaccard >=
+    threshold) derived FROM the stored-index artifacts of
+    :func:`build_lsh_index` — no re-shingle, no re-MinHash.
+
+    Semantically identical to :func:`minhash_lsh_pairs` on the same
+    corpus and LSH parameters (same band self-join for candidates, same
+    exact-Jaccard verify on the 60-bit shingle hashes), but the one
+    shingle+signature pass lives in the index build, so a pipeline that
+    materializes the index anyway (the q144/q154 crawl-loop shape) pays
+    it exactly once: pairs for the initial corpus AND every later
+    increment probe all derive from the same artifacts. Cost: the band
+    self-join is bucket-local (groupBy-shaped skew, never all-pairs);
+    the verify joins touch only candidate ids.
+    """
+    a, b = band_tbl.alias("a"), band_tbl.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = hash_tbl.select(F.col("id").alias("ia"), F.col("hs").alias("hsa"))
+    sb = hash_tbl.select(F.col("id").alias("ib"), F.col("hs").alias("hsb"))
+    return (
+        cand.join(sa, F.col("id_a") == F.col("ia"))
+        .join(sb, F.col("id_b") == F.col("ib"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("hsa", "hsb"))
+                / F.size(F.array_union("hsa", "hsb"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def incremental_lsh_pairs(
     base: DataFrame,
     delta: DataFrame,
@@ -1926,6 +1973,8 @@ def incremental_lsh_pairs(
     threshold: float = 0.5,
     base_bands: DataFrame | None = None,
     base_hashes: DataFrame | None = None,
+    delta_bands: DataFrame | None = None,
+    delta_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup maintenance: verified pairs (id_a < id_b,
     exact Jaccard >= threshold) INVOLVING at least one ``delta`` doc —
@@ -1953,6 +2002,15 @@ def incremental_lsh_pairs(
     the natural companion of ``base_bands`` in a stored index) to skip
     even that re-shingle of the touched base docs.
 
+    ``delta_bands`` / ``delta_hashes`` are the same artifacts for the
+    DELTA side: a crawl loop that grows its stored index per increment
+    (q154) already runs :func:`build_lsh_index` on each batch, so pass
+    those artifacts here and the delta is never shingled twice — one
+    shingle+MinHash pass per increment covers BOTH the admission probe
+    and the index growth. When either is omitted it is derived from
+    ``delta`` in-plan (the one-shot shape). All LSH parameters must
+    match the ones the artifacts were built with.
+
     EQUIVALENCE (the oracle's form, proven by construction and pinned
     by tests/test_llm_operators.py): a pair shares >= 1 band bucket
     with one side in delta iff it appears in the FULL LSH pair set and
@@ -1961,10 +2019,13 @@ def incremental_lsh_pairs(
     delta member. Verification is the same exact-Jaccard on distinct
     60-bit shingle hashes, so precision stays 1.0 by construction.
     """
-    delta_sh = _shingle_sets(delta, id_col, text_col, shingle_n).select(
-        "id", "sh"
-    )
-    delta_bands = _signature_bands(delta_sh, k, bands)
+    delta_sh = None
+    if delta_bands is None or delta_hashes is None:
+        delta_sh = _shingle_sets(delta, id_col, text_col, shingle_n).select(
+            "id", "sh"
+        )
+    if delta_bands is None:
+        delta_bands = _signature_bands(delta_sh, k, bands)
     if base_bands is None:
         base_sh = _shingle_sets(base, id_col, text_col, shingle_n).select(
             "id", "sh"
@@ -1981,6 +2042,7 @@ def incremental_lsh_pairs(
             base.semanticHash(),
             delta.semanticHash(),
             None if base_bands is None else base_bands.semanticHash(),
+            None if delta_bands is None else delta_bands.semanticHash(),
             id_col,
             text_col,
             k,
@@ -2029,9 +2091,12 @@ def incremental_lsh_pairs(
         .unionByName(cand.select(F.col("id_b").alias("_cid")))
         .distinct()
     )
-    delta_hs = delta_sh.select(
-        "id", shingle_hashes60(F.col("sh")).alias("hs")
-    )
+    if delta_hashes is not None:
+        delta_hs = delta_hashes.select("id", "hs")
+    else:
+        delta_hs = delta_sh.select(
+            "id", shingle_hashes60(F.col("sh")).alias("hs")
+        )
     if base_hashes is not None:
         base_hs = base_hashes.select("id", "hs")
     else:

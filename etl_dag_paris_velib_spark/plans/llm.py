@@ -1046,27 +1046,33 @@ losers AS (SELECT doc_id FROM comp WHERE doc_id <> component)
 SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
 FROM documents d
 LEFT JOIN losers l ON l.doc_id = d.doc_id
-WHERE l.doc_id IS NULL AND d.doc_id % 7 = 0
+WHERE l.doc_id IS NULL
+  AND d.doc_id * 7 > 6 * (SELECT max(doc_id) FROM documents)
 """,
     doc="Incremental near-dup purge (operators/dedup.py:"
-    "incremental_near_dup_purge) — per-increment dedup ADMISSION: docs "
-    "with doc_id % 7 = 0 play the new crawl batch, the rest the "
-    "already-deduplicated corpus, and the spec decides which delta "
-    "docs enter. The engine runs the incremental path end to end: "
-    "q144's delta-only banding against the band index (per-increment "
-    "cost O(|delta| x bands) probes, the base corpus is never "
-    "re-paired), components over the delta-touching pair set, keep-min "
-    "anti-join of the DELTA only. The ORACLE deliberately computes the "
-    "opposite construction — the FULL-graph purge (q152's recursive-CTE "
-    "chain over the whole corpus) restricted to the delta — so the "
-    "hash-match certifies the fate-equivalence theorem the operator's "
-    "docstring proves: every delta-touching edge is in the incremental "
-    "pair set, hence a delta doc drops in the incremental view iff it "
-    "drops in the full recompute (component labels may differ across "
-    "base-base paths; delta fates cannot). Monotone ids make admission "
-    "stable: a new batch can never evict a base doc, so increments "
-    "compose. With q21/q42/q144/q152 this closes the dedup lifecycle: "
-    "detect, cluster, maintain incrementally, materialize, admit. "
+    "incremental_near_dup_purge) — per-increment dedup ADMISSION: the "
+    "top-1/7th of the id range plays the new crawl batch, everything "
+    "below the cutoff the existing corpus, and the spec decides which "
+    "delta docs enter. The id-CUTOFF split (not a modulus) is load- "
+    "bearing: the operator's fate-equivalence theorem REQUIRES "
+    "monotone ids (every base id < every delta id — the natural crawl "
+    "shape) or a deduplicated base; with interleaved ids a delta doc "
+    "linked to a mid-sized base doc that base-base edges connect to a "
+    "smaller id is kept incrementally but dropped offline, so a "
+    "modulus split would pass only by data coincidence. The engine "
+    "runs the incremental path end to end: q144's delta-only banding "
+    "against the band index (per-increment cost O(|delta| x bands) "
+    "probes, the base corpus is never re-paired), components over the "
+    "delta-touching pair set, keep-min anti-join of the DELTA only. "
+    "The ORACLE deliberately computes the opposite construction — the "
+    "FULL-graph purge (q152's recursive-CTE chain over the whole "
+    "corpus) restricted to the delta — so the hash-match certifies the "
+    "theorem under its stated premise, by construction rather than by "
+    "luck (component labels may differ across base-base paths; delta "
+    "fates cannot). Monotone ids also make admission stable: a new "
+    "batch can never evict a base doc, so increments compose. With "
+    "q21/q42/q144/q152 this closes the dedup lifecycle: detect, "
+    "cluster, maintain incrementally, materialize, admit. "
     "Reference counterpart: none (north-star extension).",
     tags=("dedup", "llm", "incremental", "transform"),
 )
@@ -1074,8 +1080,12 @@ def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import incremental_near_dup_purge
 
     docs = _docs(spark, sf_dir)
-    base = docs.filter(F.col("doc_id") % 7 != 0)
-    delta = docs.filter(F.col("doc_id") % 7 == 0)
+    # scalar cutoff: tiny driver-side agg (q44's n_docs precedent) —
+    # base = ids <= 6/7 of max, delta = the top stripe, so the
+    # monotone-id premise holds by construction
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    base = docs.filter(F.col("doc_id") * 7 <= 6 * max_id)
+    delta = docs.filter(F.col("doc_id") * 7 > 6 * max_id)
     kept = incremental_near_dup_purge(base, delta)
     return kept.select(
         "doc_id", "lang", "source", F.col("n_chars").cast("bigint").alias("n_chars")
@@ -1155,6 +1165,14 @@ WHERE l.doc_id IS NULL
     "build_lsh_index artifacts unioned in — the production crawl loop "
     "end to end, including the rule that REJECTED docs stay indexed "
     "(a later near-dup of a rejected doc must still be rejected). "
+    "Each batch is shingled EXACTLY ONCE: build_lsh_index runs once "
+    "per batch, its artifacts are persisted (the in-memory stand-in "
+    "for the parquet materialization q144 drives), and round-0 pairs "
+    "(lsh_pairs_from_index), every admission probe "
+    "(delta_bands/delta_hashes), and the index growth all derive from "
+    "the same frames — at 100 TB the per-increment compute is one "
+    "shingle+MinHash pass, not two "
+    "(tests/test_llm_operators.py pins the single-pass property). "
     "Online admission is deliberately ORDER-DEPENDENT and differs "
     "from the global one-shot purge: a doc connected to a smaller id "
     "only through a FUTURE doc's edges is admitted online but dropped "
@@ -1171,24 +1189,41 @@ WHERE l.doc_id IS NULL
 )
 def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import incremental_near_dup_purge, near_dup_purge
-    from ..operators.similarity import build_lsh_index
+    from ..operators.similarity import build_lsh_index, lsh_pairs_from_index
 
     docs = _docs(spark, sf_dir)
     batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
-    # round 0: the initial corpus dedups against itself
+    # ONE shingle+MinHash pass per batch: each batch's stored-index
+    # artifacts are built once, persisted (the in-memory stand-in for
+    # the per-increment parquet write q144 drives; Spark's CacheManager
+    # dedupes re-runs by canonicalized plan), and EVERYTHING derives
+    # from them — round-0 pairs, every admission probe, and the index
+    # growth. The artifacts are increment-sized (bands rows + one hash
+    # array per doc), the same thing a production loop stores anyway.
+    arts = []
+    for b in batches:
+        bt, ht = build_lsh_index(b)
+        arts.append((bt.persist(), ht.persist()))
+    # round 0: the initial corpus dedups against itself, pairs derived
+    # from the already-built index — not a second shingle pass
     kept = near_dup_purge(
-        batches[0], minhash_lsh_pairs(batches[0], threshold=0.5)
+        batches[0], lsh_pairs_from_index(*arts[0], threshold=0.5)
     ).withColumn("batch", F.lit(0))
     seen = batches[0]
-    bands, hashes = build_lsh_index(batches[0])
+    bands, hashes = arts[0]
     for i in (1, 2):
+        dbands, dhashes = arts[i]
         admitted = incremental_near_dup_purge(
-            seen, batches[i], base_bands=bands, base_hashes=hashes
+            seen,
+            batches[i],
+            base_bands=bands,
+            base_hashes=hashes,
+            delta_bands=dbands,
+            delta_hashes=dhashes,
         ).withColumn("batch", F.lit(i))
         kept = kept.unionByName(admitted)
         # the index grows by the delta's artifacts — REJECTED docs stay
         # indexed so later near-dups of them are still rejected
-        dbands, dhashes = build_lsh_index(batches[i])
         bands = bands.unionByName(dbands)
         hashes = hashes.unionByName(dhashes)
         seen = seen.unionByName(batches[i])
@@ -3556,8 +3591,9 @@ WHERE j >= 0.5 AND (id_a % 7 = 0 OR id_b % 7 = 0)
     tags=("dedup", "lsh", "incremental", "llm"),
 )
 def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
+    import atexit
     import os
+    import shutil
     import tempfile
 
     from ..operators.similarity import build_lsh_index, incremental_lsh_pairs
@@ -3570,12 +3606,16 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
     # genuinely STORED artifact (no shared lineage with `base`) and
     # never re-shingles a single base doc. The write is the one-time
     # index build a real pipeline amortizes across increments; this
-    # spec pays it per run to keep the query self-contained.
+    # spec pays it per run to keep the query self-contained. The path
+    # is unique PER CALL (mkdtemp), not keyed by sf_dir alone — two
+    # concurrent harness runs (bench + correctness) must never race an
+    # overwrite against a read — and is removed at interpreter exit
+    # (not earlier: the returned DataFrame reads it lazily at collect).
     band_tbl, hash_tbl = build_lsh_index(base)
-    tag = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"sg_q144_lsh_index_{tag}")
-    band_tbl.write.mode("overwrite").parquet(os.path.join(root, "bands"))
-    hash_tbl.write.mode("overwrite").parquet(os.path.join(root, "hashes"))
+    root = tempfile.mkdtemp(prefix="sg_q144_lsh_index_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    band_tbl.write.parquet(os.path.join(root, "bands"))
+    hash_tbl.write.parquet(os.path.join(root, "hashes"))
     stored_bands = spark.read.parquet(os.path.join(root, "bands"))
     stored_hashes = spark.read.parquet(os.path.join(root, "hashes"))
     pairs = incremental_lsh_pairs(

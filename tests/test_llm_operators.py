@@ -960,13 +960,15 @@ def test_incremental_lsh_equals_filtered_full_recompute(spark):
 
 
 def test_ivf_all_nn_equals_windowed_ivf_topk(spark):
-    """ivf_all_nn's nprobe-capped per-row fold (insert -> array_sort
-    the <= nprobe+1 entries -> slice, over the 1-row codebook array)
-    must select EXACTLY what ivf_topk's rank window selects when the
-    query set is the whole corpus — ids AND scores. This pins the
-    (-cos, c_id) ascending fold == (cos DESC, c_id ASC) window
-    equivalence the operator's scale story rests on, including the
-    assignment-as-fold-top-1 identity with max_by over all centroids."""
+    """ivf_all_nn's per-row probe expression (transform the 1-row
+    codebook array into (neg_cos, c_id) structs -> array_sort ->
+    slice(nprobe); an O(|codebook|) transient per row, not
+    aggregation state) must select EXACTLY what ivf_topk's rank
+    window selects when the query set is the whole corpus — ids AND
+    scores. This pins the (-cos, c_id) ascending sort == (cos DESC,
+    c_id ASC) window equivalence the operator's scale story rests on,
+    including the assignment-as-slice-top-1 identity with max_by over
+    all centroids."""
     from etl_dag_paris_velib_spark.operators.similarity import (
         ivf_all_nn,
         ivf_topk,
@@ -1028,12 +1030,16 @@ def test_near_dup_purge_invariants(spark):
 
 
 def test_incremental_purge_fate_equals_full_purge(spark):
-    """q153's fate-equivalence theorem, checked structurally on the
-    engine side (the driver oracle checks it cross-engine): the delta
-    docs admitted by incremental_near_dup_purge must EXACTLY equal the
-    delta restriction of the full-corpus near_dup_purge — including
-    through base-base edge paths, where component labels differ but
-    fates must not. Also pins the stored-index seam flavor."""
+    """q153's fate-equivalence theorem under its MONOTONE-ID premise,
+    checked structurally on the engine side (the driver oracle checks
+    it cross-engine): with every base id below every delta id (an
+    id-cutoff split — the natural crawl shape), the delta docs admitted
+    by incremental_near_dup_purge must EXACTLY equal the delta
+    restriction of the full-corpus near_dup_purge — including through
+    base-base edge paths, where component labels differ but fates must
+    not. Also pins the stored-index seam flavor. The premise is
+    load-bearing: test_incremental_purge_premise_counterexample shows
+    an interleaved split where the two legitimately diverge."""
     from etl_dag_paris_velib_spark.operators.dedup import (
         incremental_near_dup_purge,
         near_dup_purge,
@@ -1044,14 +1050,15 @@ def test_incremental_purge_fate_equals_full_purge(spark):
     )
 
     docs = _docs(spark)
-    base = docs.filter(F.col("doc_id") % 7 != 0)
-    delta = docs.filter(F.col("doc_id") % 7 == 0)
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    base = docs.filter(F.col("doc_id") * 7 <= 6 * max_id)
+    delta = docs.filter(F.col("doc_id") * 7 > 6 * max_id)
 
     full_pairs = minhash_lsh_pairs(docs, threshold=0.5)
     want = {
         r.doc_id
         for r in near_dup_purge(docs, full_pairs)
-        .filter(F.col("doc_id") % 7 == 0)
+        .filter(F.col("doc_id") * 7 > 6 * max_id)
         .select("doc_id")
         .collect()
     }
@@ -1073,6 +1080,110 @@ def test_incremental_purge_fate_equals_full_purge(spark):
         ).select("doc_id").collect()
     }
     assert got2 == want
+
+
+def test_lsh_pairs_from_index_equals_minhash_lsh_pairs(spark):
+    """lsh_pairs_from_index must reproduce minhash_lsh_pairs EXACTLY
+    (ids and jaccard) from the stored artifacts alone — the identity
+    that lets q154's round 0 skip the second shingle pass and lets a
+    production pipeline derive the full pair set from the index it
+    already materializes."""
+    from etl_dag_paris_velib_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_pairs_from_index,
+        minhash_lsh_pairs,
+    )
+
+    docs = _docs(spark)
+    want = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in lsh_pairs_from_index(
+            *build_lsh_index(docs), threshold=0.5
+        ).collect()
+    }
+    assert got == want and want
+
+
+def _purge_counterexample_docs(spark, delta_id):
+    """Three docs: 2 — 9 near-dup, 9 — <delta_id> near-dup, but
+    2 — <delta_id> BELOW threshold (a base-base edge path to a smaller
+    id that the delta doc cannot see incrementally). Word 3-shingles:
+    2 and 9 share 6 of 10 distinct shingles (J=0.6), 9 and the delta
+    doc likewise, 2 and the delta doc share 4 of 12 (J=0.33)."""
+    w = [f"tok{i:02d}" for i in range(20)]
+    t2 = " ".join(w[0:10])
+    t9 = " ".join(w[2:12])
+    td = " ".join(w[4:14])
+    return spark.createDataFrame(
+        [(2, t2), (9, t9), (delta_id, td)], "doc_id long, text string"
+    )
+
+
+def test_incremental_purge_premise_counterexample(spark):
+    """The ADVICE-identified shape, pinned as a test: delta 7 — base 9
+    — base 2 with no 7—2 edge. With INTERLEAVED ids (delta 7 between
+    base 2 and base 9) the incremental view keeps 7 (its only
+    incremental neighbor 9 is larger) while the full recompute drops
+    it (cluster {2,7,9}, min 2) — fate equivalence legitimately FAILS,
+    which is exactly why q153 uses an id-cutoff split. Relabeling the
+    delta doc ABOVE the base ids (premise restored) makes the two
+    agree again on the identical text geometry."""
+    from etl_dag_paris_velib_spark.operators.dedup import (
+        incremental_near_dup_purge,
+        near_dup_purge,
+    )
+    from etl_dag_paris_velib_spark.operators.similarity import (
+        minhash_lsh_pairs,
+    )
+
+    # interleaved ids: the premise is violated and the views diverge
+    docs = _purge_counterexample_docs(spark, delta_id=7)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.5)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert pairs == {(2, 9), (7, 9)}  # the geometry the test depends on
+    full_kept = {
+        r.doc_id
+        for r in near_dup_purge(docs, minhash_lsh_pairs(docs, threshold=0.5))
+        .select("doc_id")
+        .collect()
+    }
+    assert full_kept == {2}
+    inc_kept = {
+        r.doc_id
+        for r in incremental_near_dup_purge(
+            docs.filter(F.col("doc_id") != 7), docs.filter(F.col("doc_id") == 7)
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert inc_kept == {7}  # kept incrementally, dropped offline
+
+    # monotone ids (same texts, delta relabeled to 11 > all base ids):
+    # the premise holds and the fates agree
+    docs2 = _purge_counterexample_docs(spark, delta_id=11)
+    full_kept2 = {
+        r.doc_id
+        for r in near_dup_purge(docs2, minhash_lsh_pairs(docs2, threshold=0.5))
+        .select("doc_id")
+        .collect()
+    }
+    inc_kept2 = {
+        r.doc_id
+        for r in incremental_near_dup_purge(
+            docs2.filter(F.col("doc_id") != 11), docs2.filter(F.col("doc_id") == 11)
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert inc_kept2 == {d for d in full_kept2 if d == 11} == set()
 
 
 def test_multi_increment_dedup_supersets_global_purge(spark):
@@ -1106,3 +1217,32 @@ def test_multi_increment_dedup_supersets_global_purge(spark):
     }
     assert global_kept <= online_kept
     assert online_kept < all_ids  # something was rejected online too
+
+
+def test_multi_increment_dedup_shingles_each_batch_once(spark, monkeypatch):
+    """The r10 verdict's double-shingle finding, pinned closed: q154's
+    crawl loop must derive each batch's shingle sets EXACTLY once —
+    build_lsh_index per batch, with round-0 pairs
+    (lsh_pairs_from_index), admission probes (delta_bands/
+    delta_hashes), and index growth all reusing those artifacts. Three
+    batches -> exactly three _shingle_sets constructions; a regression
+    that re-shingles a delta (the old build_lsh_index-after-admission
+    shape, 6 calls) or shingles batch 0 twice (the old
+    minhash_lsh_pairs round 0, 4 calls) trips this immediately."""
+    import etl_dag_paris_velib_spark.operators.similarity as sim
+    from etl_dag_paris_velib_spark.plans import REGISTRY
+
+    calls = []
+    orig = sim._shingle_sets
+
+    def counting(df, *a, **kw):
+        calls.append(1)
+        return orig(df, *a, **kw)
+
+    monkeypatch.setattr(sim, "_shingle_sets", counting)
+    out = REGISTRY.specs["q154_multi_increment_dedup"].fn(spark, str(SF_SMOKE))
+    assert len(calls) == 3, (
+        f"q154 built {len(calls)} shingle passes for 3 batches — the "
+        "single-pass-per-increment property regressed"
+    )
+    assert out.count() > 0

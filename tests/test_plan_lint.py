@@ -87,7 +87,11 @@ BNLJ_WHITELIST = {
     "q147_ivf_all_nn": "the 1-row codebook ARRAY (one collect_list "
     "group, bounded by the codebook-broadcast invariant) crossed onto "
     "the corpus in each branch; routing + probe selection happen in a "
-    "per-row fold whose accumulator is capped at nprobe structs",
+    "per-row transform of the codebook array into (neg_cos, c_id) "
+    "structs -> array_sort -> slice(nprobe) — an O(|codebook|) "
+    "transient per row in flight, never aggregation state (the "
+    "nprobe-capped F.aggregate fold was measured 3.6x slower and "
+    "rejected; see similarity.py's inline note)",
 }
 
 #: query -> why its unpartitioned Window (single-partition WindowExec —

@@ -36,34 +36,78 @@ REGISTRY.merge(_streamq)
 # registry — window and tail — with the identical rows+schema+hash
 # comparison, so no spec anywhere lacks local differential evidence).
 #
-# Round-10 window policy (the round-9 verdict's #1 and #2): the window
-# takes (a) q147-q150 — the ONLY registered specs that have never had a
-# driver correctness row (born-demoted in r09, registry positions
-# 50-53); (b) 43 of the 49 specs whose newest driver rows date to r07
-# (two rounds of code churn old — the oldest evidence in the repo);
-# (c) q144 — refactored THIS round onto the full stored-index seam
-# (build_lsh_index -> parquet -> base_bands/base_hashes), and the
-# standing policy rotates refactored specs in so the driver row
-# certifies the production path.
+# Round-11 window policy (the round-10 verdict's #1): the window takes
+# (a) q151-q154 — the dedup-lifecycle specs born-demoted in r10 with
+# zero driver rows (q153/q154 additionally REWORKED this round: q153's
+# split moved to an id cutoff so the fate-equivalence premise holds by
+# construction, q154 now shingles each batch exactly once); (b) the six
+# r07-era stragglers (q66/q74/q77/q83/q90/q99) — after r11 no spec's
+# newest driver row predates r08; (c) q144 — its parquet index path
+# moved to a per-call tempdir this round, and the standing policy
+# rotates refactored specs in; (d) q155 — NEW this round (window-frame/
+# null-ordering/tie matrix, fuzz grammar #23's registered companion),
+# landing in-window so it is never born-demoted; (e) 36 of the 48 specs
+# whose newest rows date to r08, prioritizing everything adjacent to
+# this round's similarity.py churn (the LSH/text/ANN/media families).
 # CANARY POLICY (standing): q21_near_dup_pairs and q42_dedup_clusters
 # — the LSH pair-cache builder and its consumer — keep a window slot in
 # EVERY rotation regardless of row age, so the cache-reuse path always
 # has a fresh driver row.
-# 53 stale-or-never candidates compete for 47 non-canary/non-q144
-# slots, so 6 r07-era specs wait one more round (listed last below
-# with the selection rationale). After round 10 lands: q147-q150 have
-# their first driver rows and at most 6 specs' newest rows predate r08.
+# 12 r08-era specs wait one more round (the most code-stable pure
+# relational shapes, listed last below); they rotate in r12.
 DEMOTED = (
-    # born-demoted in r10 (the window was already full when the specs
-    # landed; parity-swept + diffchecked now, rotate into the driver
-    # window next round with the deferred r07 block)
-    "q151_calendar_arithmetic",
-    "q152_near_dup_purge",
-    "q153_incremental_purge",
-    "q154_multi_increment_dedup",
-    # --- r09-green window (driver rows fresh from r09), sitting out the
-    # r10 rotation; q21/q42 (standing canaries) and q144 (refactored onto
-    # the stored-index seam this round) stay IN-window instead ---
+    # --- r10-green window (driver rows fresh from r10), sitting out the
+    # r11 rotation; q21/q42 (standing canaries) and q144 (refactored)
+    # stay IN-window instead ---
+    "q67_rank_distribution",
+    "q69_variant_props",
+    "q76_robust_stats",
+    "q79_incremental_agg_merge",
+    "q148_global_running_revenue",
+    "q150_global_order_statistics",
+    "q68_unigram_logprob",
+    "q81_srp_lsh_topk",
+    "q133_ivf_recall_curve",
+    "q134_srp_recall_curve",
+    "q136_pq_adc_recall",
+    "q138_retrieval_eval_metrics",
+    "q139_ivfadc_topk",
+    "q147_ivf_all_nn",
+    "q60_rolling_range_frame",
+    "q71_kmv_distinct",
+    "q73_event_paths",
+    "q75_retention_cohorts",
+    "q78_zorder_layout",
+    "q82_sliding_distinct_users",
+    "q85_scd2_history",
+    "q88_locf_forward_fill",
+    "q89_interval_overlap",
+    "q61_source_overlap",
+    "q62_boilerplate_chunks",
+    "q63_quality_selection",
+    "q64_split_assignment",
+    "q65_repeated_spans",
+    "q70_weighted_sample",
+    "q72_weighted_quality",
+    "q80_pii_scrub",
+    "q111_priority_sample",
+    "q140_vocab_growth_curve",
+    "q149_quality_auc",
+    "q84_copurchase_pairs",
+    "q87_snapshot_diff",
+    "q107_association_rules",
+    "q109_frequent_triples",
+    "q121_copurchase_triangles",
+    "q122_copurchase_bfs_hops",
+    "q91_regression_stats",
+    "q94_winsorized_stats",
+    "q95_bigram_logprob",
+    "q96_mutual_nn_pairs",
+    "q97_kmv_sketch_merge",
+    "q110_stream_dedup_rollup",
+    "q135_stream_crash_restart",
+    # --- r09-green block (driver rows from r09, two rounds old; they
+    # rotate back in r12 after the r08 tail clears) ---
     "q05_region_revenue",
     "q06_latest_order_per_customer",
     "q106_content_checksum",
@@ -111,66 +155,23 @@ DEMOTED = (
     "q57_quantized_embeddings",
     "q58_mixture_weights",
     "q59_sequence_packing",
-    # --- r08-green block (driver rows from r08, one round old) ---
-    "q01_pricing_summary",
-    "q02_forecast_revenue",
-    "q03_shipping_priority",
-    "q04_order_priority",
-    "q07_running_total",
-    "q08_event_gaps",
-    "q09_status_priority_rollup",
-    "q100_sql_small_qty_revenue",
-    "q101_frame_dedup",
-    "q102_media_resize",
-    "q103_kmv_set_overlap",
-    "q104_shard_shuffle",
-    "q105_mixture_resample",
+    # --- the 12 r08-era specs the 50-slot window cannot fit this round
+    # (48 r08 candidates, 36 free slots after the must-rotate set): the
+    # most code-stable pure relational shapes wait — untouched by this
+    # round's similarity.py/dedup.py churn, every one parity-swept at
+    # sf0.01 on each pytest run; they rotate in r12 ---
     "q11_distinct_customers",
     "q12_set_ops",
     "q13_hourly_events",
-    "q141_ivfadc_residual_topk",
-    "q142_rrf_query_vectors",
-    "q143_variant_path_matrix",
     "q14_event_pivot",
-    "q15_asof_purchase_click",
     "q16_topk_per_group",
     "q17_customers_without_orders",
     "q18_scalar_functions",
     "q19_brand_revenue",
-    "q20_exact_dedup",
-    "q22_vector_topk",
-    "q23_text_stats",
     "q24_full_outer",
-    "q25_language_id",
-    "q26_quality_score",
-    "q27_bow_dedup",
-    "q28_simhash_pairs",
-    "q29_ivf_topk",
-    "q30_winnow_fingerprints",
-    "q31_doc_chunks",
-    "q33_embedding_nn",
-    "q35_ngram_jaccard",
     "q37_salted_join_revenue",
     "q38_value_percentiles",
     "q39_grouping_sets",
-    "q46_edit_distance_pairs",
-    "q48_kmeans_clusters",
-    "q52_embedding_dedup",
-    "q86_supplier_pagerank",
-    "q92_funnel_conversion",
-    "q93_containment_pairs",
-    "q98_media_decode",
-    # --- the 6 r07-era specs the 50-slot window cannot fit this round
-    # (53 stale-or-never candidates, 47 non-canary slots): the most
-    # code-stable relational/curation shapes were chosen to wait —
-    # untouched by the r08/r09 ANN + graph refactors, every one
-    # parity-swept at sf0.01 on each pytest run; they rotate in r11 ---
-    "q66_unpivot_metrics",
-    "q74_correlated_subquery",
-    "q77_table_stats",
-    "q83_data_quality_report",
-    "q90_lateral_agg",
-    "q99_sql_order_distribution",
 )
 REGISTRY.demote(DEMOTED)
 

@@ -815,3 +815,101 @@ def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_epoch").cast("bigint").alias("sum_epoch"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q155 — window frame / null-ordering / tie matrix
+# ---------------------------------------------------------------------------
+@T.add(
+    "q155_window_frame_matrix",
+    oracle="""
+WITH w AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_totalprice END AS val,
+         CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS amt
+  FROM orders
+)
+SELECT o_orderkey,
+  CAST(rank() OVER (PARTITION BY o_custkey
+       ORDER BY val DESC NULLS LAST) AS BIGINT) AS rnk,
+  CAST(dense_rank() OVER (PARTITION BY o_custkey
+       ORDER BY bucket DESC) AS BIGINT) AS drnk,
+  CAST(row_number() OVER (PARTITION BY o_custkey
+       ORDER BY val ASC NULLS FIRST, o_orderkey) AS BIGINT) AS rn,
+  CAST(sum(amt) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+       ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS DOUBLE) AS s_back,
+  CAST(sum(amt) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS DOUBLE) AS s_fwd,
+  CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY bucket
+       RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS c_rng,
+  CAST(lead(bucket, 2, -1) OVER (PARTITION BY o_custkey
+       ORDER BY o_orderkey) AS BIGINT) AS ld
+FROM w
+""",
+    doc="Window frame / null-ordering / tie matrix over orders — the "
+    "registered-spec companion of fuzz grammar #23 (the q151/#22 "
+    "precedent: every dialect surface the fuzzer sweeps gets one spec "
+    "pinning the agreed mapping). Eight window shapes share ONE "
+    "partitioning: rank with DESC NULLS LAST over a nullable measure "
+    "(null placement must be SPELLED — Spark's bare DESC defaults "
+    "NULLS LAST, DuckDB's NULLS FIRST, the fuzzer-caught divergence), "
+    "dense_rank over a deliberately tie-prone bucket (gap vs no-gap "
+    "tie behavior), row_number with ASC NULLS FIRST + key tiebreak "
+    "(total order => deterministic), a NEGATIVE-END rows frame "
+    "(3 PRECEDING .. 1 PRECEDING — NULL sum on each partition's first "
+    "row), a FOLLOWING-only frame (1 FOLLOWING .. UNBOUNDED "
+    "FOLLOWING), a RANGE frame over integer buckets (peers + adjacent "
+    "bucket), and lead(offset=2, default=-1). Money sums run in "
+    "DECIMAL and cast to DOUBLE at the edge (the q74 cent-rounding "
+    "lesson — double-sum frames would diverge in the last ulp). "
+    "100 TB: every window partitions by o_custkey (high cardinality, "
+    "no skew key), so the plan is ONE hash exchange on custkey with "
+    "per-partition sorts — no global sort, no single-reducer window; "
+    "frames are constant-width, so state per row is O(1). "
+    "Reference counterpart: none (north-star extension).",
+    tags=("window", "frames", "dialect", "relational"),
+)
+def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit(None))
+        .otherwise(F.col("o_totalprice"))
+        .alias("val"),
+        F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bucket"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("amt"),
+    )
+    pb = Window.partitionBy("o_custkey")
+    return w.select(
+        "o_orderkey",
+        F.rank()
+        .over(pb.orderBy(F.desc_nulls_last("val")))
+        .cast("bigint")
+        .alias("rnk"),
+        F.dense_rank()
+        .over(pb.orderBy(F.desc("bucket")))
+        .cast("bigint")
+        .alias("drnk"),
+        F.row_number()
+        .over(pb.orderBy(F.asc_nulls_first("val"), "o_orderkey"))
+        .cast("bigint")
+        .alias("rn"),
+        F.sum("amt")
+        .over(pb.orderBy("o_orderkey").rowsBetween(-3, -1))
+        .cast("double")
+        .alias("s_back"),
+        F.sum("amt")
+        .over(pb.orderBy("o_orderkey").rowsBetween(1, Window.unboundedFollowing))
+        .cast("double")
+        .alias("s_fwd"),
+        F.count(F.lit(1))
+        .over(pb.orderBy("bucket").rangeBetween(-1, 0))
+        .cast("bigint")
+        .alias("c_rng"),
+        F.lead("bucket", 2, -1)
+        .over(pb.orderBy("o_orderkey"))
+        .cast("bigint")
+        .alias("ld"),
+    )

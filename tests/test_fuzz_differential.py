@@ -2029,6 +2029,174 @@ def test_fuzzed_interval_matches_duckdb(engines, seed):
     _compare(engines, _gen_interval_query(random.Random(28000 + seed)))
 
 
+# ---------------------------------------------------------------------------
+# grammar #23 — window frames / null ordering / ties (r10 verdict ask #5)
+# ---------------------------------------------------------------------------
+
+#: frame pools for grammar #23. ROWS frames include the negative-end
+#: (both-bounds-PRECEDING), FOLLOWING-only, and unbounded-edge shapes the
+#: registered specs exercise one point of (q155); RANGE frames use
+#: explicit integer offsets (frame membership is value-determined, so any
+#: aggregate over them is tie-invariant by construction).
+_FRAMES_ROWS_23 = [
+    "ROWS BETWEEN 4 PRECEDING AND 2 PRECEDING",
+    "ROWS BETWEEN 2 FOLLOWING AND 5 FOLLOWING",
+    "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING",
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING",
+    "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING",
+    "ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING",
+]
+_FRAMES_RANGE_23 = [
+    "RANGE BETWEEN 10 PRECEDING AND CURRENT ROW",
+    "RANGE BETWEEN CURRENT ROW AND 10 FOLLOWING",
+    "RANGE BETWEEN 5 PRECEDING AND 7 FOLLOWING",
+    "RANGE BETWEEN UNBOUNDED PRECEDING AND 3 FOLLOWING",
+]
+_NULL_DIRS_23 = [
+    "ASC NULLS FIRST",
+    "ASC NULLS LAST",
+    "DESC NULLS FIRST",
+    "DESC NULLS LAST",
+]
+
+
+def _nullable_23(rng: random.Random, name: str, t: dict, bucket: bool) -> str:
+    """A deterministically-nullable expression over an int column: NULL
+    on a key-modulus stripe, optionally bucketized (% small-k) so the
+    ordering is tie-PRONE — the surface rank/dense_rank diverge on if
+    either engine mishandled gaps."""
+    key0 = UNIQUE_KEY[name].split(",")[0].strip()
+    c = rng.choice(t["int_cols"])
+    mod = rng.choice([3, 5, 7])
+    body = f"{c} % {rng.choice([4, 10])}" if bucket else c
+    return f"(CASE WHEN {key0} % {mod} = 0 THEN NULL ELSE {body} END)"
+
+
+def _gen_winframe_query(rng: random.Random) -> str:
+    """Window frame / null-ordering / tie sweep (grammar #23, the r10
+    verdict's #5): the window surface q60/q67/q82/q88/q155 pin points
+    of, grammar-swept around — rank vs dense_rank vs percent_rank/
+    cume_dist over tie-prone NULLABLE orderings with every explicit
+    (ASC|DESC) x (NULLS FIRST|LAST) combination; ROWS frames with
+    negative-end (4 PRECEDING..2 PRECEDING), FOLLOWING-only, and
+    unbounded-edge bounds over total orders (ROWS_SAFE_TABLES + unique-
+    key tiebreak — a ROWS frame over ties is nondeterministic by
+    definition, the standing r06 trap); RANGE frames with explicit
+    integer offsets, including over nullable orderings (a NULL current
+    row's range frame is its null peer group — probed agreed); and
+    lag/lead/nth_value/first_value/last_value with offsets, defaults,
+    and frame interaction over nullable measures (RESPECT NULLS
+    default — probed agreed).
+
+    Determinism rules: every ranking shape orders by the nullable
+    expression only (rank of a tied row is a function of the value
+    multiset — tie-invariant); every ROWS shape draws from
+    ROWS_SAFE_TABLES with the unique key appended; every RANGE
+    aggregate's frame membership is value-determined. Null placement is
+    ALWAYS spelled — the engines' bare ASC/DESC defaults differ (the
+    pinned test_orderby_default_null_placement_divergence).
+
+    Offline sweep record: seeds 30000-30999 (1,000 queries) at sf0.01 —
+    ZERO divergences; the probed-agreed constructs above were verified
+    individually before the grammar was written (see git history for
+    the probe set: RANGE+nulls, DESC RANGE, nth_value over a
+    negative-end frame, FOLLOWING-only first_value, percent_rank/
+    cume_dist under ties, lag/lead defaults).
+    """
+    shape = rng.random()
+    if shape < 0.3:
+        # ranking matrix over nullable, tie-prone orderings
+        name = rng.choice(list(TABLES))
+        t = TABLES[name]
+        g = rng.choice(t["group_cols"])
+        key0 = UNIQUE_KEY[name].split(",")[0].strip()
+        nv = _nullable_23(rng, name, t, bucket=True)
+        d1, d2 = rng.sample(_NULL_DIRS_23, 2)
+        cols = [
+            f"CAST(rank() OVER (PARTITION BY {g} ORDER BY {nv} {d1})"
+            f" AS BIGINT) AS r1",
+            f"CAST(dense_rank() OVER (PARTITION BY {g} ORDER BY {nv} {d2})"
+            f" AS BIGINT) AS r2",
+        ]
+        if rng.random() < 0.5:
+            cols.append(
+                f"round(percent_rank() OVER (PARTITION BY {g}"
+                f" ORDER BY {nv} {rng.choice(_NULL_DIRS_23)}), 9) AS pr"
+            )
+        if rng.random() < 0.3:
+            cols.append(
+                f"round(cume_dist() OVER (PARTITION BY {g}"
+                f" ORDER BY {nv} {rng.choice(_NULL_DIRS_23)}), 9) AS cd"
+            )
+        return (
+            f"SELECT {key0} AS k, {', '.join(cols)}"
+            f" FROM {name} WHERE {_predicate(rng, t)}"
+        )
+    if shape < 0.6:
+        # ROWS frames over a TOTAL order; nullable measure
+        name = rng.choice(ROWS_SAFE_TABLES)
+        t = TABLES[name]
+        g = rng.choice(t["group_cols"])
+        key = UNIQUE_KEY[name]
+        key0 = key.split(",")[0].strip()
+        val = _nullable_23(rng, name, t, bucket=False)
+        order = f"{rng.choice(t['int_cols'])}{rng.choice(['', ' DESC'])}, {key}"
+        frame = rng.choice(_FRAMES_ROWS_23)
+        fn = rng.choice(
+            ["sum", "count", "min", "max", "first_value", "last_value"]
+        )
+        arg = f"{fn}({val})"
+        if fn == "count" and rng.random() < 0.4:
+            arg = "count(*)"  # vs count(val): the null-skipping contrast
+        elif rng.random() < 0.25:
+            arg = f"nth_value({val}, {rng.randint(1, 3)})"
+        return (
+            f"SELECT {key0} AS k, CAST({arg} OVER (PARTITION BY {g}"
+            f" ORDER BY {order} {frame}) AS BIGINT) AS wv"
+            f" FROM {name} WHERE {_predicate(rng, t)}"
+        )
+    if shape < 0.85:
+        # RANGE frames with integer offsets; optionally nullable order
+        name = rng.choice(list(TABLES))
+        t = TABLES[name]
+        g = rng.choice(t["group_cols"])
+        key0 = UNIQUE_KEY[name].split(",")[0].strip()
+        if rng.random() < 0.5:
+            order = f"{_nullable_23(rng, name, t, bucket=False)}"
+        else:
+            order = rng.choice(t["int_cols"])
+        direction = rng.choice(_NULL_DIRS_23)
+        frame = rng.choice(_FRAMES_RANGE_23)
+        fn = rng.choice(
+            ["count(*)", f"sum({rng.choice(t['int_cols'])})"]
+        )
+        return (
+            f"SELECT {key0} AS k, CAST({fn} OVER (PARTITION BY {g}"
+            f" ORDER BY {order} {direction} {frame}) AS BIGINT) AS wv"
+            f" FROM {name} WHERE {_predicate(rng, t)}"
+        )
+    # lag/lead with offsets and defaults over a total order
+    name = rng.choice(ROWS_SAFE_TABLES)
+    t = TABLES[name]
+    g = rng.choice(t["group_cols"])
+    key = UNIQUE_KEY[name]
+    key0 = key.split(",")[0].strip()
+    val = _nullable_23(rng, name, t, bucket=False)
+    return (
+        f"SELECT {key0} AS k,"
+        f" CAST(lag({val}, {rng.randint(1, 4)}, {rng.choice([-1, 0, 99])})"
+        f" OVER (PARTITION BY {g} ORDER BY {key}) AS BIGINT) AS lg,"
+        f" CAST(lead({val}, {rng.randint(1, 4)}, {rng.choice([-1, 0, 99])})"
+        f" OVER (PARTITION BY {g} ORDER BY {key}) AS BIGINT) AS ld"
+        f" FROM {name} WHERE {_predicate(rng, t)}"
+    )
+
+
+@pytest.mark.parametrize("seed", list(range(15)))
+def test_fuzzed_winframe_matches_duckdb(engines, seed):
+    _compare(engines, _gen_winframe_query(random.Random(30000 + seed)))
+
+
 def test_extract_dow_divergence(engines):
     """Pinned dialect divergence (found probing grammar #22): EXTRACT
     (dow) numbers the week differently — Spark Sunday=1..Saturday=7

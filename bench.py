@@ -16,6 +16,20 @@ order-of-magnitude plan blow-ups (interpreted-HOF O(m²) class), not
 scheduler jitter — is reported in the "regressions" key, and with
 SPARK_GRAFT_BENCH_STRICT=1 the process exits non-zero (how
 tests/test_bench_budget.py runs it).
+
+READING THE LSH-FAMILY CELLS: the suite runs all queries in ONE Spark
+session, and the MinHash pair set is served by a bounded session cache
+(operators/similarity.py:_PAIR_CACHE — the materialized-view analogue a
+warm production pipeline would have). Registry order puts q21/q42
+AFTER the dedup-lifecycle specs (q152 runs the cold candidate build),
+so the q21/q42 suite cells measure MARGINAL cost on the shared
+artifact, near 0.0s by design — they are the cache-reuse canaries, not
+cold builds. Round-over-round *time* comparisons for q21/q42 are
+therefore only meaningful against other suite cells, never against a
+cold run; the COLD numbers live in tools/bench_budget.json's deep
+tiers and SCALING.md (tools/cold_time_one.py measures one query per
+process). SHUFFLE.md's preamble documents the same reuse semantics for
+shuffle bytes.
 """
 
 from __future__ import annotations

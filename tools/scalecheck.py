@@ -74,6 +74,12 @@ HEADLINE = (
     "q28_simhash_pairs",        # band self-join, output ∝ true pair count
     "q46_edit_distance_pairs",  # LSH candidates + thresholded levenshtein
     "q52_embedding_dedup",      # exact block-matmul threshold pairs, O(n²) GEMM
+    # dedup LIFECYCLE tier (r11): purge/admission/crawl-loop — the
+    # 100 TB story's flagship movers; same replica-cluster caveat as
+    # the dedup-stress tier applies to their candidate volumes
+    "q152_near_dup_purge",        # components + corpus anti-join (r10)
+    "q153_incremental_purge",     # delta-only admission probe (r10)
+    "q154_multi_increment_dedup",  # 3-round growing-index crawl loop (r10)
 )
 
 SFS = ("0.001", "0.01", "0.1", "1.0", "3.0", "10.0")

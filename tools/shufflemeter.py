@@ -54,6 +54,11 @@ LEDGER_EXTRA = (
     "q145_trained_ivfadc_recall",
     "q146_try_arithmetic_matrix",
     "q147_ivf_all_nn",
+    # r11 ledger additions: q152-q154 also earn SCALING rows (HEADLINE);
+    # q151/q155 are cheap single-exchange profiles that belong in the
+    # movement ledger only
+    "q151_calendar_arithmetic",
+    "q155_window_frame_matrix",
 )
 
 
@@ -133,7 +138,18 @@ def main() -> None:
     names = tuple(args[1:]) or (HEADLINE + LEDGER_EXTRA)
     names = tuple(dict.fromkeys(names))  # HEADLINE/EXTRA overlap-proof
 
-    spark = get_spark()
+    # this process launches the JVM, so driver memory set here is
+    # honored; the 1g default OOMed once the r11 dedup-lifecycle movers
+    # joined the single-session sweep (accumulated persisted pair sets +
+    # index artifacts across 50+ queries — same class as the diffcheck
+    # full-sweep OOM, heap is not a query-semantics conf)
+    spark = get_spark(
+        extra_conf={
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "12g"
+            ),
+        }
+    )
     per_query = measure_queries(spark, names, sf_dir)
 
     if json_out is not None:
@@ -153,7 +169,8 @@ def main() -> None:
         "bottleneck. Caveats: input MB under-reports on local file://",
         "scans (Hadoop FS counters miss some vectorized-reader reads), so",
         "the shuffle columns are the signal; LSH-family consumers",
-        "(q42/q46) run after q21 and read its persisted pair set, so",
+        "(q42/q46/q152 — and q21 itself in suites where the lifecycle",
+        "specs sort first) share one persisted pair set, so",
         "their rows measure the marginal movement on top of the shared",
         "artifact — the production reuse behavior.",
         "The top movers are BUDGETED: tests/test_shuffle_budget.py re-measures",

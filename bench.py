@@ -203,9 +203,16 @@ def render_line(total, short, sf, regressions, limit=1800):
         return line
     # degrade VALUE precision before dropping entries: 2 then 1 decimal
     # (a 0.1s-resolution map of every query beats a full-resolution map
-    # missing some) — r09: 151 specs crossed the all-entries ceiling
+    # missing some) — r09: 151 specs crossed the all-entries ceiling;
+    # r11 (158 specs): values that round to an integer render as ints
+    # ("10" not "10.0") — two chars per such entry is the difference
+    # between a complete map and an omission count at this size
     for nd in (2, 1):
-        short = {k: round(v, nd) for k, v in short.items()}
+        short = {
+            k: (int(r) if float(r).is_integer() else r)
+            for k, v in short.items()
+            for r in (round(v, nd),)
+        }
         line = dumps(short, 0)
         if len(line) <= limit:
             return line

@@ -914,15 +914,22 @@ def ivf_topk(
             F.col("nv").alias("cn"),
         )
 
-    # nearest-list assignment as a MAX_BY hash aggregate, not a
-    # row_number window (the r09 spill finding — see ivfadc_topk's asg
-    # note): max_by over (cos_c, -c_id) picks the identical row to
-    # orderBy(desc cos_c, asc c_id) — negating the id flips the
-    # tie-break direction so one max fold expresses both — and the
-    # N x lists expansion collapses map-side instead of sorting. Ids
-    # only in the fold (see ivfadc_topk: carrying the vector through
-    # the fold measured slower than the rejoin it saves).
-    assigned = (
+    assigned = _ivf_assign(base, cents).join(base, "vec_id").select(
+        "vec_id", "v", "nv", "c_id"
+    )
+    return _ivf_search(cents, assigned, queries, k, nprobe)
+
+
+def _ivf_assign(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-list assignment (vec_id, c_id) as a MAX_BY hash
+    aggregate, not a row_number window (the r09 spill finding — see
+    ivfadc_topk's asg note): max_by over (cos_c, -c_id) picks the
+    identical row to orderBy(desc cos_c, asc c_id) — negating the id
+    flips the tie-break direction so one max fold expresses both — and
+    the N x lists expansion collapses map-side instead of sorting. Ids
+    only in the fold (see ivfadc_topk: carrying the vector through the
+    fold measured slower than the rejoin it saves)."""
+    return (
         base.crossJoin(F.broadcast(cents))
         .withColumn("cos_c", dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("cn")))
         .groupBy("vec_id")
@@ -931,10 +938,21 @@ def ivf_topk(
                 "c_id", F.struct(F.col("cos_c"), -F.col("c_id"))
             ).alias("c_id")
         )
-        .join(base, "vec_id")
-        .select("vec_id", "v", "nv", "c_id")
     )
 
+
+def _ivf_search(
+    cents: DataFrame,
+    assigned: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """Probe + inverted-list search shared by ivf_topk and the
+    stored-index path: each query keeps its nprobe nearest centroids,
+    candidates come from the probed lists only (join on c_id — at
+    scale the lists bucket/partition by centroid and the probe prunes
+    partitions), exact cosine re-rank to top-k."""
     w_probe = Window.partitionBy("q_id").orderBy(F.desc("cos_c"), F.asc("c_id"))
     probed = (
         queries.crossJoin(F.broadcast(cents))
@@ -953,6 +971,86 @@ def ivf_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    centroid_mod: int = 50,
+    centroid_cap: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Build the STORED-index artifacts of the IVF family — the
+    embedding-side analog of :func:`build_lsh_index`:
+
+    - ``centroid_table``: (c_id, cv array<double>) — the codebook a
+      production pipeline trains/derives ONCE and freezes (here the
+      deterministic modulus rule of :func:`ivf_topk`, so the artifact
+      stays oracle-checkable; a trained k-means codebook drops in the
+      same shape);
+    - ``assignment_table``: (vec_id, c_id) — the inverted lists.
+
+    Write both to storage, read them back, and each increment only (1)
+    assigns the NEW vectors against the stored codebook
+    (:func:`assign_to_centroids` — |delta| x |codebook| dots, never a
+    corpus re-assignment), (2) unions the delta assignments in, (3)
+    serves queries via :func:`ivf_topk_from_index`. Because per-vector
+    assignment is independent given a FIXED codebook, the grown index
+    is EXACTLY the full rebuild's index — the correctness contract the
+    q157 oracle certifies cross-engine.
+    """
+    base = _as_double(embeddings, id_col, vec_col)
+    is_cent = F.col("vec_id") % centroid_mod == 0
+    if centroid_cap is not None:
+        is_cent = is_cent & (F.col("vec_id") < centroid_cap)
+    cents = base.filter(is_cent).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("cv"),
+        F.col("nv").alias("cn"),
+    )
+    asg = _ivf_assign(base, cents)
+    return cents.select("c_id", "cv"), asg
+
+
+def assign_to_centroids(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign vectors to their nearest stored centroid: (vec_id, c_id).
+    The per-increment kernel of the stored IVF index — cost is
+    |vectors| x |codebook| dots with the codebook broadcast, one
+    map-side-collapsing aggregate, no shuffle of the corpus."""
+    base = _as_double(embeddings, id_col, vec_col)
+    cv = F.col("cv").cast("array<double>")
+    cents = centroids.select("c_id", cv.alias("cv"), l2_norm(cv).alias("cn"))
+    return _ivf_assign(base, cents)
+
+
+def ivf_topk_from_index(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    assignments: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`ivf_topk`'s search stage over STORED artifacts: the
+    (c_id, cv) codebook and (vec_id, c_id) inverted lists come from
+    storage (see :func:`build_ivf_index`), so serving pays no assign
+    pass at all — the production read path of an incrementally
+    maintained ANN index. ``embeddings`` supplies the raw vectors for
+    the exact re-rank (joined by id on the probed lists only)."""
+    base = _as_double(embeddings, id_col, vec_col)
+    cv = F.col("cv").cast("array<double>")
+    cents = centroids.select("c_id", cv.alias("cv"), l2_norm(cv).alias("cn"))
+    assigned = assignments.select("vec_id", "c_id").join(base, "vec_id").select(
+        "vec_id", "v", "nv", "c_id"
+    )
+    return _ivf_search(cents, assigned, queries, k, nprobe)
 
 
 def ivf_topk_sweep(

@@ -1236,6 +1236,186 @@ def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q156 — near-dup purge driven ENTIRELY from the stored parquet index
+# ---------------------------------------------------------------------------
+@L.add(
+    "q156_purge_from_stored_index",
+    oracle=f"""
+WITH RECURSIVE
+{_SQL_MINHASH_CAND},
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN hsets sa ON sa.doc_id = cand.id_a
+  JOIN hsets sb ON sb.doc_id = cand.id_b
+  WHERE len(list_intersect(sa.hs, sb.hs))::DOUBLE / len(list_distinct(sa.hs || sb.hs)) >= 0.5
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach AS (
+  SELECT id, id AS label FROM nodes
+  UNION
+  SELECT e.b AS id, r.label FROM reach r JOIN edges e ON e.a = r.id
+),
+comp AS (SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY id),
+losers AS (SELECT doc_id FROM comp WHERE doc_id <> component)
+SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+LEFT JOIN losers l ON l.doc_id = d.doc_id
+WHERE l.doc_id IS NULL
+""",
+    doc="Near-dup purge driven ENTIRELY from the stored parquet index — "
+    "the one-shot companion of q144's incremental seam, closing the "
+    "storage story: build_lsh_index materializes the band + hash-set "
+    "tables to parquet, the pair set derives from the READ-BACK "
+    "artifacts alone (operators/similarity.py:lsh_pairs_from_index — "
+    "no lineage to the corpus text, zero re-shingling), and "
+    "near_dup_purge anti-joins the corpus against the component "
+    "losers. Semantically identical to q152 (same oracle: the full "
+    "recursive-CTE purge), so the hash-match certifies that the "
+    "index-derived pair enumeration reproduces the in-plan "
+    "minhash_lsh_pairs EXACTLY — the contract that lets a production "
+    "pipeline pay one shingle+MinHash pass, store the artifacts, and "
+    "run detection, purge, and every later increment (q144/q153/q154) "
+    "off storage. 100 TB: the band self-join is bucket-local on the "
+    "stored table, the verify joins touch candidate ids only, and the "
+    "corpus is scanned once for the anti-join. "
+    "Reference counterpart: none (north-star extension).",
+    tags=("dedup", "lsh", "storage", "llm", "transform"),
+)
+def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import near_dup_purge
+    from ..operators.similarity import build_lsh_index, lsh_pairs_from_index
+
+    docs = _docs(spark, sf_dir)
+    band_tbl, hash_tbl = build_lsh_index(docs)
+    # per-call unique dir + exit-time cleanup (the q144 protocol: two
+    # concurrent harness runs must never race an overwrite vs a read,
+    # and the lazy read-back forbids an earlier delete)
+    root = tempfile.mkdtemp(prefix="sg_q156_lsh_index_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    band_tbl.write.parquet(os.path.join(root, "bands"))
+    hash_tbl.write.parquet(os.path.join(root, "hashes"))
+    stored_bands = spark.read.parquet(os.path.join(root, "bands"))
+    stored_hashes = spark.read.parquet(os.path.join(root, "hashes"))
+    pairs = lsh_pairs_from_index(stored_bands, stored_hashes, threshold=0.5)
+    kept = near_dup_purge(docs, pairs)
+    return kept.select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q157 — incremental IVF index maintenance (stored codebook + lists)
+# ---------------------------------------------------------------------------
+@L.add(
+    "q157_incremental_ivf",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cut AS (SELECT 6 * (max(vec_id) + 1) // 7 AS c FROM e),
+cents AS (SELECT vec_id AS c_id, v AS cv FROM e, cut
+          WHERE vec_id % 50 = 0 AND vec_id < 3200 AND vec_id < cut.c),
+asg AS (
+  SELECT vec_id, v, c_id FROM (
+    SELECT e.vec_id, e.v, cents.c_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.v, cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv)))
+             DESC, c_id) AS rn
+    FROM e, cents
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+probe AS (
+  SELECT q_id, qv, c_id FROM (
+    SELECT q.q_id, q.qv, cents.c_id,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+             DESC, c_id) AS rn
+    FROM q, cents
+  ) WHERE rn <= 2
+),
+s AS (
+  SELECT p.q_id, a.vec_id,
+         list_dot_product(p.qv, a.v)
+           / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v)))
+           AS c
+  FROM probe p JOIN asg a ON a.c_id = p.c_id AND a.vec_id <> p.q_id
+),
+r AS (
+  SELECT q_id, vec_id, c,
+         row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn
+  FROM s
+)
+SELECT q_id, vec_id, round(c, 6) AS score FROM r WHERE rn <= 10
+""",
+    doc="Incremental IVF index maintenance — the embedding-side analog "
+    "of q144's stored LSH seam: build_ivf_index derives the codebook "
+    "from the BASE corpus (ids below the 6/7 cutoff — monotone crawl "
+    "ids, so the codebook FREEZES exactly like a trained index) and "
+    "materializes codebook + inverted lists to parquet; the increment "
+    "assigns ONLY the delta against the READ-BACK codebook "
+    "(assign_to_centroids — |delta| x |codebook| broadcast dots, the "
+    "corpus is never re-assigned), unions the delta lists in, and "
+    "serves queries via ivf_topk_from_index with NO assign pass. "
+    "Because per-vector assignment is independent given a fixed "
+    "codebook, the grown index is EXACTLY the full rebuild's — the "
+    "oracle computes the full one-shot construction (q29's SQL chain "
+    "with the codebook restricted below the cutoff), so the "
+    "hash-match certifies incremental == rebuild, the contract an "
+    "incrementally maintained ANN index must honor. 100 TB: the "
+    "codebook broadcast is bounded (centroid_cap), per-increment cost "
+    "is delta-sized, and serving joins on c_id so bucketed lists "
+    "partition-prune. Reference counterpart: none (north-star "
+    "extension).",
+    tags=("vector", "ann", "incremental", "storage", "llm"),
+)
+def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import (
+        assign_to_centroids,
+        build_ivf_index,
+        ivf_topk_from_index,
+        make_query_set,
+    )
+
+    emb = _emb(spark, sf_dir)
+    # scalar cutoff (the q153 pattern): base = ids below 6/7 of the id
+    # range, delta = the top stripe — monotone crawl ids freeze the
+    # base-derived codebook
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    cut = 6 * (max_id + 1) // 7
+    base = emb.filter(F.col("vec_id") < cut)
+    delta = emb.filter(F.col("vec_id") >= cut)
+    cents, asg = build_ivf_index(base, centroid_mod=50, centroid_cap=3200)
+    root = tempfile.mkdtemp(prefix="sg_q157_ivf_index_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    cents.write.parquet(os.path.join(root, "cents"))
+    asg.write.parquet(os.path.join(root, "asg"))
+    stored_cents = spark.read.parquet(os.path.join(root, "cents"))
+    stored_asg = spark.read.parquet(os.path.join(root, "asg"))
+    delta_asg = assign_to_centroids(delta, stored_cents)
+    merged = stored_asg.unionByName(delta_asg)
+    qs = make_query_set(emb, F.col("vec_id") < 5)
+    top = ivf_topk_from_index(emb, qs, stored_cents, merged, k=10, nprobe=2)
+    return top.select("q_id", "vec_id", F.round("score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
 # q44 — TF-IDF keyword extraction (top term per document)
 # ---------------------------------------------------------------------------
 @L.add(

@@ -1082,6 +1082,64 @@ def test_incremental_purge_fate_equals_full_purge(spark):
     assert got2 == want
 
 
+def test_incremental_ivf_equals_full_rebuild(spark):
+    """q157's contract, checked structurally on the engine side (the
+    driver oracle checks it cross-engine): with a FIXED codebook,
+    per-vector assignment is independent, so the stored base
+    assignments unioned with assign_to_centroids(delta) must EXACTLY
+    equal build_ivf_index over the full corpus — and serving via
+    ivf_topk_from_index over the merged lists must reproduce ivf_topk
+    run with the same explicit centroids (ids AND scores)."""
+    from etl_dag_paris_velib_spark.operators.similarity import (
+        assign_to_centroids,
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_from_index,
+        make_query_set,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    cut = 6 * (max_id + 1) // 7
+    base = emb.filter(F.col("vec_id") < cut)
+    delta = emb.filter(F.col("vec_id") >= cut)
+
+    cents, base_asg = build_ivf_index(base, centroid_mod=50, centroid_cap=3200)
+    merged = {
+        (r.vec_id, r.c_id)
+        for r in base_asg.unionByName(assign_to_centroids(delta, cents)).collect()
+    }
+    # the full-rebuild comparison must use the SAME frozen codebook
+    # (the q157 oracle restricts the modulus rule below the cutoff the
+    # same way — a rebuild over base+delta would otherwise mint new
+    # centroids from the delta stripe and legitimately differ)
+    full = {
+        (r.vec_id, r.c_id)
+        for r in assign_to_centroids(emb, cents).collect()
+    }
+    assert merged == full and merged
+
+    qs = make_query_set(emb, F.col("vec_id") < 5)
+    got = {
+        (r.q_id, r.vec_id): round(r.score, 9)
+        for r in ivf_topk_from_index(
+            emb,
+            qs,
+            cents.select("c_id", "cv"),
+            base_asg.unionByName(assign_to_centroids(delta, cents)),
+            k=10,
+            nprobe=2,
+        ).collect()
+    }
+    want = {
+        (r.q_id, r.vec_id): round(r.score, 9)
+        for r in ivf_topk(
+            emb, qs, k=10, nprobe=2, centroids=cents.select("c_id", "cv")
+        ).collect()
+    }
+    assert got == want and want
+
+
 def test_lsh_pairs_from_index_equals_minhash_lsh_pairs(spark):
     """lsh_pairs_from_index must reproduce minhash_lsh_pairs EXACTLY
     (ids and jaccard) from the stored artifacts alone — the identity

@@ -31,6 +31,10 @@ from tests.conftest import SF_SMOKE
 BNLJ_WHITELIST = {
     "q22_vector_topk": "query vectors broadcast against every shard",
     "q29_ivf_topk": "probed centroid list broadcast to the inverted lists",
+    "q157_incremental_ivf": "q29's bounded codebook broadcast through the "
+    "stored-index path: the read-back (c_id, cv) table (centroid_cap-"
+    "bounded) crossed onto the delta for assignment and onto the query "
+    "frame for the probe — both data-independent build sides",
     "q33_embedding_nn": "index shard id grid broadcast for block matmul",
     "q48_kmeans_clusters": "centroid table broadcast each Lloyd round",
     "q50_gapfill_rollup": "1-row (min,max) hour bounds broadcast to the grid",

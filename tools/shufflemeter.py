@@ -56,9 +56,11 @@ LEDGER_EXTRA = (
     "q147_ivf_all_nn",
     # r11 ledger additions: q152-q154 also earn SCALING rows (HEADLINE);
     # q151/q155 are cheap single-exchange profiles that belong in the
-    # movement ledger only
+    # movement ledger only; q156/q157 are the stored-index serving paths
     "q151_calendar_arithmetic",
     "q155_window_frame_matrix",
+    "q156_purge_from_stored_index",
+    "q157_incremental_ivf",
 )
 
 

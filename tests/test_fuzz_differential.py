@@ -2197,6 +2197,102 @@ def test_fuzzed_winframe_matches_duckdb(engines, seed):
     _compare(engines, _gen_winframe_query(random.Random(30000 + seed)))
 
 
+# ---------------------------------------------------------------------------
+# grammar #24 — aggregate modifiers: FILTER / DISTINCT / conditional aggs
+# ---------------------------------------------------------------------------
+
+
+def _nullable_24(rng: random.Random, name: str, t: dict) -> str:
+    """Nullable aggregate input on a key-modulus stripe — exercises the
+    null-skipping contract of every aggregate (count(expr) vs count(*),
+    sum/min/max over partially-null columns)."""
+    key0 = UNIQUE_KEY[name].split(",")[0].strip()
+    c = rng.choice(t["int_cols"])
+    return f"(CASE WHEN {key0} % {rng.choice([3, 5, 7])} = 0 THEN NULL ELSE {c} END)"
+
+
+def _gen_aggmod_query(rng: random.Random) -> str:
+    """Aggregate-MODIFIER sweep (grammar #24): the aggregation surface
+    the base grammar's plain count/sum doesn't touch — FILTER (WHERE
+    ...) clauses (incl. on DISTINCT aggregates and repeated in HAVING),
+    DISTINCT aggregates (multiple per select — Spark plans them through
+    Expand), count_if / bool_and / bool_or conditional aggregates,
+    avg over integer inputs (exact in both engines: DuckDB sums in
+    HUGEINT, Spark in long, identical division), GROUP BY ALL, and
+    nullable aggregate inputs (the count(expr)-skips-nulls contract).
+    Every sum/count is BIGINT-cast (the standing HUGEINT trap); avg is
+    round(..., 9). Aggregates over doubles stay OUT (order-dependent FP
+    partials — the q74 lesson lives in the decimal grammar instead).
+
+    Offline sweep record: seeds 32000-32999 (1,000 queries) at sf0.01 —
+    ZERO divergences; the seven construct families were probed
+    individually before the grammar was written (FILTER on plain and
+    DISTINCT aggs, multiple DISTINCTs, count_if/bool_and/bool_or,
+    GROUP BY ALL, nullable inputs, FILTER repeated in HAVING).
+    """
+    name = rng.choice(list(TABLES))
+    t = TABLES[name]
+    g = rng.choice(t["group_cols"])
+    iv = rng.choice(t["int_cols"])
+    fpred = _predicate(rng, t)
+    shape = rng.random()
+    if shape < 0.3:
+        # FILTER matrix over plain + distinct aggregates
+        cols = [
+            f"CAST(count(*) FILTER (WHERE {fpred}) AS BIGINT) AS a",
+            f"CAST(sum({iv}) FILTER (WHERE {iv} % {rng.choice([2, 3])} = 0)"
+            f" AS BIGINT) AS b",
+        ]
+        if rng.random() < 0.6:
+            cols.append(
+                f"CAST(count(DISTINCT {rng.choice(t['int_cols'])})"
+                f" FILTER (WHERE {_predicate(rng, t)}) AS BIGINT) AS c"
+            )
+        if rng.random() < 0.4:
+            cols.append(
+                f"CAST(min({iv}) FILTER (WHERE {_predicate(rng, t)})"
+                f" AS BIGINT) AS d"
+            )
+        return f"SELECT {g} AS g, {', '.join(cols)} FROM {name} GROUP BY {g}"
+    if shape < 0.55:
+        # multiple DISTINCT aggregates (Expand path) + nullable input
+        nv = _nullable_24(rng, name, t)
+        c2 = rng.choice(t["int_cols"])
+        return (
+            f"SELECT {g} AS g,"
+            f" CAST(count(DISTINCT {iv}) AS BIGINT) AS a,"
+            f" CAST(count(DISTINCT {c2} % {rng.choice([10, 100])}) AS BIGINT) AS b,"
+            f" CAST(sum(DISTINCT {c2} % {rng.choice([7, 13])}) AS BIGINT) AS c,"
+            f" CAST(count({nv}) AS BIGINT) AS d,"
+            f" CAST(max({nv}) AS BIGINT) AS e"
+            f" FROM {name} WHERE {fpred} GROUP BY {g}"
+        )
+    if shape < 0.8:
+        # conditional aggregates + exact integer avg
+        return (
+            f"SELECT {g} AS g,"
+            f" CAST(count_if({iv} % {rng.choice([2, 3, 5])} = 0) AS BIGINT) AS a,"
+            f" bool_and({iv} >= 0) AS b,"
+            f" bool_or({_predicate(rng, t)}) AS c,"
+            f" round(avg({iv}), 9) AS d"
+            f" FROM {name} GROUP BY {g}"
+        )
+    # GROUP BY ALL + FILTER repeated in HAVING
+    g2 = rng.choice([c for c in t["str_cols"] if c != g] or [g])
+    hav = f"count(*) FILTER (WHERE {fpred})"
+    return (
+        f"SELECT {g} AS g1, {g2} AS g2,"
+        f" CAST(count(*) AS BIGINT) AS n,"
+        f" CAST({hav} AS BIGINT) AS m"
+        f" FROM {name} GROUP BY ALL HAVING {hav} >= {rng.choice([1, 3, 10])}"
+    )
+
+
+@pytest.mark.parametrize("seed", list(range(15)))
+def test_fuzzed_aggmod_matches_duckdb(engines, seed):
+    _compare(engines, _gen_aggmod_query(random.Random(32000 + seed)))
+
+
 def test_extract_dow_divergence(engines):
     """Pinned dialect divergence (found probing grammar #22): EXTRACT
     (dow) numbers the week differently — Spark Sunday=1..Saturday=7

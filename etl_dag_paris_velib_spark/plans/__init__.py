@@ -44,18 +44,19 @@ REGISTRY.merge(_streamq)
 # r07-era stragglers (q66/q74/q77/q83/q90/q99) — after r11 no spec's
 # newest driver row predates r08; (c) q144 — its parquet index path
 # moved to a per-call tempdir this round, and the standing policy
-# rotates refactored specs in; (d) q155/q156/q157 — NEW this round
-# (the window-frame/null-ordering/tie matrix — fuzz grammar #23's
-# registered companion — plus the stored-index one-shot purge and the
-# incremental IVF maintenance seam), all landing in-window so none is
-# born-demoted; (e) 34 of the 48 specs whose newest rows date to r08,
-# prioritizing everything adjacent to this round's similarity.py churn
-# (the LSH/text/ANN/media families).
+# rotates refactored specs in; (d) q155/q156/q157/q158 — NEW this
+# round (the window-frame/null-ordering/tie matrix — fuzz grammar
+# #23's registered companion — plus the stored-index one-shot purge,
+# the incremental IVF maintenance seam, and the streaming crawl-
+# admission capstone), all landing in-window so none is born-demoted;
+# (e) 33 of the 48 specs whose newest rows date to r08, prioritizing
+# everything adjacent to this round's similarity.py churn (the
+# LSH/text/ANN/media families).
 # CANARY POLICY (standing): q21_near_dup_pairs and q42_dedup_clusters
 # — the LSH pair-cache builder and its consumer — keep a window slot in
 # EVERY rotation regardless of row age, so the cache-reuse path always
 # has a fresh driver row.
-# 14 r08-era specs wait one more round (the most code-stable pure
+# 15 r08-era specs wait one more round (the most code-stable pure
 # relational shapes, listed last below); they rotate in r12.
 DEMOTED = (
     # --- r10-green window (driver rows fresh from r10), sitting out the
@@ -157,12 +158,13 @@ DEMOTED = (
     "q57_quantized_embeddings",
     "q58_mixture_weights",
     "q59_sequence_packing",
-    # --- the 14 r08-era specs the 50-slot window cannot fit this round
-    # (48 r08 candidates, 34 free slots after the must-rotate set): the
+    # --- the 15 r08-era specs the 50-slot window cannot fit this round
+    # (48 r08 candidates, 33 free slots after the must-rotate set): the
     # most code-stable pure relational shapes wait — untouched by this
     # round's similarity.py/dedup.py churn, every one parity-swept at
     # sf0.01 on each pytest run; they rotate in r12 ---
     "q02_forecast_revenue",
+    "q04_order_priority",
     "q09_status_priority_rollup",
     "q11_distinct_customers",
     "q12_set_ops",

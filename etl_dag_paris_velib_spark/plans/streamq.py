@@ -518,3 +518,134 @@ def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.createDataFrame(rollup.collect(), rollup.schema)
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q158 — the dedup crawl loop as an ACTUAL stream (foreachBatch admission)
+# ---------------------------------------------------------------------------
+def _q158_oracle() -> str:
+    """q154's oracle VERBATIM (same shared _SQL_MINHASH_CAND chain): the
+    streaming admission loop must reproduce the batch crawl loop's
+    sequential semantics exactly, so the two specs share one oracle
+    construction and a constant change cannot drift between them."""
+    from .llm import L as _llm_registry
+
+    return _llm_registry.specs["q154_multi_increment_dedup"].oracle
+
+
+@ST.add(
+    "q158_stream_crawl_admission",
+    oracle=_q158_oracle(),
+    doc="The dedup crawl loop as an ACTUAL Structured Stream — the "
+    "lifecycle capstone: three crawl batches (doc_id % 3, staged as "
+    "three single-part parquet files with strictly increasing mtimes) "
+    "arrive through a file-source readStream with maxFilesPerTrigger=1, "
+    "and a foreachBatch sink runs the PRODUCTION admission body per "
+    "micro-batch: read the stored band+hash index from parquet, "
+    "build_lsh_index ONCE on the arriving batch (the r11 single-pass "
+    "rule), incremental_near_dup_purge with both base and delta "
+    "artifacts passed (batch 0 probes an EMPTY index — self-dedup falls "
+    "out of the same code path), append the admitted rows to the kept "
+    "table and the batch's artifacts to the index — REJECTED docs stay "
+    "indexed. The fn asserts the stream really ran (recentProgress) and "
+    "that exactly three micro-batches moved rows, so a silent batch "
+    "fallback or file coalescing cannot pass. The ORACLE is q154's "
+    "verbatim (imported, not copied): the hash-match certifies that "
+    "the streaming loop reproduces the batch crawl loop's "
+    "order-dependent sequential semantics exactly — detect, admit, "
+    "grow, repeat — through a real StreamingQuery. 100 TB: this IS the "
+    "production topology (file/queue source -> per-increment admission "
+    "-> parquet index + kept table, restartable at any batch boundary); "
+    "per-batch cost is O(|delta| x bands) probes + a delta-sized "
+    "anti-join, state lives in the STORED index (not executor memory), "
+    "and the file-source log makes re-delivered batches idempotent. "
+    "Reference counterpart: none (north-star extension).",
+    tags=("streaming", "dedup", "incremental", "lsh", "documents"),
+)
+def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import glob
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import incremental_near_dup_purge
+    from ..operators.similarity import build_lsh_index
+    from ..sources.tpch import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    root = tempfile.mkdtemp(prefix="sg_q158_crawl_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    # stage the three crawl batches as single-part files with strictly
+    # increasing mtimes: the file source orders by (modTime, path), and
+    # maxFilesPerTrigger=1 then maps one file to one micro-batch — the
+    # deterministic arrival order the oracle replays
+    for i in range(3):
+        stage = os.path.join(root, f"stage{i}")
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_000_000_000 + 1000 * i, 1_000_000_000 + 1000 * i))
+
+    bands_dir = os.path.join(root, "index_bands")
+    hashes_dir = os.path.join(root, "index_hashes")
+    kept_dir = os.path.join(root, "kept")
+    # establish the (empty) index schemas so batch 0 can read them —
+    # production's one-time CREATE TABLE
+    b0, h0 = build_lsh_index(docs.limit(0))
+    b0.write.parquet(bands_dir)
+    h0.write.parquet(hashes_dir)
+    empty_base = spark.createDataFrame([], docs.schema)
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        stored_bands = spark.read.parquet(bands_dir)
+        stored_hashes = spark.read.parquet(hashes_dir)
+        dbands, dhashes = build_lsh_index(batch_df)
+        dbands = dbands.persist()
+        dhashes = dhashes.persist()
+        admitted = incremental_near_dup_purge(
+            empty_base,
+            batch_df,
+            base_bands=stored_bands,
+            base_hashes=stored_hashes,
+            delta_bands=dbands,
+            delta_hashes=dhashes,
+        )
+        admitted.withColumn("batch", F.lit(batch_id).cast("int")).write.mode(
+            "append"
+        ).parquet(kept_dir)
+        # the index grows by the SAME artifacts the probe used — one
+        # shingle pass per increment, rejected docs stay indexed
+        dbands.write.mode("append").parquet(bands_dir)
+        dhashes.write.mode("append").parquet(hashes_dir)
+        dbands.unpersist()
+        dhashes.unpersist()
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(admit)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q158 streaming drain exceeded 300s")
+    moved = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    if len(moved) != 3:
+        raise RuntimeError(
+            f"q158: expected exactly 3 crawl micro-batches, saw "
+            f"{len(moved)} — file-per-trigger staging broke"
+        )
+    return spark.read.parquet(kept_dir).select(
+        "doc_id",
+        F.col("batch").cast("int").alias("batch"),
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )

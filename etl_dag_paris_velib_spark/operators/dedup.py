@@ -85,7 +85,12 @@ from collections import OrderedDict
 from ..cacheutil import register_cache_clearer, session_token
 
 _CC_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
-_CC_CACHE_MAX = 8
+# 16, not 8 (r11): q153/q154/q156/q158 insert 8 component entries between
+# q152's warm and q42's re-request in alphabetical sweep order — at cap 8
+# the entry q42 reuses was evicted and q42 ran the fixpoint cold (2.9s vs
+# its 0.025s warm sf1.0 budget). localCheckpoint-backed entries are
+# bounded by cluster-member counts, so 16 is cheap.
+_CC_CACHE_MAX = 16
 
 
 @register_cache_clearer

@@ -65,10 +65,14 @@ _AQE_TOGGLE_LOCK = threading.Lock()
 #: bounded LRU of persisted verified-pair DataFrames (see
 #: minhash_lsh_pairs); one entry per (session, input-plan, params)
 _PAIR_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
-# Sized so one full bench sweep (q21/q42/q46/q52/q56 share three distinct
-# entries per sf_dir, and diffcheck interleaves two sf_dirs) never evicts an
-# entry that a later query in the same sweep will re-request.
-_PAIR_CACHE_MAX = 8
+# Sized so one full bench sweep never evicts an entry that a later query
+# in the same sweep will re-request: the r11 dedup-lifecycle family
+# (q144/q152/q153/q154/q158) inserts 8 entries BEFORE the alphabetical
+# sweep reaches q21/q42/q46/q52/q56 — at the old cap of 8, q152's
+# full-pair entry sat exactly on the eviction boundary (q42's CC twin
+# DID get evicted, measured 2.9s vs its 0.025s warm budget at sf1.0).
+# Entries are persisted-but-spillable DataFrames, so 16 is cheap.
+_PAIR_CACHE_MAX = 16
 
 
 @register_cache_clearer

@@ -282,3 +282,63 @@ def test_streamq_drain_guard_rejects_batch_fallback(spark):
     s = spark.readStream.schema("a long").parquet(empty_dir)
     with pytest.raises(RuntimeError, match="zero input rows"):
         _drain_to_memory(s, "emptytest", "append")
+
+
+def test_crawl_admission_crash_replay(spark, tmp_path):
+    """q158's idempotency claim, crash-tested (the r11 verdict's #1):
+    kill the stream AFTER a micro-batch's kept/index writes but BEFORE
+    its checkpoint commit, restart from the same checkpoint (the batch
+    replays — foreachBatch is at-least-once), and assert the kept table
+    AND both index tables equal an uninterrupted twin run's exactly.
+    Under the old blind-append sink this fails: the replayed batch
+    double-appends its admitted rows and index artifacts, and the
+    doubled index then flips later batches' admission decisions."""
+    import os
+
+    from etl_dag_paris_velib_spark.plans.streamq import (
+        run_crawl_admission,
+        stage_crawl_batches,
+    )
+    from etl_dag_paris_velib_spark.sources.tpch import load_table
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+
+    def rows(path):
+        return sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    # uninterrupted twin
+    clean_root = str(tmp_path / "clean")
+    os.makedirs(clean_root)
+    src = stage_crawl_batches(docs, clean_root)
+    k0, b0, h0, moved = run_crawl_admission(spark, docs.schema, src, clean_root)
+    assert len(moved) == 3
+
+    # crashed run: batch 1 dies after ALL its writes, before the commit —
+    # the exact window where an append sink double-writes on replay
+    crash_root = str(tmp_path / "crash")
+    os.makedirs(crash_root)
+    src2 = stage_crawl_batches(docs, crash_root)
+    crashed = []
+
+    def die_once(batch_id):
+        if batch_id == 1 and not crashed:
+            crashed.append(batch_id)
+            raise RuntimeError("injected crash between writes and commit")
+
+    with pytest.raises(Exception, match="injected crash"):
+        run_crawl_admission(
+            spark, docs.schema, src2, crash_root, fail_hook=die_once
+        )
+    # the dangerous window is real: the doomed attempt's writes all landed
+    assert crashed == [1]
+    for sub in ("kept", "index_bands", "index_hashes"):
+        assert os.path.exists(os.path.join(crash_root, sub, "batch=1"))
+
+    # restart from the same checkpoint: batch 1 replays (overwriting its
+    # own partitions), batch 2 runs once — final state must match clean
+    k1, b1, h1, moved2 = run_crawl_admission(
+        spark, docs.schema, src2, crash_root, fail_hook=die_once
+    )
+    assert rows(k1) == rows(k0)
+    assert rows(b1) == rows(b0)
+    assert rows(h1) == rows(h0)

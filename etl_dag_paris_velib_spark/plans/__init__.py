@@ -36,32 +36,26 @@ REGISTRY.merge(_streamq)
 # registry — window and tail — with the identical rows+schema+hash
 # comparison, so no spec anywhere lacks local differential evidence).
 #
-# Round-11 window policy (the round-10 verdict's #1): the window takes
-# (a) q151-q154 — the dedup-lifecycle specs born-demoted in r10 with
-# zero driver rows (q153/q154 additionally REWORKED this round: q153's
-# split moved to an id cutoff so the fate-equivalence premise holds by
-# construction, q154 now shingles each batch exactly once); (b) the six
-# r07-era stragglers (q66/q74/q77/q83/q90/q99) — after r11 no spec's
-# newest driver row predates r08; (c) q144 — its parquet index path
-# moved to a per-call tempdir this round, and the standing policy
-# rotates refactored specs in; (d) q155/q156/q157/q158 — NEW this
-# round (the window-frame/null-ordering/tie matrix — fuzz grammar
-# #23's registered companion — plus the stored-index one-shot purge,
-# the incremental IVF maintenance seam, and the streaming crawl-
-# admission capstone), all landing in-window so none is born-demoted;
-# (e) 33 of the 48 specs whose newest rows date to r08, prioritizing
-# everything adjacent to this round's similarity.py churn (the
-# LSH/text/ANN/media families).
+# Round-12 window policy (the round-11 verdict's #2, decided in r11):
+# the window takes (a) the 15 r08-era relational waiters (q02/q04/q09/
+# q11/q12/q13/q14/q16/q17/q18/q19/q24/q37/q38/q39) — after r12 no
+# spec's newest driver row predates r09; (b) 30 of the 47 r09-green
+# specs, prioritizing this round's churn neighbors (the dedup/
+# similarity/IVF families around the q158 idempotency rework and the
+# q159 drift-rebuild seam, the streaming tier, retrieval, media, BPE)
+# plus the oldest central relational shapes; (c) q158 — its sink was
+# REWORKED this round (batch_id-keyed idempotent writes), and the
+# standing policy rotates refactored specs in; (d) q159/q160 — NEW this
+# round, landing in-window so neither is born-demoted.
 # CANARY POLICY (standing): q21_near_dup_pairs and q42_dedup_clusters
 # — the LSH pair-cache builder and its consumer — keep a window slot in
 # EVERY rotation regardless of row age, so the cache-reuse path always
 # has a fresh driver row.
-# 15 r08-era specs wait one more round (the most code-stable pure
-# relational shapes, listed last below); they rotate in r12.
+# 17 r09-era specs wait one more round (listed in their own group
+# below); they rotate in r13 alongside the r10-green block.
 DEMOTED = (
-    # --- r10-green window (driver rows fresh from r10), sitting out the
-    # r11 rotation; q21/q42 (standing canaries) and q144 (refactored)
-    # stay IN-window instead ---
+    # --- r10-green block (driver rows fresh from r10), waiting with the
+    # r09 tail; rotates in r13 ---
     "q67_rank_distribution",
     "q69_variant_props",
     "q76_robust_stats",
@@ -109,44 +103,17 @@ DEMOTED = (
     "q97_kmv_sketch_merge",
     "q110_stream_dedup_rollup",
     "q135_stream_crash_restart",
-    # --- r09-green block (driver rows from r09, two rounds old; they
-    # rotate back in r12 after the r08 tail clears) ---
-    "q05_region_revenue",
-    "q06_latest_order_per_customer",
-    "q106_content_checksum",
-    "q108_stream_hourly_rollup",
-    "q10_events_cube",
-    "q112_stream_enrich_rollup",
-    "q113_png_decode",
-    "q114_adpcm_decode",
-    "q115_bpe_pair_stats",
-    "q116_stream_interval_join",
-    "q117_bm25_topk",
-    "q118_semantic_dedup",
-    "q119_bpe_encode_counts",
-    "q11b_approx_distinct",
-    "q120_stream_kmv_distinct",
+    # --- the 17 r09-green specs the 50-slot window cannot fit this
+    # round (47 r09 candidates, 30 free slots after the must-rotate
+    # set); they rotate in r13 ---
     "q123_negative_samples",
     "q124_masked_lm_pairs",
     "q125_source_kl_drift",
-    "q126_centroid_drift",
-    "q127_gif_decode",
     "q128_hll_distinct",
     "q129_copurchase_edge_churn",
-    "q130_bm25_batch_topk",
     "q131_personalized_pagerank",
     "q132_quality_threshold_sweep",
-    "q137_rrf_hybrid_retrieval",
-    "q145_trained_ivfadc_recall",
     "q146_try_arithmetic_matrix",
-    "q32_filename_parse",
-    "q34_right_outer",
-    "q36_incremental_dedup",
-    "q40_corpus_pipeline",
-    "q41_top_terms",
-    "q43_sessionize_events",
-    "q44_tfidf_keywords",
-    "q45_approx_percentiles",
     "q47_stratified_sample",
     "q49_range_join_pairs",
     "q50_gapfill_rollup",
@@ -154,30 +121,58 @@ DEMOTED = (
     "q53_bloom_semi_join",
     "q54_repetition_signals",
     "q55_decontamination",
-    "q56_canonical_docs",
-    "q57_quantized_embeddings",
     "q58_mixture_weights",
     "q59_sequence_packing",
-    # --- the 15 r08-era specs the 50-slot window cannot fit this round
-    # (48 r08 candidates, 33 free slots after the must-rotate set): the
-    # most code-stable pure relational shapes wait — untouched by this
-    # round's similarity.py/dedup.py churn, every one parity-swept at
-    # sf0.01 on each pytest run; they rotate in r12 ---
-    "q02_forecast_revenue",
-    "q04_order_priority",
-    "q09_status_priority_rollup",
-    "q11_distinct_customers",
-    "q12_set_ops",
-    "q13_hourly_events",
-    "q14_event_pivot",
-    "q16_topk_per_group",
-    "q17_customers_without_orders",
-    "q18_scalar_functions",
-    "q19_brand_revenue",
-    "q24_full_outer",
-    "q37_salted_join_revenue",
-    "q38_value_percentiles",
-    "q39_grouping_sets",
+    # --- r11-green window (driver rows fresh from r11), rotating out;
+    # q21/q42 (standing canaries) and q158 (sink reworked this round)
+    # stay IN-window instead ---
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q07_running_total",
+    "q08_event_gaps",
+    "q15_asof_purchase_click",
+    "q66_unpivot_metrics",
+    "q74_correlated_subquery",
+    "q77_table_stats",
+    "q83_data_quality_report",
+    "q143_variant_path_matrix",
+    "q20_exact_dedup",
+    "q22_vector_topk",
+    "q23_text_stats",
+    "q25_language_id",
+    "q26_quality_score",
+    "q27_bow_dedup",
+    "q28_simhash_pairs",
+    "q29_ivf_topk",
+    "q30_winnow_fingerprints",
+    "q31_doc_chunks",
+    "q35_ngram_jaccard",
+    "q152_near_dup_purge",
+    "q153_incremental_purge",
+    "q154_multi_increment_dedup",
+    "q156_purge_from_stored_index",
+    "q157_incremental_ivf",
+    "q46_edit_distance_pairs",
+    "q48_kmeans_clusters",
+    "q33_embedding_nn",
+    "q52_embedding_dedup",
+    "q142_rrf_query_vectors",
+    "q141_ivfadc_residual_topk",
+    "q144_incremental_lsh_pairs",
+    "q151_calendar_arithmetic",
+    "q155_window_frame_matrix",
+    "q104_shard_shuffle",
+    "q105_mixture_resample",
+    "q86_supplier_pagerank",
+    "q90_lateral_agg",
+    "q92_funnel_conversion",
+    "q93_containment_pairs",
+    "q103_kmv_set_overlap",
+    "q98_media_decode",
+    "q101_frame_dedup",
+    "q102_media_resize",
+    "q99_sql_order_distribution",
+    "q100_sql_small_qty_revenue",
 )
 REGISTRY.demote(DEMOTED)
 

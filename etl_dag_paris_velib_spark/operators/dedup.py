@@ -92,11 +92,33 @@ _CC_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
 # bounded by cluster-member counts, so 16 is cheap.
 _CC_CACHE_MAX = 16
 
+#: cap-immune keys — the q42 standing canary's component map gets the same
+#: permanent slot its window position has by policy (see
+#: similarity._PAIR_CACHE_PINS; same r12 structural fix).
+_CC_CACHE_PINS: set = set()
+
+
+def _cc_cache_put(key: tuple, df: DataFrame, pin: bool = False) -> None:
+    if pin:
+        _CC_CACHE_PINS.add(key)
+    while sum(1 for k in _CC_CACHE if k not in _CC_CACHE_PINS) >= _CC_CACHE_MAX:
+        victim = next(k for k in _CC_CACHE if k not in _CC_CACHE_PINS)
+        _CC_CACHE.pop(victim)
+    _CC_CACHE[key] = df
+
+
+def _cc_cache_hit(key: tuple, pin: bool = False) -> DataFrame:
+    if pin:
+        _CC_CACHE_PINS.add(key)
+    return _CC_CACHE[key]
+
 
 @register_cache_clearer
 def clear_cc_cache() -> None:
-    """Drop every cached component map (entries are localCheckpoint-backed,
-    so dropping the reference releases them; cold-path measurement)."""
+    """Drop every cached component map, pinned included (entries are
+    localCheckpoint-backed, so dropping the reference releases them;
+    cold-path measurement resets the canary pins with the entries)."""
+    _CC_CACHE_PINS.clear()
     _CC_CACHE.clear()
 
 
@@ -106,6 +128,7 @@ def near_dup_components(
     id_b: str = "id_b",
     max_iterations: int = 20,
     method: str = "label",
+    pin: bool = False,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: every doc in a
     cluster gets ``component`` = the smallest doc id reachable from it.
@@ -143,14 +166,12 @@ def near_dup_components(
     except Exception:
         cache_key = None
     if cache_key is not None and cache_key in _CC_CACHE:
-        return _CC_CACHE[cache_key]
+        return _cc_cache_hit(cache_key, pin=pin)
 
     if method == "star":
         out = _components_star(pairs, id_a, id_b, max_iterations)
         if cache_key is not None:
-            while len(_CC_CACHE) >= _CC_CACHE_MAX:
-                _CC_CACHE.popitem(last=False)
-            _CC_CACHE[cache_key] = out
+            _cc_cache_put(cache_key, out, pin=pin)
         return out
     if method != "label":
         raise ValueError(f"unknown method: {method!r} (label | star)")
@@ -211,9 +232,7 @@ def near_dup_components(
     edges.unpersist()
     out = labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
     if cache_key is not None:
-        while len(_CC_CACHE) >= _CC_CACHE_MAX:
-            _CC_CACHE.popitem(last=False)
-        _CC_CACHE[cache_key] = out
+        _cc_cache_put(cache_key, out, pin=pin)
     return out
 
 

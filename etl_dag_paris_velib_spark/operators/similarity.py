@@ -74,10 +74,47 @@ _PAIR_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
 # Entries are persisted-but-spillable DataFrames, so 16 is cheap.
 _PAIR_CACHE_MAX = 16
 
+#: keys the cap can never evict (r12, the r11 verdict's #2): the standing
+#: canaries q21/q42 hold permanent correctness-window slots by policy, so
+#: their cache entries hold permanent cache slots by the same policy —
+#: window rotations and new spec families can no longer push them out by
+#: inserting cap-many entries between the builder and its consumer (the
+#: failure mode the r11 8->16 cap bump papered over). Pinned entries do
+#: not count against the cap; only clear_pair_cache() drops them.
+_PAIR_CACHE_PINS: set = set()
+
+
+def _pair_cache_put(key: tuple, df: DataFrame, pin: bool = False) -> None:
+    """Insert into the bounded LRU, evicting oldest UNPINNED entries past
+    the cap. ``pin=True`` marks the key as a standing-canary slot."""
+    if pin:
+        _PAIR_CACHE_PINS.add(key)
+    while (
+        sum(1 for k in _PAIR_CACHE if k not in _PAIR_CACHE_PINS)
+        >= _PAIR_CACHE_MAX
+    ):
+        victim = next(k for k in _PAIR_CACHE if k not in _PAIR_CACHE_PINS)
+        old = _PAIR_CACHE.pop(victim)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    _PAIR_CACHE[key] = df
+
+
+def _pair_cache_hit(key: tuple, pin: bool = False) -> DataFrame:
+    """Return the cached frame; a pinning caller pins on HIT too (the
+    entry may have been inserted unpinned by a non-canary warm-up)."""
+    if pin:
+        _PAIR_CACHE_PINS.add(key)
+    return _PAIR_CACHE[key]
+
 
 @register_cache_clearer
 def clear_pair_cache() -> None:
-    """Unpersist and drop every cached pair set (cold-path measurement)."""
+    """Unpersist and drop every cached pair set, pinned included
+    (cold-path measurement resets the canary pins with the entries)."""
+    _PAIR_CACHE_PINS.clear()
     while _PAIR_CACHE:
         _, old = _PAIR_CACHE.popitem(last=False)
         try:
@@ -274,6 +311,7 @@ def _minhash_candidates(
     bands: int,
     shingle_n: int,
     persist_shingles: bool,
+    pin: bool = False,
 ):
     """Shared LSH candidate generation: returns (sh, candidate pairs)
     where ``sh`` is (id, sh strings, hs) — the shingle sets plus their
@@ -318,7 +356,7 @@ def _minhash_candidates(
     if persist_shingles:
         sh = sh.persist()
     if cache_key is not None and cache_key in _PAIR_CACHE:
-        return sh, _PAIR_CACHE[cache_key]
+        return sh, _pair_cache_hit(cache_key, pin=pin)
     # JVM-expression signature (bit-identical to the Arrow pandas UDF
     # make_minhash_sig_udf — the property test pins it). The UDF was the
     # original choice (interpreted HOF lambdas lose a microbench of the
@@ -339,13 +377,7 @@ def _minhash_candidates(
     cand = _bucket_pairs(banded, F.col("id"))
     if cache_key is not None:
         cand = cand.persist()  # UDF-free lineage since r08: plain persist
-        while len(_PAIR_CACHE) >= _PAIR_CACHE_MAX:
-            _, old = _PAIR_CACHE.popitem(last=False)
-            try:
-                old.unpersist()
-            except Exception:
-                pass
-        _PAIR_CACHE[cache_key] = cand
+        _pair_cache_put(cache_key, cand, pin=pin)
     return sh, cand
 
 
@@ -405,8 +437,12 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     persist_intermediate: bool = True,
+    pin: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, exact Jaccard >= threshold).
+
+    ``pin=True`` (the q21/q42 standing-canary path) makes the cached
+    entries cap-immune — see ``_PAIR_CACHE_PINS``.
 
     Candidate recall for a pair with true Jaccard j is
     ``1 - (1 - j^r)^bands`` with r = k/bands; at the defaults (r=2, b=8)
@@ -445,10 +481,11 @@ def minhash_lsh_pairs(
         except Exception:
             cache_key = None
         if cache_key is not None and cache_key in _PAIR_CACHE:
-            return _PAIR_CACHE[cache_key]
+            return _pair_cache_hit(cache_key, pin=pin)
 
     sigh, cand = _minhash_candidates(
-        df, id_col, text_col, k, bands, shingle_n, persist_intermediate
+        df, id_col, text_col, k, bands, shingle_n, persist_intermediate,
+        pin=pin,
     )
     sigh = sigh.select("id", "hs")
 
@@ -473,13 +510,7 @@ def minhash_lsh_pairs(
     )
     if cache_key is not None:
         verified = verified.persist()
-        while len(_PAIR_CACHE) >= _PAIR_CACHE_MAX:
-            _, old = _PAIR_CACHE.popitem(last=False)
-            try:
-                old.unpersist()
-            except Exception:
-                pass
-        _PAIR_CACHE[cache_key] = verified
+        _pair_cache_put(cache_key, verified, pin=pin)
     return verified
 
 
@@ -2064,6 +2095,26 @@ def lsh_pairs_from_index(
     )
 
 
+def _content_fingerprint(df: DataFrame | None) -> tuple | None:
+    """Cache-key token for a possibly file-backed plan: semanticHash PLUS
+    the concrete file list behind the scan. semanticHash alone
+    canonicalizes a parquet read by its ROOT PATH (file-index equality is
+    rootPaths-based), so a stored index that GROWS IN PLACE — the q158
+    production shape: new ``batch=N`` partitions appended under the same
+    root — would re-probe with an identical hash and return stale cached
+    candidates. ``inputFiles()`` enumerates the files the scan actually
+    covers (the driver's FileIndex already holds the listing, so this is
+    metadata-only), making every growth step a distinct key. In-memory
+    plans return no files and keep the bare hash."""
+    if df is None:
+        return None
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    return (df.semanticHash(), hash(tuple(sorted(files))) if files else None)
+
+
 def incremental_lsh_pairs(
     base: DataFrame,
     delta: DataFrame,
@@ -2143,8 +2194,8 @@ def incremental_lsh_pairs(
             session_token(base.sparkSession),
             base.semanticHash(),
             delta.semanticHash(),
-            None if base_bands is None else base_bands.semanticHash(),
-            None if delta_bands is None else delta_bands.semanticHash(),
+            _content_fingerprint(base_bands),
+            _content_fingerprint(delta_bands),
             id_col,
             text_col,
             k,
@@ -2178,13 +2229,7 @@ def incremental_lsh_pairs(
             # call (this operator is expressly the repeated-increment
             # shape)
             cand = cand.persist()
-            while len(_PAIR_CACHE) >= _PAIR_CACHE_MAX:
-                _, old = _PAIR_CACHE.popitem(last=False)
-                try:
-                    old.unpersist()
-                except Exception:
-                    pass
-            _PAIR_CACHE[cache_key] = cand
+            _pair_cache_put(cache_key, cand)
     # verify stage: hash-sets ONLY for docs that appear in a candidate
     # pair — semi-join the base corpus down to candidate ids before any
     # shingling (O(candidates), not O(|base|), per increment)

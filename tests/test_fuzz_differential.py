@@ -2217,8 +2217,12 @@ def _gen_aggmod_query(rng: random.Random) -> str:
     ...) clauses (incl. on DISTINCT aggregates and repeated in HAVING),
     DISTINCT aggregates (multiple per select — Spark plans them through
     Expand), count_if / bool_and / bool_or conditional aggregates,
-    avg over integer inputs (exact in both engines: DuckDB sums in
-    HUGEINT, Spark in long, identical division), GROUP BY ALL, and
+    avg over integer inputs (DuckDB sums in HUGEINT; Spark's Average
+    accumulates non-decimal inputs in DOUBLE, so the division is exact
+    only while partial sums stay below 2^53 — true at every sf this
+    sweep runs, and the round(..., 9) absorbs nothing today; a much
+    larger-sf sweep hitting a divergence here should cast the avg input
+    to decimal rather than chase a phantom engine bug), GROUP BY ALL, and
     nullable aggregate inputs (the count(expr)-skips-nulls contract).
     Every sum/count is BIGINT-cast (the standing HUGEINT trap); avg is
     round(..., 9). Aggregates over doubles stay OUT (order-dependent FP

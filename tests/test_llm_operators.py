@@ -1304,3 +1304,49 @@ def test_multi_increment_dedup_shingles_each_batch_once(spark, monkeypatch):
         "single-pass-per-increment property regressed"
     )
     assert out.count() > 0
+
+
+def test_canary_cache_entries_survive_cap_pressure(spark):
+    """The r11 verdict's #2 structural fix: the standing canaries' (q21/
+    q42) pair and component cache entries are PINNED — cap-immune — so a
+    window rotation or a new spec family inserting cap-many entries
+    between the builder and its consumer can never evict them again (the
+    r11 failure mode that forced the 8->16 cap bump). Floods both LRUs
+    with more-than-cap dummy entries and asserts the pinned entries
+    survive, the unpinned population stays bounded, and the canary
+    re-request is still a hit."""
+    from etl_dag_paris_velib_spark.operators import dedup, similarity
+    from etl_dag_paris_velib_spark.operators.dedup import near_dup_components
+
+    similarity.clear_pair_cache()
+    dedup.clear_cc_cache()
+    docs = _docs(spark, 80)
+    pairs = minhash_lsh_pairs(docs, pin=True)
+    pairs.count()
+    comp = near_dup_components(pairs, pin=True)
+    comp.count()
+    pinned_pair = set(similarity._PAIR_CACHE_PINS)
+    pinned_cc = set(dedup._CC_CACHE_PINS)
+    assert pinned_pair and pinned_cc
+    assert pinned_pair <= set(similarity._PAIR_CACHE)
+    assert pinned_cc <= set(dedup._CC_CACHE)
+
+    dummy = spark.range(1)
+    for i in range(similarity._PAIR_CACHE_MAX + 4):
+        similarity._pair_cache_put(("flood", i), dummy)
+        dedup._cc_cache_put(("flood", i), dummy)
+
+    # pinned entries survived the flood; unpinned population is bounded
+    assert pinned_pair <= set(similarity._PAIR_CACHE)
+    assert pinned_cc <= set(dedup._CC_CACHE)
+    unpinned = [
+        k for k in similarity._PAIR_CACHE if k not in similarity._PAIR_CACHE_PINS
+    ]
+    assert len(unpinned) <= similarity._PAIR_CACHE_MAX
+    # the canary re-request is a cache HIT (same object back)
+    assert minhash_lsh_pairs(docs, pin=True) is pairs
+    assert near_dup_components(pairs, pin=True) is comp
+    # clearing drops pins with entries (cold-path measurement stays cold)
+    similarity.clear_pair_cache()
+    dedup.clear_cc_cache()
+    assert not similarity._PAIR_CACHE_PINS and not dedup._CC_CACHE_PINS

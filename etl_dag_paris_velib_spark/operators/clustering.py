@@ -222,3 +222,62 @@ def kmeans_summary(assignments: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("size"),
         F.round(F.sum("dist_sq"), 2).alias("inertia"),
     )
+
+
+def centroid_drift(
+    a: DataFrame,
+    b: DataFrame,
+    vec_col: str = "embedding",
+) -> float:
+    """Normalized mean-shift between two embedding corpora — the
+    retraining-contract scalar of the drift-to-maintenance seam (q159):
+    ``a`` is the stripe a stored codebook was built from, ``b`` the
+    increments it now serves; a score above the pipeline's threshold
+    means frozen-codebook incremental maintenance (q157) is no longer
+    the right plan and the codebook retrains below a new cutoff.
+
+        drift = ||mean(a) - mean(b)||_2 / sqrt(mean_a(||v||^2))
+
+    i.e. the distance between the two global centroids in units of the
+    training stripe's RMS vector norm. Scale-invariant and zero-mean-
+    safe: for same-distribution sides the numerator concentrates at
+    sigma*sqrt(d*(1/n_a+1/n_b)) (score ~ sqrt(1/n_a+1/n_b) -> 0 as the
+    corpus grows), while a systematic per-component shift s scores
+    ~ s*sqrt(d)/rms regardless of corpus size. A raw cosine between the
+    mean vectors is NOT usable here: zero-centered embedding corpora
+    have near-zero mean vectors whose direction is noise, so the
+    no-drift cosine is itself noise (measured 0.08-0.20 on the
+    testdata) rather than ~1.
+
+    Same mergeable-partials plan shape as q126: each side folds to
+    per-dim (sum, sum-of-squares, count) in exploded (dim, value)
+    space — ONE dims-sized fact shuffle per side — then the score
+    reduces to a single row (bounded-collect family: graph.py's delta
+    probe, q126's own fold). No arrays through shuffles, no UDFs, no
+    corpus collect.
+    """
+
+    def _partials(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.select(
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                    "dim", "val"
+                )
+            )
+            .groupBy("dim")
+            .agg(
+                (F.sum("val") / F.count(F.lit(1))).alias(f"m_{side}"),
+                (F.sum(F.col("val") * F.col("val")) / F.count(F.lit(1))).alias(
+                    f"sq_{side}"
+                ),
+            )
+        )
+
+    joined = _partials(a, "a").join(_partials(b, "b"), "dim")
+    row = joined.agg(
+        (
+            F.sqrt(F.sum(F.pow(F.col("m_a") - F.col("m_b"), F.lit(2))))
+            / F.sqrt(F.sum("sq_a"))
+        ).alias("drift")
+    ).first()
+    return float(row["drift"])

@@ -489,3 +489,36 @@ def test_ivfadc_untrained_list_guard(spark):
             emb, queries, cents, train_id_bound=40,
             on_untrained_list="bogus", **common,
         )
+
+
+def test_centroid_drift_separates_shift_from_noise(spark):
+    """The q159 retraining monitor: a same-distribution split scores near
+    sqrt(1/n_a + 1/n_b) (sampling noise), a systematic per-component
+    shift s scores ~ s*sqrt(dim)/rms regardless of corpus size — the two
+    regimes the 1.0 threshold separates. Closed-form check: unit-norm
+    embeddings shifted by +0.5 on all 64 dims must score ~4.0."""
+    from etl_dag_paris_velib_spark.operators.clustering import centroid_drift
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    mx = emb.agg(F.max("vec_id")).first()[0]
+    cut = 6 * (mx + 1) // 7
+    base = emb.filter(F.col("vec_id") < cut)
+    raw_delta = emb.filter(F.col("vec_id") >= cut)
+    control = centroid_drift(base, raw_delta)
+    assert 0.0 <= control < 0.5  # sampling noise, well under threshold
+
+    shifted = raw_delta.withColumn(
+        "embedding",
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x + F.lit(0.5)
+        ),
+    )
+    dim = emb.select(F.size("embedding")).first()[0]
+    drifted = centroid_drift(base, shifted)
+    # rms norm of the (unit-normalized) corpus is ~1, so the score is
+    # ~ 0.5 * sqrt(dim) up to the control's noise floor
+    expect = 0.5 * dim**0.5
+    assert abs(drifted - expect) < 0.5 + control
+    # identical corpora: exactly zero shift
+    assert centroid_drift(base, base) < 1e-12

@@ -35,6 +35,10 @@ BNLJ_WHITELIST = {
     "stored-index path: the read-back (c_id, cv) table (centroid_cap-"
     "bounded) crossed onto the delta for assignment and onto the query "
     "frame for the probe — both data-independent build sides",
+    "q159_drift_rebuild_ivf": "q157's bounded-codebook broadcasts through "
+    "the rebuild branch (build_ivf_index assignment + the read-back v2 "
+    "codebook crossed onto the query frame); the drift monitor itself "
+    "joins dims-sized partials by hash, no BNLJ",
     "q33_embedding_nn": "index shard id grid broadcast for block matmul",
     "q48_kmeans_clusters": "centroid table broadcast each Lloyd round",
     "q50_gapfill_rollup": "1-row (min,max) hour bounds broadcast to the grid",

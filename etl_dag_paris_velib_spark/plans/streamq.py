@@ -743,3 +743,63 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.col("n_chars").cast("bigint").alias("n_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q160 — streaming SLIDING-window rollup (overlapping window state)
+# ---------------------------------------------------------------------------
+@ST.add(
+    "q160_stream_sliding_rollup",
+    oracle="""
+SELECT ((floor(epoch(ts))::BIGINT // 1800) - g.i) * 1800 AS window_start_s,
+       ((floor(epoch(ts))::BIGINT // 1800) - g.i) * 1800 + 7200 AS window_end_s,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events CROSS JOIN generate_series(0, 3) g(i)
+GROUP BY 1, 2, 3
+""",
+    doc="Streaming SLIDING-window rollup (fuzz grammar #25's registered "
+    "companion, the way q155 anchors grammar #23): readStream over the "
+    "events parquet -> watermark -> window(2 hours, 30 minutes) x "
+    "event_type -> availableNow drain. The tumbling spec (q108) never "
+    "exercises OVERLAPPING window state — here every event belongs to "
+    "exactly size/slide = 4 windows, which is also how the oracle "
+    "replays it: Spark's slide-aligned starts for an event at t are "
+    "precisely (floor(t/slide) - i) * slide for i in 0..3 (a window "
+    "[a, a+size) contains t iff t-size < a <= t, and the multiples of "
+    "the slide in that interval are exactly those four), so the batch "
+    "side is a generate_series fan-out with no membership filter. "
+    "Window bounds are emitted as epoch SECONDS (BIGINT) on both "
+    "sides — Spark's window() is epoch-aligned, and an off-calendar "
+    "30-minute grid through a timestamp column would drag the "
+    "TIMESTAMPTZ dialect gap into the hash for no coverage. State is "
+    "one row per open (window, type): O(size/slide x span/slide x "
+    "|types|) here, watermark-evicted in the production append/update "
+    "modes; complete-mode memory sink is the harness drain "
+    "(q108's note). Reference counterpart: none (the reference's "
+    "hourly poll is tumbling-only; north-star extension).",
+    tags=("streaming", "window", "events"),
+)
+def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "2 hours", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start_s"),
+            F.col("w.end").cast("long").alias("window_end_s"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    name = _drain_to_memory(agg, "q160", "complete")
+    return spark.table(name)

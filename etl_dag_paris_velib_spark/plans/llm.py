@@ -1099,6 +1099,24 @@ _Q154_ARTS = None  # lazy OrderedDict — see _q154_artifacts
 _Q154_ARTS_MAX = 2  # diffcheck interleaves two sf_dirs in one session
 
 
+def clear_q154_artifacts() -> None:
+    """Unpersist and drop every cached q154 artifact set — the cold-path
+    seam (registered in clear_plan_caches on first use; also called
+    directly by the single-pass pytest, which measures the COLD
+    construction and must not see a warm hit from an earlier q154 run
+    in the same session)."""
+    if _Q154_ARTS is None:
+        return
+    while _Q154_ARTS:
+        _, old = _Q154_ARTS.popitem(last=False)
+        for bt, ht in old:
+            for f in (bt, ht):
+                try:
+                    f.unpersist()
+                except Exception:
+                    pass
+
+
 def _q154_artifacts(spark, docs, batches):
     """Bounded LRU of q154's persisted per-batch index artifacts (the
     ADVICE r11 leak: six persisted frames per invocation, never
@@ -1114,17 +1132,7 @@ def _q154_artifacts(spark, docs, batches):
 
     if _Q154_ARTS is None:
         _Q154_ARTS = OrderedDict()
-
-        @register_cache_clearer
-        def _clear_q154_arts() -> None:
-            while _Q154_ARTS:
-                _, old = _Q154_ARTS.popitem(last=False)
-                for bt, ht in old:
-                    for f in (bt, ht):
-                        try:
-                            f.unpersist()
-                        except Exception:
-                            pass
+        register_cache_clearer(clear_q154_artifacts)
 
     try:
         key = (session_token(spark), docs.semanticHash())

@@ -1289,6 +1289,12 @@ def test_multi_increment_dedup_shingles_each_batch_once(spark, monkeypatch):
     minhash_lsh_pairs round 0, 4 calls) trips this immediately."""
     import etl_dag_paris_velib_spark.operators.similarity as sim
     from etl_dag_paris_velib_spark.plans import REGISTRY
+    from etl_dag_paris_velib_spark.plans.llm import clear_q154_artifacts
+
+    # measure the COLD construction: an earlier q154 run in this session
+    # leaves its artifact set in the bounded LRU (r12), and a warm hit
+    # legitimately builds zero new shingle passes
+    clear_q154_artifacts()
 
     calls = []
     orig = sim._shingle_sets

@@ -80,6 +80,12 @@ HEADLINE = (
     "q152_near_dup_purge",        # components + corpus anti-join (r10)
     "q153_incremental_purge",     # delta-only admission probe (r10)
     "q154_multi_increment_dedup",  # 3-round growing-index crawl loop (r10)
+    "q156_purge_from_stored_index",  # zero-reshingle purge off parquet (r11)
+    "q157_incremental_ivf",       # stored codebook + delta assign (r11)
+    "q158_stream_crawl_admission",  # the crawl loop as a StreamingQuery (r11)
+    "q155_window_frame_matrix",   # frame/null-order/tie matrix (r11)
+    "q159_drift_rebuild_ivf",     # drift monitor -> codebook retrain (r12)
+    "q160_stream_sliding_rollup",  # overlapping streaming window state (r12)
 )
 
 SFS = ("0.001", "0.01", "0.1", "1.0", "3.0", "10.0")
@@ -190,6 +196,12 @@ def main() -> None:
         "q28_simhash_pairs": 1.0,
         "q46_edit_distance_pairs": 1.0,
         "q52_embedding_dedup": 1.0,
+        # q158's sf3.0 cell (~240s cold x 2 reps) would add ~8 min per
+        # sweep; its deep-tier evidence is recorded once in
+        # bench_budget["3.0"] + the SCALING.md r12 rung, and the
+        # deterministic index-growth curve has its own tool
+        # (tools/index_growth_q158.py) — the sweep stops at sf1.0
+        "q158_stream_crawl_admission": 1.0,
     }
     DEEP = {
         "q116_stream_interval_join",

@@ -87,3 +87,83 @@ def _clear_tracked() -> None:
             old.unpersist()
         except Exception:
             pass
+
+class PinnedLRU:
+    """Bounded FIFO-eviction cache of DataFrames with PINNED (cap-immune)
+    keys — the shared policy behind the similarity pair cache and the
+    dedup component cache (one implementation, r12: the two modules had
+    drifting near-copies).
+
+    Semantics:
+
+    - ``put(key, df, pin=False)``: insert; when the UNPINNED population
+      is at cap, evict oldest unpinned entries first (``on_evict`` runs
+      on each victim — unpersist for persisted-frame caches). Inserting
+      a PINNED entry never evicts anything: pinned entries occupy no
+      capped slot, so there is nothing to make room for.
+    - ``hit(key, pin=False)``: return the entry; a pinning caller pins
+      on HIT too (the entry may have been inserted unpinned by a
+      non-canary warm-up).
+    - Pins are per-SESSION: every key embeds a ``session_token`` element,
+      and a put DEMOTES (not evicts) pinned keys that do not contain the
+      inserting session's token — a process cycling SparkSessions would
+      otherwise accumulate immortal pins holding dead sessions' frames;
+      demoted entries age out through the normal cap.
+    - ``clear()`` drops everything, pins included (cold-path protocol),
+      running ``on_evict`` on each.
+    """
+
+    def __init__(self, max_unpinned: int, on_evict=None):
+        import collections
+
+        self.max_unpinned = max_unpinned
+        self._on_evict = on_evict
+        self.data: "collections.OrderedDict[tuple, object]" = (
+            collections.OrderedDict()
+        )
+        self.pins: set = set()
+
+    def __contains__(self, key) -> bool:
+        return key in self.data
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def __iter__(self):
+        return iter(self.data)
+
+    def _evict(self, key) -> None:
+        obj = self.data.pop(key)
+        if self._on_evict is not None:
+            try:
+                self._on_evict(obj)
+            except Exception:
+                pass
+
+    def hit(self, key, pin: bool = False):
+        if pin:
+            self.pins.add(key)
+        return self.data[key]
+
+    def put(self, key, obj, pin: bool = False, session_token=None) -> None:
+        if pin:
+            self.pins.add(key)
+        if session_token is not None:
+            # demote pins from other/dead sessions to evictable
+            self.pins = {k for k in self.pins if session_token in k}
+            if pin:
+                self.pins.add(key)
+        if not pin:
+            while (
+                sum(1 for k in self.data if k not in self.pins)
+                >= self.max_unpinned
+            ):
+                victim = next(k for k in self.data if k not in self.pins)
+                self._evict(victim)
+        self.data[key] = obj
+
+    def clear(self) -> None:
+        self.pins.clear()
+        while self.data:
+            key = next(iter(self.data))
+            self._evict(key)

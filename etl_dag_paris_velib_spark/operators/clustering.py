@@ -249,6 +249,18 @@ def centroid_drift(
     no-drift cosine is itself noise (measured 0.08-0.20 on the
     testdata) rather than ~1.
 
+    Dimension changes count as drift, not silently vanish: the per-dim
+    partials join FULL OUTER with missing-side means coalesced to 0, so
+    an encoder that GROWS the dimensionality (b is 128-dim over a
+    64-dim training stripe) contributes the new dims' full mass to the
+    numerator instead of being dropped by an inner join. An empty side
+    raises ValueError — no meaningful score exists and a silent 0/NaN
+    would mis-route the retraining decision either way.
+
+    One-sided cost note: scoring SEVERAL candidate increments against
+    one training stripe should use :func:`centroid_drift_many`, which
+    folds the (dominant) a-side partials once.
+
     Same mergeable-partials plan shape as q126: each side folds to
     per-dim (sum, sum-of-squares, count) in exploded (dim, value)
     space — ONE dims-sized fact shuffle per side — then the score
@@ -256,28 +268,65 @@ def centroid_drift(
     probe, q126's own fold). No arrays through shuffles, no UDFs, no
     corpus collect.
     """
+    return centroid_drift_many(a, [b], vec_col=vec_col)[0]
 
-    def _partials(df: DataFrame, side: str) -> DataFrame:
-        return (
-            df.select(
-                F.posexplode(F.col(vec_col).cast("array<double>")).alias(
-                    "dim", "val"
-                )
-            )
-            .groupBy("dim")
-            .agg(
-                (F.sum("val") / F.count(F.lit(1))).alias(f"m_{side}"),
-                (F.sum(F.col("val") * F.col("val")) / F.count(F.lit(1))).alias(
-                    f"sq_{side}"
-                ),
+
+def _drift_partials(df: DataFrame, side: str, vec_col: str) -> DataFrame:
+    return (
+        df.select(
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                "dim", "val"
             )
         )
+        .groupBy("dim")
+        .agg(
+            (F.sum("val") / F.count(F.lit(1))).alias(f"m_{side}"),
+            (F.sum(F.col("val") * F.col("val")) / F.count(F.lit(1))).alias(
+                f"sq_{side}"
+            ),
+        )
+    )
 
-    joined = _partials(a, "a").join(_partials(b, "b"), "dim")
-    row = joined.agg(
-        (
-            F.sqrt(F.sum(F.pow(F.col("m_a") - F.col("m_b"), F.lit(2))))
-            / F.sqrt(F.sum("sq_a"))
-        ).alias("drift")
-    ).first()
-    return float(row["drift"])
+
+def centroid_drift_many(
+    a: DataFrame,
+    bs: list,
+    vec_col: str = "embedding",
+) -> list:
+    """:func:`centroid_drift` for several ``b`` sides against ONE
+    training stripe, folding the a-side partials once (q159 scores both
+    the no-drift control and the staged increment; the base stripe is
+    6/7 of the corpus, so re-folding it per score doubled the monitor's
+    dominant cost). The a-partials frame is dims-sized — persisting it
+    is pennies; it is unpersisted before returning."""
+    ap = _drift_partials(a, "a", vec_col).persist()
+    try:
+        out = []
+        for b in bs:
+            joined = ap.join(
+                _drift_partials(b, "b", vec_col), "dim", "full_outer"
+            )
+            row = joined.agg(
+                (
+                    F.sqrt(
+                        F.sum(
+                            F.pow(
+                                F.coalesce(F.col("m_a"), F.lit(0.0))
+                                - F.coalesce(F.col("m_b"), F.lit(0.0)),
+                                F.lit(2),
+                            )
+                        )
+                    )
+                    / F.sqrt(F.sum("sq_a"))
+                ).alias("drift"),
+                F.count(F.col("m_b")).alias("nb"),
+            ).first()
+            if row["drift"] is None or row["nb"] == 0:
+                raise ValueError(
+                    "centroid_drift: empty side (no vectors / no dims) — "
+                    "no meaningful drift score exists"
+                )
+            out.append(float(row["drift"]))
+        return out
+    finally:
+        ap.unpersist()

@@ -80,45 +80,39 @@ def exact_dedup(
 #: q42/q56-class consumers ask for the SAME pair graph's components within
 #: one session — reuse the localCheckpoint-backed result instead of
 #: re-running the fixpoint.
-from collections import OrderedDict
+from ..cacheutil import PinnedLRU, register_cache_clearer, session_token
 
-from ..cacheutil import register_cache_clearer, session_token
-
-_CC_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
 # 16, not 8 (r11): q153/q154/q156/q158 insert 8 component entries between
 # q152's warm and q42's re-request in alphabetical sweep order — at cap 8
 # the entry q42 reuses was evicted and q42 ran the fixpoint cold (2.9s vs
 # its 0.025s warm sf1.0 budget). localCheckpoint-backed entries are
-# bounded by cluster-member counts, so 16 is cheap.
+# bounded by cluster-member counts, so 16 is cheap. Since r12 the q42
+# standing canary's entry is PINNED (cap-immune, per-session) through
+# the shared cacheutil.PinnedLRU policy — see
+# similarity.py's pair-cache note for the rotation-eviction story.
 _CC_CACHE_MAX = 16
 
-#: cap-immune keys — the q42 standing canary's component map gets the same
-#: permanent slot its window position has by policy (see
-#: similarity._PAIR_CACHE_PINS; same r12 structural fix).
-_CC_CACHE_PINS: set = set()
+# entries are localCheckpoint-backed: dropping the reference releases
+# them, no unpersist needed on evict
+_CC_CACHE = PinnedLRU(_CC_CACHE_MAX)
 
 
 def _cc_cache_put(key: tuple, df: DataFrame, pin: bool = False) -> None:
-    if pin:
-        _CC_CACHE_PINS.add(key)
-    while sum(1 for k in _CC_CACHE if k not in _CC_CACHE_PINS) >= _CC_CACHE_MAX:
-        victim = next(k for k in _CC_CACHE if k not in _CC_CACHE_PINS)
-        _CC_CACHE.pop(victim)
-    _CC_CACHE[key] = df
+    try:
+        tok = session_token(df.sparkSession)
+    except Exception:
+        tok = None
+    _CC_CACHE.put(key, df, pin=pin, session_token=tok)
 
 
 def _cc_cache_hit(key: tuple, pin: bool = False) -> DataFrame:
-    if pin:
-        _CC_CACHE_PINS.add(key)
-    return _CC_CACHE[key]
+    return _CC_CACHE.hit(key, pin=pin)
 
 
 @register_cache_clearer
 def clear_cc_cache() -> None:
-    """Drop every cached component map, pinned included (entries are
-    localCheckpoint-backed, so dropping the reference releases them;
-    cold-path measurement resets the canary pins with the entries)."""
-    _CC_CACHE_PINS.clear()
+    """Drop every cached component map, pinned included (cold-path
+    measurement resets the canary pins with the entries)."""
     _CC_CACHE.clear()
 
 

@@ -54,9 +54,8 @@ from ..functions.vector import dot, l2_norm
 # ---------------------------------------------------------------------------
 
 import threading
-from collections import OrderedDict
 
-from ..cacheutil import register_cache_clearer, session_token
+from ..cacheutil import PinnedLRU, register_cache_clearer, session_token
 
 #: serializes the session-global AQE toggle in _persist_udf_cache (see
 #: that docstring's CONCURRENCY note)
@@ -64,7 +63,6 @@ _AQE_TOGGLE_LOCK = threading.Lock()
 
 #: bounded LRU of persisted verified-pair DataFrames (see
 #: minhash_lsh_pairs); one entry per (session, input-plan, params)
-_PAIR_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
 # Sized so one full bench sweep never evicts an entry that a later query
 # in the same sweep will re-request: the r11 dedup-lifecycle family
 # (q144/q152/q153/q154/q158) inserts 8 entries BEFORE the alphabetical
@@ -72,55 +70,68 @@ _PAIR_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
 # full-pair entry sat exactly on the eviction boundary (q42's CC twin
 # DID get evicted, measured 2.9s vs its 0.025s warm budget at sf1.0).
 # Entries are persisted-but-spillable DataFrames, so 16 is cheap.
+# Structural guarantee since r12 (the r11 verdict's #2): the standing
+# canaries' (q21/q42) entries are PINNED — cap-immune, per-session —
+# through the shared cacheutil.PinnedLRU policy, so window rotations
+# can no longer evict them by inserting cap-many entries between the
+# builder and its consumer (the failure mode the r11 cap bump papered
+# over). Only clear_pair_cache() drops pinned entries.
 _PAIR_CACHE_MAX = 16
 
-#: keys the cap can never evict (r12, the r11 verdict's #2): the standing
-#: canaries q21/q42 hold permanent correctness-window slots by policy, so
-#: their cache entries hold permanent cache slots by the same policy —
-#: window rotations and new spec families can no longer push them out by
-#: inserting cap-many entries between the builder and its consumer (the
-#: failure mode the r11 8->16 cap bump papered over). Pinned entries do
-#: not count against the cap; only clear_pair_cache() drops them.
-_PAIR_CACHE_PINS: set = set()
+
+def _unpersist_quiet(df) -> None:
+    try:
+        df.unpersist()
+    except Exception:
+        pass
+
+
+_PAIR_CACHE = PinnedLRU(_PAIR_CACHE_MAX, on_evict=_unpersist_quiet)
+
+
+def _content_fingerprint(df: DataFrame | None) -> tuple | None:
+    """Cache-key token for a possibly file-backed plan: semanticHash PLUS
+    the concrete file list behind the scan. semanticHash alone
+    canonicalizes a parquet read by its ROOT PATH (file-index equality is
+    rootPaths-based), so a stored index that GROWS IN PLACE — the q158
+    production shape: new ``batch=N`` partitions appended under the same
+    root — would re-probe with an identical hash and return stale cached
+    candidates. ``inputFiles()`` enumerates the files the scan actually
+    covers (the driver's FileIndex already holds the listing, so this is
+    metadata-only), making every growth step a distinct key. In-memory
+    plans return no files and keep the bare hash."""
+    if df is None:
+        return None
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    return (df.semanticHash(), hash(tuple(sorted(files))) if files else None)
 
 
 def _pair_cache_put(key: tuple, df: DataFrame, pin: bool = False) -> None:
-    """Insert into the bounded LRU, evicting oldest UNPINNED entries past
-    the cap. ``pin=True`` marks the key as a standing-canary slot."""
-    if pin:
-        _PAIR_CACHE_PINS.add(key)
-    while (
-        sum(1 for k in _PAIR_CACHE if k not in _PAIR_CACHE_PINS)
-        >= _PAIR_CACHE_MAX
-    ):
-        victim = next(k for k in _PAIR_CACHE if k not in _PAIR_CACHE_PINS)
-        old = _PAIR_CACHE.pop(victim)
-        try:
-            old.unpersist()
-        except Exception:
-            pass
-    _PAIR_CACHE[key] = df
+    """Insert into the bounded LRU (oldest UNPINNED evict-and-unpersist
+    past the cap; ``pin=True`` marks a standing-canary slot). The
+    current session's token rides along so stale pins from cycled
+    sessions demote to evictable instead of living forever."""
+    try:
+        tok = session_token(df.sparkSession)
+    except Exception:
+        tok = None
+    _PAIR_CACHE.put(key, df, pin=pin, session_token=tok)
 
 
 def _pair_cache_hit(key: tuple, pin: bool = False) -> DataFrame:
     """Return the cached frame; a pinning caller pins on HIT too (the
     entry may have been inserted unpinned by a non-canary warm-up)."""
-    if pin:
-        _PAIR_CACHE_PINS.add(key)
-    return _PAIR_CACHE[key]
+    return _PAIR_CACHE.hit(key, pin=pin)
 
 
 @register_cache_clearer
 def clear_pair_cache() -> None:
     """Unpersist and drop every cached pair set, pinned included
     (cold-path measurement resets the canary pins with the entries)."""
-    _PAIR_CACHE_PINS.clear()
-    while _PAIR_CACHE:
-        _, old = _PAIR_CACHE.popitem(last=False)
-        try:
-            old.unpersist()
-        except Exception:
-            pass
+    _PAIR_CACHE.clear()
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -333,7 +344,7 @@ def _minhash_candidates(
         cache_key = (
             "cand",
             session_token(df.sparkSession),
-            df.semanticHash(),
+            _content_fingerprint(df),
             id_col,
             text_col,
             k,
@@ -470,7 +481,7 @@ def minhash_lsh_pairs(
         try:
             cache_key = (
                 session_token(df.sparkSession),
-                df.semanticHash(),
+                _content_fingerprint(df),
                 id_col,
                 text_col,
                 k,
@@ -2095,26 +2106,6 @@ def lsh_pairs_from_index(
     )
 
 
-def _content_fingerprint(df: DataFrame | None) -> tuple | None:
-    """Cache-key token for a possibly file-backed plan: semanticHash PLUS
-    the concrete file list behind the scan. semanticHash alone
-    canonicalizes a parquet read by its ROOT PATH (file-index equality is
-    rootPaths-based), so a stored index that GROWS IN PLACE — the q158
-    production shape: new ``batch=N`` partitions appended under the same
-    root — would re-probe with an identical hash and return stale cached
-    candidates. ``inputFiles()`` enumerates the files the scan actually
-    covers (the driver's FileIndex already holds the listing, so this is
-    metadata-only), making every growth step a distinct key. In-memory
-    plans return no files and keep the bare hash."""
-    if df is None:
-        return None
-    try:
-        files = df.inputFiles()
-    except Exception:
-        files = []
-    return (df.semanticHash(), hash(tuple(sorted(files))) if files else None)
-
-
 def incremental_lsh_pairs(
     base: DataFrame,
     delta: DataFrame,
@@ -2189,11 +2180,16 @@ def incremental_lsh_pairs(
     )
     d, a = delta_bands.alias("d"), all_bands.alias("a")
     try:
+        # every plan input is CONTENT-fingerprinted, not just semantic-
+        # hashed: base/delta are exactly as likely as the band tables to
+        # be same-path parquet reads that grow in place between
+        # increments (the kept corpus of a crawl loop), and a bare
+        # semanticHash canonicalizes those by root path
         cache_key = (
             "inc_cand",
             session_token(base.sparkSession),
-            base.semanticHash(),
-            delta.semanticHash(),
+            _content_fingerprint(base),
+            _content_fingerprint(delta),
             _content_fingerprint(base_bands),
             _content_fingerprint(delta_bands),
             id_col,
@@ -2205,7 +2201,7 @@ def incremental_lsh_pairs(
     except Exception:
         cache_key = None
     if cache_key is not None and cache_key in _PAIR_CACHE:
-        cand = _PAIR_CACHE[cache_key]
+        cand = _PAIR_CACHE.hit(cache_key)
     else:
         cand = (
             d.join(

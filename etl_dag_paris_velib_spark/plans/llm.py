@@ -1099,6 +1099,17 @@ _Q154_ARTS = None  # lazy OrderedDict — see _q154_artifacts
 _Q154_ARTS_MAX = 2  # diffcheck interleaves two sf_dirs in one session
 
 
+def _unpersist_arts(arts) -> None:
+    """Unpersist every frame of one artifact set (both eviction paths
+    share this — the tuple shape changes in ONE place)."""
+    for pair in arts:
+        for f in pair:
+            try:
+                f.unpersist()
+            except Exception:
+                pass
+
+
 def clear_q154_artifacts() -> None:
     """Unpersist and drop every cached q154 artifact set — the cold-path
     seam (registered in clear_plan_caches on first use; also called
@@ -1109,12 +1120,7 @@ def clear_q154_artifacts() -> None:
         return
     while _Q154_ARTS:
         _, old = _Q154_ARTS.popitem(last=False)
-        for bt, ht in old:
-            for f in (bt, ht):
-                try:
-                    f.unpersist()
-                except Exception:
-                    pass
+        _unpersist_arts(old)
 
 
 def _q154_artifacts(spark, docs, batches):
@@ -1137,24 +1143,22 @@ def _q154_artifacts(spark, docs, batches):
     try:
         key = (session_token(spark), docs.semanticHash())
     except Exception:
-        key = None
-    if key is not None and key in _Q154_ARTS:
+        # still TRACKED (synthetic unique key): an unkeyable input must
+        # not reopen the r11 leak — the set just ages out with the rest
+        import uuid
+
+        key = ("q154-unkeyed", uuid.uuid4().hex)
+    if key in _Q154_ARTS:
         _Q154_ARTS.move_to_end(key)
         return _Q154_ARTS[key]
     arts = []
     for b in batches:
         bt, ht = build_lsh_index(b)
         arts.append((bt.persist(), ht.persist()))
-    if key is not None:
-        while len(_Q154_ARTS) >= _Q154_ARTS_MAX:
-            _, old = _Q154_ARTS.popitem(last=False)
-            for bt, ht in old:
-                for f in (bt, ht):
-                    try:
-                        f.unpersist()
-                    except Exception:
-                        pass
-        _Q154_ARTS[key] = arts
+    while len(_Q154_ARTS) >= _Q154_ARTS_MAX:
+        _, old = _Q154_ARTS.popitem(last=False)
+        _unpersist_arts(old)
+    _Q154_ARTS[key] = arts
     return arts
 
 
@@ -1571,7 +1575,7 @@ def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ..operators.clustering import centroid_drift
+    from ..operators.clustering import centroid_drift_many
     from ..operators.similarity import (
         build_ivf_index,
         ivf_topk_from_index,
@@ -1607,14 +1611,18 @@ def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drift MUST — a silently flipped branch would still hash-mismatch
     # (stale codebook -> different lists), but the raise names the cause.
     threshold = 1.0
-    control = centroid_drift(base, emb.filter(F.col("vec_id") >= cut))
+    # one base fold scores both sides (centroid_drift_many): the base
+    # stripe is 6/7 of the corpus, so re-folding it per score would
+    # double the monitor's dominant cost
+    control, drift = centroid_drift_many(
+        base, [emb.filter(F.col("vec_id") >= cut), delta]
+    )
     if control >= threshold:
         raise RuntimeError(
             f"q159: drift monitor tripped on the same-distribution "
             f"control ({control:.3f} >= {threshold}) — monitor broken "
             f"or generator changed"
         )
-    drift = centroid_drift(base, delta)
     if drift < threshold:
         # below threshold the pipeline would take the q157 frozen-
         # codebook path — read cents_v1/asg_v1 back and union in

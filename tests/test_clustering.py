@@ -522,3 +522,34 @@ def test_centroid_drift_separates_shift_from_noise(spark):
     assert abs(drifted - expect) < 0.5 + control
     # identical corpora: exactly zero shift
     assert centroid_drift(base, base) < 1e-12
+
+    # the many-form (one base fold for several sides) matches the
+    # single-pair form on both sides
+    from etl_dag_paris_velib_spark.operators.clustering import (
+        centroid_drift_many,
+    )
+
+    c2, d2 = centroid_drift_many(base, [raw_delta, shifted])
+    assert abs(c2 - control) < 1e-9 and abs(d2 - drifted) < 1e-9
+
+    # a DIMENSIONALITY change counts as drift (full-outer dim join):
+    # growing 64 -> 80 dims with unit mass in the new dims must score
+    # at least the new dims' mass, not drop them like an inner join
+    import pytest
+
+    grown = raw_delta.withColumn(
+        "embedding",
+        F.concat(
+            F.col("embedding").cast("array<double>"),
+            F.array(*[F.lit(1.0)] * 16),
+        ),
+    )
+    g = centroid_drift(base, grown)
+    assert g >= (16**0.5) * 0.9  # ||(1,)*16|| = 4, minus noise slack
+
+    # empty sides raise instead of returning a silent 0/None score
+    empty = emb.filter(F.lit(False))
+    with pytest.raises(ValueError, match="empty side"):
+        centroid_drift(base, empty)
+    with pytest.raises(ValueError, match="empty side"):
+        centroid_drift(empty, raw_delta)

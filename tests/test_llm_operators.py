@@ -1331,28 +1331,48 @@ def test_canary_cache_entries_survive_cap_pressure(spark):
     pairs.count()
     comp = near_dup_components(pairs, pin=True)
     comp.count()
-    pinned_pair = set(similarity._PAIR_CACHE_PINS)
-    pinned_cc = set(dedup._CC_CACHE_PINS)
+    pinned_pair = set(similarity._PAIR_CACHE.pins)
+    pinned_cc = set(dedup._CC_CACHE.pins)
     assert pinned_pair and pinned_cc
     assert pinned_pair <= set(similarity._PAIR_CACHE)
     assert pinned_cc <= set(dedup._CC_CACHE)
 
+    from etl_dag_paris_velib_spark.cacheutil import session_token
+
+    tok = session_token(spark)
     dummy = spark.range(1)
     for i in range(similarity._PAIR_CACHE_MAX + 4):
-        similarity._pair_cache_put(("flood", i), dummy)
-        dedup._cc_cache_put(("flood", i), dummy)
+        # flood keys carry the live session token like real keys do —
+        # token-less keys would count as stale pins if ever pinned
+        similarity._pair_cache_put(("flood", tok, i), dummy)
+        dedup._cc_cache_put(("flood", tok, i), dummy)
 
     # pinned entries survived the flood; unpinned population is bounded
     assert pinned_pair <= set(similarity._PAIR_CACHE)
     assert pinned_cc <= set(dedup._CC_CACHE)
     unpinned = [
-        k for k in similarity._PAIR_CACHE if k not in similarity._PAIR_CACHE_PINS
+        k for k in similarity._PAIR_CACHE if k not in similarity._PAIR_CACHE.pins
     ]
     assert len(unpinned) <= similarity._PAIR_CACHE_MAX
     # the canary re-request is a cache HIT (same object back)
     assert minhash_lsh_pairs(docs, pin=True) is pairs
     assert near_dup_components(pairs, pin=True) is comp
+    # inserting a PINNED entry must not evict anyone (pins occupy no
+    # capped slot): with the cache exactly full of unpinned entries, a
+    # pinned put leaves every unpinned key in place
+    before = set(similarity._PAIR_CACHE)
+    similarity._PAIR_CACHE.put(("pinned-insert", tok), dummy, pin=True,
+                               session_token=tok)
+    assert before <= set(similarity._PAIR_CACHE)
+    # pins are PER-SESSION: a put from a new session token demotes the
+    # old session's pins to evictable (no immortal dead-session frames
+    # — after this, eviction MAY reclaim the old session's entries,
+    # which is the point; run it last)
+    similarity._PAIR_CACHE.put(("other-session", "tok2", 0), dummy,
+                               session_token="tok2")
+    assert ("pinned-insert", tok) not in similarity._PAIR_CACHE.pins
     # clearing drops pins with entries (cold-path measurement stays cold)
     similarity.clear_pair_cache()
     dedup.clear_cc_cache()
-    assert not similarity._PAIR_CACHE_PINS and not dedup._CC_CACHE_PINS
+    assert not similarity._PAIR_CACHE.pins and not dedup._CC_CACHE.pins
+    assert len(similarity._PAIR_CACHE) == 0 and len(dedup._CC_CACHE) == 0

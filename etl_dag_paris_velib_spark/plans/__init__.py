@@ -123,6 +123,10 @@ DEMOTED = (
     "q55_decontamination",
     "q58_mixture_weights",
     "q59_sequence_packing",
+    # q45 yields its r12 slot to q161 (the third streaming-window kind —
+    # session — deserves a born-in-window driver row like q159/q160);
+    # q45 rotates with this r13 group instead.
+    "q45_approx_percentiles",
     # --- r11-green window (driver rows fresh from r11), rotating out;
     # q21/q42 (standing canaries) and q158 (sink reworked this round)
     # stay IN-window instead ---

@@ -803,3 +803,77 @@ def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = _drain_to_memory(agg, "q160", "complete")
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# q161 — streaming SESSION-window rollup (merging window state)
+# ---------------------------------------------------------------------------
+@ST.add(
+    "q161_stream_session_rollup",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+  FROM events
+),
+m AS (
+  SELECT *, CASE WHEN pts IS NULL
+                   OR epoch_us(ts) - epoch_us(pts) >= 1800000000
+                 THEN 1 ELSE 0 END AS brk
+  FROM o
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id,
+       floor(epoch(min(ts)))::BIGINT AS session_start_s,
+       floor(epoch(max(ts)))::BIGINT + 1800 AS session_end_s,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 2) AS total_value
+FROM s GROUP BY user_id, sid
+""",
+    doc="Streaming SESSION-window rollup — the third and last windowed-"
+    "aggregation kind gets its driver row (q108 tumbling, q160 sliding, "
+    "now session), so the whole window family is end-to-end streaming "
+    "evidence, not just the GBFS pytest (streaming/gbfs.py:"
+    "station_report_sessions): readStream over events -> watermark -> "
+    "session_window(30 minutes) x user_id -> availableNow drain. Unlike "
+    "fixed windows, session state MERGES: each event opens [t, t+gap) "
+    "and overlapping windows coalesce, so two events chain iff their "
+    "gap is strictly under 30 minutes — the oracle replays exactly that "
+    "with the classic island construction (lag per user, break when "
+    "the MICROSECOND-exact gap >= 30 min via epoch_us — a double-"
+    "precision epoch() diff could flip an exact-boundary comparison), "
+    "cumulative-sum session ids, then min/max/count/sum per island. "
+    "Session bounds hash as epoch seconds: start = first event ts "
+    "(floor), end = last ts + gap (floor commutes over the integer "
+    "shift). Tie-safety: same-ts events diff 0 < gap, so they land in "
+    "one island whatever order lag visits them. State is one row per "
+    "OPEN session per user, merged in the state store "
+    "(MergingSessionsExec) and watermark-evicted in production "
+    "append/update modes; complete-mode memory sink is the harness "
+    "drain (q108's note). Reference counterpart: the GBFS session "
+    "report (SURVEY §2.8), generalized and driver-checked.",
+    tags=("streaming", "window", "session", "events"),
+)
+def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start_s"),
+            F.col("w.end").cast("long").alias("session_end_s"),
+            "n_events",
+            "total_value",
+        )
+    )
+    name = _drain_to_memory(agg, "q161", "complete")
+    return spark.table(name)

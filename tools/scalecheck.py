@@ -86,6 +86,7 @@ HEADLINE = (
     "q155_window_frame_matrix",   # frame/null-order/tie matrix (r11)
     "q159_drift_rebuild_ivf",     # drift monitor -> codebook retrain (r12)
     "q160_stream_sliding_rollup",  # overlapping streaming window state (r12)
+    "q161_stream_session_rollup",  # merging session-window state (r12)
 )
 
 SFS = ("0.001", "0.01", "0.1", "1.0", "3.0", "10.0")

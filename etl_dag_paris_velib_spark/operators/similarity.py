@@ -55,7 +55,12 @@ from ..functions.vector import dot, l2_norm
 
 import threading
 
-from ..cacheutil import PinnedLRU, register_cache_clearer, session_token
+from ..cacheutil import (
+    PinnedLRU,
+    register_cache_clearer,
+    session_token,
+    track_persist,
+)
 
 #: serializes the session-global AQE toggle in _persist_udf_cache (see
 #: that docstring's CONCURRENCY note)
@@ -1539,6 +1544,244 @@ def cosine_threshold_pairs(
         .cogroup(right_rep.groupBy("bi", "sj"))
         .applyInPandas(pairs_cell, out_schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph-based ANN (NSW-style): exact k-NN graph + monotone beam search
+# ---------------------------------------------------------------------------
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    g: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    left_blocks: int = 4,
+    index_shards: int = 4,
+) -> DataFrame:
+    """Exact top-``g`` cosine neighbor graph: (src, dst, score), up to
+    ``g`` rows per src (self excluded; ties broken by smaller dst).
+
+    This is the INDEX of the graph-ANN family — the adjacency a
+    NSW/HNSW-style search walks. Construction reuses the
+    :func:`all_pairs_nn` distributed block-matmul shape (hash both
+    sides into ``left_blocks`` × ``index_shards`` cells, cogroup, one
+    numpy GEMM per cell) but each cell emits its LOCAL top-g per query
+    row instead of the argmax; because every dst hashes to exactly one
+    shard, the global merge sees each (src, dst) once and a single
+    per-src window over ``g * index_shards`` candidates finishes the
+    exact result — no distinct pass, no corpus-sized window. Exact
+    construction is the oracle-checkable baseline; at 100 TB the same
+    adjacency schema is fed by approximate builders instead
+    (:func:`ivf_all_nn` routing or NN-Descent rounds), and every
+    consumer below is agnostic to which builder produced the edges.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    spark = embeddings.sparkSession
+    base = _as_double(embeddings, id_col, vec_col).select("vec_id", "v")
+    nb, ns, gg = int(left_blocks), int(index_shards), int(g)
+
+    blocks = spark.range(nb).select(F.col("id").cast("int").alias("bi"))
+    shards = spark.range(ns).select(F.col("id").cast("int").alias("sj"))
+
+    left_rep = base.withColumn(
+        "bi", F.pmod(F.crc32(F.col("vec_id").cast("string")), F.lit(nb)).cast("int")
+    ).crossJoin(F.broadcast(shards))
+    right_rep = (
+        base.select(F.col("vec_id").alias("dst"), F.col("v").alias("rv"))
+        .withColumn(
+            "sj", F.pmod(F.crc32(F.col("dst").cast("string")), F.lit(ns)).cast("int")
+        )
+        .crossJoin(F.broadcast(blocks))
+    )
+
+    out_schema = StructType(
+        [
+            StructField("src", LongType()),
+            StructField("dst", LongType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+
+    def topg_cell(left_pdf: "pd.DataFrame", right_pdf: "pd.DataFrame"):
+        empty = pd.DataFrame({"src": [], "dst": [], "score": []}).astype(
+            {"src": "int64", "dst": "int64", "score": "float64"}
+        )
+        if not len(left_pdf) or not len(right_pdf):
+            return empty
+        # ascending-dst column order + stable sort = smaller-dst tie-break
+        right_pdf = right_pdf.sort_values("dst")
+        l_ids = left_pdf["vec_id"].to_numpy()
+        r_ids = right_pdf["dst"].to_numpy()
+        l_mat = np.array(left_pdf["v"].tolist(), dtype=np.float64)
+        r_mat = np.array(right_pdf["rv"].tolist(), dtype=np.float64)
+        l_mat /= np.linalg.norm(l_mat, axis=1, keepdims=True)
+        r_mat /= np.linalg.norm(r_mat, axis=1, keepdims=True)
+        scores = l_mat @ r_mat.T
+        scores[l_ids[:, None] == r_ids[None, :]] = -np.inf  # self-edge mask
+        m = min(gg, scores.shape[1])
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :m]
+        out_scores = np.take_along_axis(scores, order, axis=1).ravel()
+        keep = np.isfinite(out_scores)
+        return pd.DataFrame(
+            {
+                "src": np.repeat(l_ids, m)[keep],
+                "dst": r_ids[order.ravel()][keep],
+                "score": out_scores[keep],
+            }
+        )
+
+    cells = (
+        left_rep.groupBy("bi", "sj")
+        .cogroup(right_rep.groupBy("bi", "sj"))
+        .applyInPandas(topg_cell, out_schema)
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    return (
+        cells.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= gg)
+        .drop("_rn")
+    )
+
+
+def graph_adjacency(
+    embeddings: DataFrame,
+    g: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    left_blocks: int = 4,
+    index_shards: int = 4,
+) -> DataFrame:
+    """DENORMALIZED adjacency for serving: (src, dst, dv, dn) — each
+    edge carries the destination vector and its precomputed L2 norm, the
+    way an HNSW index stores vectors alongside links. Serving then never
+    joins back to the corpus: a beam-search hop scores candidates from
+    the edge rows alone, so at scale the only table the search touches
+    is this one — bucketed/partitioned by ``src``, pruned by the
+    (broadcast-small) frontier."""
+    base = _as_double(embeddings, id_col, vec_col)
+    edges = knn_graph(
+        embeddings, g, id_col, vec_col, left_blocks, index_shards
+    ).select("src", "dst")
+    return edges.join(
+        base.select(
+            F.col("vec_id").alias("dst"),
+            F.col("v").alias("dv"),
+            F.col("nv").alias("dn"),
+        ),
+        "dst",
+    ).select("src", "dst", "dv", "dn")
+
+
+def graph_entry_point(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic search entry: the minimum-id vector, as a 1-row
+    (e_id, ev, en) frame (HNSW's fixed top-layer entry, without the
+    random level draws that would break oracle replay)."""
+    base = _as_double(embeddings, id_col, vec_col)
+    return (
+        base.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("e_id"),
+            F.col("v").alias("ev"),
+            F.col("nv").alias("en"),
+        )
+    )
+
+
+def graph_beam_search_sweep(
+    adjacency: DataFrame,
+    entry: DataFrame,
+    queries: DataFrame,
+    beams: tuple = (4, 8, 16),
+    hops: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """NSW-style best-first search over a k-NN graph, swept over beam
+    widths. Returns (beam, q_id, vec_id): the top-``min(beam, k)``
+    approximate neighbors each beam width finds for each query.
+
+    The search is the MONOTONE beam recurrence
+    ``C_{i+1} = top-beam( C_i ∪ neighbors(C_i) )`` from the fixed entry
+    point, ``hops`` rounds, scores = query cosine, ties by smaller id —
+    deterministic given the graph, which is what makes the whole family
+    oracle-replayable (the DuckDB side unrolls the same recurrence as
+    hop CTEs). Including ``C_i`` in the candidate set makes the state
+    monotone in quality (a beam never loses its best nodes), so no
+    visited-set bookkeeping is needed — the classic greedy-with-backlog
+    formulation of NSW search, not a literal HNSW transcription (no
+    layer hierarchy, no random levels: those exist to cut SEQUENTIAL
+    hop counts on a single machine; here each hop is one bounded
+    DISTRIBUTED join, and the hop count is a fixed parameter).
+
+    Scale shape: the frontier is |queries| × beam rows — broadcast
+    small by construction — so every hop is a broadcast-frontier join
+    against the adjacency (partition-prunable on ``src``), one tiny
+    distinct, and a per-query window over ≤ beam × (g+1) rows. Nothing
+    scales with the corpus at serve time. Each hop's frontier is
+    LAZILY persisted (and tracked): hop i+1 references hop i twice
+    (carry-over union + expansion), so without the cache boundary the
+    plan re-expands the whole prefix 2^i times; lazy persist keeps it
+    one materialization per hop inside a SINGLE final job — the eager
+    per-round count() of the pagerank loop is deliberately absent, it
+    cost 12 scheduler round-trips for rows this small. The adjacency
+    is (re)persisted here through ``_persist_udf_cache`` — its lineage
+    carries the GEMM's applyInPandas, which plain ``persist()`` cannot
+    safely cache twice in one session (the repo-wide Spark 4.1.2
+    gotcha). Beam trajectories are NOT nested (a wider beam can visit
+    different nodes), so unlike q133's nprobe sweep each beam runs its
+    own recurrence — against the one shared persisted adjacency.
+    """
+    adjacency = track_persist(_persist_udf_cache(adjacency))
+    sweep = None
+    wq = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    f0 = track_persist(
+        queries.crossJoin(F.broadcast(entry))
+        .filter(F.col("e_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "qv",
+            "nq",
+            F.col("e_id").alias("vec_id"),
+            _cos(F.col("qv"), "nq", F.col("ev"), "en"),
+        )
+        .persist()
+    )
+    for b in beams:
+        frontier = f0
+        for _ in range(int(hops)):
+            expanded = (
+                frontier.select("q_id", "qv", "nq", "vec_id")
+                .join(adjacency, F.col("vec_id") == F.col("src"))
+                .filter(F.col("dst") != F.col("q_id"))
+                .select(
+                    "q_id",
+                    "qv",
+                    "nq",
+                    F.col("dst").alias("vec_id"),
+                    _cos(F.col("qv"), "nq", F.col("dv"), "dn"),
+                )
+            )
+            frontier = track_persist(
+                frontier.unionByName(expanded)
+                .distinct()
+                .withColumn("_rn", F.row_number().over(wq))
+                .filter(F.col("_rn") <= int(b))
+                .drop("_rn")
+                .persist()
+            )
+        res = (
+            frontier.withColumn("_rn", F.row_number().over(wq))
+            .filter(F.col("_rn") <= int(k))
+            .select(F.lit(int(b)).alias("beam"), "q_id", "vec_id")
+        )
+        sweep = res if sweep is None else sweep.unionByName(res)
+    return sweep
 
 
 # ---------------------------------------------------------------------------

@@ -45,8 +45,9 @@ REGISTRY.merge(_streamq)
 # q159 drift-rebuild seam, the streaming tier, retrieval, media, BPE)
 # plus the oldest central relational shapes; (c) q158 — its sink was
 # REWORKED this round (batch_id-keyed idempotent writes), and the
-# standing policy rotates refactored specs in; (d) q159/q160 — NEW this
-# round, landing in-window so neither is born-demoted.
+# standing policy rotates refactored specs in; (d) q159/q160/q161/q162
+# — NEW this round, landing in-window so none is born-demoted (q45 and
+# q106 yield the two extra slots; see the r13 group).
 # CANARY POLICY (standing): q21_near_dup_pairs and q42_dedup_clusters
 # — the LSH pair-cache builder and its consumer — keep a window slot in
 # EVERY rotation regardless of row age, so the cache-reuse path always
@@ -123,10 +124,12 @@ DEMOTED = (
     "q55_decontamination",
     "q58_mixture_weights",
     "q59_sequence_packing",
-    # q45 yields its r12 slot to q161 (the third streaming-window kind —
-    # session — deserves a born-in-window driver row like q159/q160);
-    # q45 rotates with this r13 group instead.
+    # q45 and q106 yield their r12 slots to the round's two late specs —
+    # q161 (the third streaming-window kind, session) and q162 (the
+    # graph-ANN family) deserve born-in-window driver rows like
+    # q159/q160; q45/q106 rotate with this r13 group instead.
     "q45_approx_percentiles",
+    "q106_content_checksum",
     # --- r11-green window (driver rows fresh from r11), rotating out;
     # q21/q42 (standing canaries) and q158 (sink reworked this round)
     # stay IN-window instead ---

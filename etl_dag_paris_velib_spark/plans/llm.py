@@ -4241,3 +4241,171 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nn = ivf_all_nn(_emb(spark, sf_dir), nprobe=2)
     return nn.select("vec_id", "nn_id", F.round("score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# q162 — graph-ANN recall curve (k-NN graph + NSW beam search, beam sweep)
+# ---------------------------------------------------------------------------
+
+def _q162_cos(a_vec: str, b_vec: str) -> str:
+    return (
+        f"list_dot_product({a_vec}, {b_vec})"
+        f" / (sqrt(list_dot_product({a_vec}, {a_vec}))"
+        f" * sqrt(list_dot_product({b_vec}, {b_vec})))"
+    )
+
+
+def _q162_hop(i: int) -> str:
+    """One unrolled beam-search hop CTE: f{i} = per-(beam, query)
+    top-beam of f{i-1} ∪ neighbors(f{i-1}) — the exact monotone
+    recurrence operators/similarity.py:graph_beam_search_sweep runs."""
+    return f"""
+f{i} AS (
+  SELECT beam, q_id, vec_id, c FROM (
+    SELECT beam, q_id, vec_id, c,
+           row_number() OVER (PARTITION BY beam, q_id
+                              ORDER BY c DESC, vec_id) AS rn
+    FROM (
+      SELECT DISTINCT beam, q_id, vec_id, c FROM (
+        SELECT beam, q_id, vec_id, c FROM f{i - 1}
+        UNION ALL
+        SELECT h.beam, h.q_id, g.dst AS vec_id,
+               {_q162_cos('q.qv', 'eb.v')} AS c
+        FROM f{i - 1} h
+        JOIN g ON g.src = h.vec_id
+        JOIN q ON q.q_id = h.q_id
+        JOIN e eb ON eb.vec_id = g.dst
+        WHERE g.dst <> h.q_id
+      )
+    )
+  ) WHERE rn <= beam
+)"""
+
+
+@L.add(
+    "q162_graph_ann_recall",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+mn AS (SELECT min(vec_id) AS eid FROM e),
+g AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {_q162_cos('a.v', 'b.v')} DESC,
+                                       b.vec_id) AS rn
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id
+  ) WHERE rn <= 8
+),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e
+      WHERE vec_id > (SELECT eid FROM mn) ORDER BY vec_id LIMIT 8),
+beams(beam) AS (VALUES (4), (8), (16)),
+f0 AS (
+  SELECT b.beam, q.q_id, en.vec_id, {_q162_cos('q.qv', 'en.v')} AS c
+  FROM beams b CROSS JOIN q
+  JOIN e en ON en.vec_id = (SELECT eid FROM mn)
+),
+{','.join(_q162_hop(i) for i in (1, 2, 3, 4))},
+appr AS (
+  SELECT beam, q_id, vec_id FROM (
+    SELECT beam, q_id, vec_id,
+           row_number() OVER (PARTITION BY beam, q_id
+                              ORDER BY c DESC, vec_id) AS rn
+    FROM f4
+  ) WHERE rn <= 10
+),
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {_q162_cos('q.qv', 'e.v')} DESC,
+                                       e.vec_id) AS rn
+    FROM q, e WHERE e.vec_id <> q.q_id
+  ) WHERE rn <= 10
+),
+nq AS (SELECT count(*)::BIGINT AS n_queries FROM q),
+h AS (
+  SELECT a.beam, count(*)::BIGINT AS n_hits
+  FROM appr a JOIN exact x ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+  GROUP BY 1
+)
+SELECT b.beam, nq.n_queries,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       round(coalesce(h.n_hits, 0)::DOUBLE / (10.0 * nq.n_queries), 6)
+         AS recall_at_10
+FROM beams b CROSS JOIN nq LEFT JOIN h ON h.beam = b.beam
+""",
+    doc="Graph-based ANN — the family the IVF/SRP/PQ tier lacked (the "
+    "r11 verdict's stretch item): an exact top-8 cosine k-NN graph "
+    "(operators/similarity.py:knn_graph — the all_pairs_nn block-matmul "
+    "shape emitting per-cell top-g, one per-src window to finish) "
+    "searched by an NSW-style MONOTONE beam recurrence "
+    "(graph_beam_search_sweep): from the fixed min-id entry point, "
+    "C_{{i+1}} = top-beam(C_i ∪ neighbors(C_i)) for 4 hops, scores = "
+    "query cosine, ties by smaller id — swept over beam ∈ {{4, 8, 16}} "
+    "and graded as recall@10 of q22's brute-force exact top-10, the "
+    "q133 operating-curve pattern. Everything is deterministic BY "
+    "CONSTRUCTION (no random levels, fixed entry, fixed hop count), so "
+    "the DuckDB oracle replays the IDENTICAL recurrence as four "
+    "unrolled hop CTEs over the same SQL-derived graph and both engines "
+    "materialize approximate AND exact sets — a green row certifies "
+    "graph construction and search jointly, integer-exact (the only FP "
+    "division is the final recall ratio). Trajectories are not nested "
+    "across beams (unlike q133's probe sets), so each beam runs its own "
+    "recurrence against the ONE persisted adjacency. The queries are "
+    "the 8 smallest ids strictly above the entry id — derived, not "
+    "assumed, in both engines — so query/entry collision is impossible "
+    "and the self-row is excluded at every expansion. Serving scale: "
+    "the denormalized adjacency (graph_adjacency — edges carry dst "
+    "vectors, HNSW-style) means a hop is a broadcast-frontier join + "
+    "per-query window over <= beam*(g+1) rows; nothing corpus-sized "
+    "moves at serve time, and the exact GEMM builder swaps for "
+    "ivf_all_nn routing or NN-Descent at 100 TB behind the same edge "
+    "schema. Oracle cost note: the O(n^2) graph CTE only ever runs at "
+    "the differential tiers (sf <= 0.01, n <= 2000 vectors). Reference "
+    "counterpart: none (north-star extension).",
+    tags=("vector", "ann", "graph", "recall", "llm"),
+)
+def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import (
+        brute_force_topk,
+        graph_adjacency,
+        graph_beam_search_sweep,
+        graph_entry_point,
+        make_query_set,
+    )
+
+    beams = (4, 8, 16)
+    emb = _emb(spark, sf_dir)
+    entry = graph_entry_point(emb)
+    adj = graph_adjacency(emb, g=8)
+    qs = (
+        make_query_set(emb, F.lit(True))
+        .crossJoin(F.broadcast(entry.select("e_id")))
+        .filter(F.col("q_id") > F.col("e_id"))
+        .orderBy("q_id")
+        .limit(8)
+        .drop("e_id")
+    )
+    exact = brute_force_topk(emb, qs, k=10).select("q_id", "vec_id")
+    sweep = graph_beam_search_sweep(adj, entry, qs, beams=beams, hops=4, k=10)
+    hits = (
+        sweep.join(exact, ["q_id", "vec_id"])
+        .groupBy("beam")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    sdf = spark.createDataFrame([(int(b),) for b in beams], "beam int")
+    nq = qs.agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))
+    return (
+        sdf.crossJoin(F.broadcast(nq))
+        .join(hits, "beam", "left")
+        .select(
+            "beam",
+            "n_queries",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / (10.0 * F.col("n_queries")),
+                6,
+            ).alias("recall_at_10"),
+        )
+    )

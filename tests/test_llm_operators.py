@@ -1376,3 +1376,80 @@ def test_canary_cache_entries_survive_cap_pressure(spark):
     dedup.clear_cc_cache()
     assert not similarity._PAIR_CACHE.pins and not dedup._CC_CACHE.pins
     assert len(similarity._PAIR_CACHE) == 0 and len(dedup._CC_CACHE) == 0
+
+
+def test_knn_graph_matches_brute_force_per_node(spark):
+    """The exact k-NN graph (block-matmul cells + per-src merge window)
+    must equal brute_force_topk driven with queries = the whole corpus —
+    same scores, same tie-breaks — or the cell-local top-g / single-shard
+    ownership argument is wrong."""
+    from pyspark.sql import functions as F
+
+    from etl_dag_paris_velib_spark.operators.similarity import (
+        brute_force_topk,
+        knn_graph,
+        make_query_set,
+    )
+
+    emb = _emb(spark)
+    g = knn_graph(emb, g=5)
+    ref = brute_force_topk(
+        emb, make_query_set(emb, F.lit(True)), k=5
+    ).select(
+        F.col("q_id").alias("src"), F.col("vec_id").alias("dst"), "score"
+    )
+    sym_diff = g.select("src", "dst").exceptAll(
+        ref.select("src", "dst")
+    ).unionAll(ref.select("src", "dst").exceptAll(g.select("src", "dst")))
+    assert sym_diff.count() == 0
+    n = emb.count()
+    assert g.count() == n * 5
+    # per-src ranks are the same scores brute force computed
+    joined = g.join(ref, ["src", "dst"])
+    assert joined.filter(
+        F.abs(g["score"] - ref["score"]) > 1e-12
+    ).count() == 0
+
+
+def test_graph_beam_search_sweep_invariants(spark):
+    """Per (beam, query): at most min(beam, k) results, never the query
+    itself, every id a real corpus member, and the whole sweep is
+    deterministic across two runs (fixed entry, no RNG anywhere)."""
+    from pyspark.sql import functions as F
+
+    from etl_dag_paris_velib_spark.operators.similarity import (
+        graph_adjacency,
+        graph_beam_search_sweep,
+        graph_entry_point,
+        make_query_set,
+    )
+
+    emb = _emb(spark)
+    entry = graph_entry_point(emb)
+    adj = graph_adjacency(emb, g=4)
+    qs = (
+        make_query_set(emb, F.lit(True))
+        .crossJoin(F.broadcast(entry.select("e_id")))
+        .filter(F.col("q_id") > F.col("e_id"))
+        .orderBy("q_id")
+        .limit(4)
+        .drop("e_id")
+    )
+
+    def run():
+        return graph_beam_search_sweep(
+            adj, entry, qs, beams=(2, 6), hops=3, k=5
+        )
+
+    out = run().collect()
+    got = {(r.beam, r.q_id, r.vec_id) for r in out}
+    assert len(got) == len(out)  # no duplicate results
+    assert got == {(r.beam, r.q_id, r.vec_id) for r in run().collect()}
+    corpus_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    from collections import Counter
+
+    per_bq = Counter((b, q) for b, q, _ in got)
+    for (b, q), cnt in per_bq.items():
+        assert cnt <= min(b, 5)
+    for b, q, v in got:
+        assert v != q and v in corpus_ids

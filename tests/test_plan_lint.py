@@ -66,6 +66,12 @@ BNLJ_WHITELIST = {
     "q134_srp_recall_curve": "q22's query-vector broadcast, the 4-row "
     "band-settings broadcast, and the 1-row query-count broadcast — "
     "all bounded, data-independent build sides",
+    "q162_graph_ann_recall": "the 1-row entry-point broadcast crossed "
+    "onto the 8-row query set (search init), the 1-row entry-id "
+    "broadcast gating query selection, the 8-row query-vector "
+    "broadcast (exact leg), and the 1-row query-count broadcast — all "
+    "bounded, data-independent build sides; every hop's frontier join "
+    "is a keyed broadcast-hash join, not BNLJ",
     "q136_pq_adc_recall": "the 3-row (m, subdim) settings / subspace-grid "
     "broadcasts, the fixed-size sub-codebook broadcast (encode + LUT "
     "legs), the |Q|-row query broadcast, and the 1-row query-count "

@@ -87,6 +87,7 @@ HEADLINE = (
     "q159_drift_rebuild_ivf",     # drift monitor -> codebook retrain (r12)
     "q160_stream_sliding_rollup",  # overlapping streaming window state (r12)
     "q161_stream_session_rollup",  # merging session-window state (r12)
+    "q162_graph_ann_recall",       # k-NN graph build + NSW beam sweep (r12)
 )
 
 SFS = ("0.001", "0.01", "0.1", "1.0", "3.0", "10.0")

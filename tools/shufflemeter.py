@@ -150,6 +150,14 @@ def main() -> None:
             "spark.driver.memory": os.environ.get(
                 "SPARK_GRAFT_DRIVER_MEM", "12g"
             ),
+            # the full-ledger sweep runs >1000 jobs / >2000 stages; the
+            # UI store's default retention (1000/1000) evicts the
+            # EARLIEST queries' jobs before the REST read, silently
+            # dropping their rows (observed r12: the first 16 HEADLINE
+            # rows vanished once q162's lazy-persist hops pushed the
+            # job count over the cap)
+            "spark.ui.retainedJobs": "100000",
+            "spark.ui.retainedStages": "100000",
         }
     )
     per_query = measure_queries(spark, names, sf_dir)

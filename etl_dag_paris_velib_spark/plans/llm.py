@@ -4282,9 +4282,12 @@ f{i} AS (
 )"""
 
 
-@L.add(
-    "q162_graph_ann_recall",
-    oracle=f"""
+#: q162's full oracle, shared VERBATIM by q164 (the stored-adjacency
+#: serving spec): the graph is a deterministic function of the corpus,
+#: so writing it to parquet and reading it back must not change a
+#: single result row — same equality-of-oracles pattern as q158
+#: importing q154's (plans/streamq.py).
+_Q162_ORACLE = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 mn AS (SELECT min(vec_id) AS eid FROM e),
 g AS (
@@ -4333,7 +4336,12 @@ SELECT b.beam, nq.n_queries,
        round(coalesce(h.n_hits, 0)::DOUBLE / (10.0 * nq.n_queries), 6)
          AS recall_at_10
 FROM beams b CROSS JOIN nq LEFT JOIN h ON h.beam = b.beam
-""",
+"""
+
+
+@L.add(
+    "q162_graph_ann_recall",
+    oracle=_Q162_ORACLE,
     doc="Graph-based ANN — the family the IVF/SRP/PQ tier lacked (the "
     "r11 verdict's stretch item): an exact top-8 cosine k-NN graph "
     "(operators/similarity.py:knn_graph — the all_pairs_nn block-matmul "
@@ -4388,6 +4396,208 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = brute_force_topk(emb, qs, k=10).select("q_id", "vec_id")
     sweep = graph_beam_search_sweep(adj, entry, qs, beams=beams, hops=4, k=10)
+    hits = (
+        sweep.join(exact, ["q_id", "vec_id"])
+        .groupBy("beam")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    sdf = spark.createDataFrame([(int(b),) for b in beams], "beam int")
+    nq = qs.agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))
+    return (
+        sdf.crossJoin(F.broadcast(nq))
+        .join(hits, "beam", "left")
+        .select(
+            "beam",
+            "n_queries",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / (10.0 * F.col("n_queries")),
+                6,
+            ).alias("recall_at_10"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q163 — NN-Descent convergence curve (approximate graph build vs exact)
+# ---------------------------------------------------------------------------
+
+def _q163_round(i: int) -> str:
+    """One unrolled NN-Descent round: the LOCAL JOIN candidate set
+    (current ∪ reverse ∪ co-neighbors through any shared anchor) scored
+    with the exact cosine, top-8 per src — the recurrence
+    operators/similarity.py:nn_descent_rounds runs."""
+    return f"""
+u{i} AS (SELECT src AS u, dst AS x FROM g{i - 1}
+         UNION ALL SELECT dst, src FROM g{i - 1}),
+c{i} AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM g{i - 1}
+    UNION ALL SELECT u AS src, x AS dst FROM u{i}
+    UNION ALL SELECT a.x AS src, b.x AS dst FROM u{i} a JOIN u{i} b ON a.u = b.u
+  ) WHERE src <> dst
+),
+g{i} AS (
+  SELECT src, dst FROM (
+    SELECT c.src, c.dst,
+           row_number() OVER (PARTITION BY c.src
+                              ORDER BY {_q162_cos('ea.v', 'eb.v')} DESC,
+                                       c.dst) AS rn
+    FROM c{i} c JOIN e ea ON ea.vec_id = c.src
+    JOIN e eb ON eb.vec_id = c.dst
+  ) WHERE rn <= 8
+)"""
+
+
+@L.add(
+    "q163_nn_descent_curve",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+xg AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {_q162_cos('a.v', 'b.v')} DESC,
+                                       b.vec_id) AS rn
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id
+  ) WHERE rn <= 8
+),
+mx AS (SELECT max(vec_id) + 1 AS n FROM e),
+g0 AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT a.vec_id AS src,
+           (('0x' || substr(md5(a.vec_id::VARCHAR || ':' || s.j::VARCHAR),
+                            1, 15))::UBIGINT % mx.n)::BIGINT AS dst
+    FROM e a CROSS JOIN generate_series(1, 8) s(j) CROSS JOIN mx
+  ) sd JOIN e b ON b.vec_id = sd.dst
+  WHERE src <> dst
+),
+{','.join(_q163_round(i) for i in (1, 2))},
+nx AS (SELECT count(*)::BIGINT AS n_exact FROM xg),
+h AS (
+  SELECT 0 AS rnd, count(*)::BIGINT AS n_hits
+  FROM g0 JOIN xg ON g0.src = xg.src AND g0.dst = xg.dst
+  UNION ALL
+  SELECT 1, count(*)::BIGINT FROM g1 JOIN xg ON g1.src = xg.src AND g1.dst = xg.dst
+  UNION ALL
+  SELECT 2, count(*)::BIGINT FROM g2 JOIN xg ON g2.src = xg.src AND g2.dst = xg.dst
+)
+SELECT h.rnd, nx.n_exact, h.n_hits,
+       round(h.n_hits::DOUBLE / nx.n_exact, 6) AS edge_recall
+FROM h CROSS JOIN nx
+""",
+    doc="NN-Descent (Dong et al., WWW'11) as the 100 TB k-NN-graph "
+    "builder q162's exact GEMM documents as its scale replacement — "
+    "made fully DETERMINISTIC (the portable-md5 pseudo-random seed — "
+    "the q64/q104 idiom — instead of RNG init; an id-stride seed was "
+    "measured to kill convergence outright, its 2-hop neighborhoods "
+    "are just wider id intervals; smaller-dst tie-breaks) so the "
+    "DuckDB oracle replays the IDENTICAL "
+    "recurrence: two unrolled LOCAL-JOIN rounds (candidates = current "
+    "∪ reverse ∪ co-neighbors through any shared anchor — fwd∘fwd, "
+    "fwd∘rev, rev∘fwd, rev∘rev in one self-join; a fwd-only two-hop "
+    "propagates ~2x slower per round, measured) scored with the exact "
+    "cosine, top-8 per src. Graded as the per-round EDGE RECALL vs the "
+    "exact top-8 graph — the convergence curve certified edge-for-edge, "
+    "integers only (the single FP division is the final ratio). The "
+    "sf0.01 tier is angle-uniform 64-dim — NN-Descent's HARD regime, "
+    "little locality to exploit — and the measured curve is "
+    "0.014 -> 0.40 -> 0.62 from the md5 seed; on clustered geometry "
+    "the same operator passes 0.7 by round 2 — pinned by "
+    "tests/test_llm_operators.py::"
+    "test_nn_descent_converges_on_clustered_geometry (20 planted "
+    "clusters: round-2 recall >= 0.7 vs round-0 < 0.1). Scale: a round "
+    "is O(n*g^2) candidate rows through two corpus hash joins and one "
+    "per-src window — LINEAR in n vs the GEMM's O(n^2); no pandas UDF "
+    "anywhere in the lineage, so per-round graphs plain-persist. The "
+    "exact leg reuses q162's persisted adjacency via CacheManager "
+    "plan-dedup when both run in one session. Reference counterpart: "
+    "none (north-star extension).",
+    tags=("vector", "ann", "graph", "recall", "llm"),
+)
+def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import graph_adjacency, nn_descent_rounds
+
+    emb = _emb(spark, sf_dir)
+    exact = graph_adjacency(emb, g=8).select("src", "dst")
+    rounds = nn_descent_rounds(emb, g=8, rounds=2)
+    nx = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    per_round = None
+    for r, gdf in enumerate(rounds):
+        h = (
+            gdf.join(exact, ["src", "dst"])
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+            .select(F.lit(int(r)).alias("rnd"), "n_hits")
+        )
+        per_round = h if per_round is None else per_round.unionByName(h)
+    return per_round.crossJoin(F.broadcast(nx)).select(
+        "rnd",
+        "n_exact",
+        "n_hits",
+        F.round(F.col("n_hits").cast("double") / F.col("n_exact"), 6).alias(
+            "edge_recall"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q164 — graph-ANN serving from the STORED adjacency (parquet round-trip)
+# ---------------------------------------------------------------------------
+@L.add(
+    "q164_graph_ann_from_stored_index",
+    oracle=_Q162_ORACLE,
+    doc="q162's beam-search sweep served from a PARQUET-STORED adjacency "
+    "— the graph-ANN family joins the repo's stored-index lifecycle "
+    "(q144/q156 band+hash tables, q157 codebook+lists): build the "
+    "denormalized adjacency once, write it out, and run every search "
+    "against the READ-BACK table with zero lineage to the in-memory "
+    "build (the q156 zero-reshingle pattern applied to vectors). The "
+    "oracle is q162's VERBATIM (_Q162_ORACLE, imported not copied — "
+    "the q158/q154 equality-of-oracles pattern): the graph is a "
+    "deterministic function of the corpus, so storage must not change "
+    "a single result row — a green row certifies the parquet "
+    "round-trip preserves the index exactly (vector arrays included) "
+    "AND that serving needs nothing but the stored table: at 100 TB "
+    "the adjacency lives bucketed by src in object storage, searchers "
+    "mount it read-only, and no executor ever re-scores the corpus. "
+    "Per-call unique dir + exit-time cleanup (the q144 protocol). "
+    "Reference counterpart: none (north-star extension).",
+    tags=("vector", "ann", "graph", "storage", "llm"),
+)
+def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import (
+        brute_force_topk,
+        graph_adjacency,
+        graph_beam_search_sweep,
+        graph_entry_point,
+        make_query_set,
+    )
+
+    beams = (4, 8, 16)
+    emb = _emb(spark, sf_dir)
+    entry = graph_entry_point(emb)
+    root = tempfile.mkdtemp(prefix="sg_q164_graph_index_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    graph_adjacency(emb, g=8).write.parquet(os.path.join(root, "adjacency"))
+    stored_adj = spark.read.parquet(os.path.join(root, "adjacency"))
+    qs = (
+        make_query_set(emb, F.lit(True))
+        .crossJoin(F.broadcast(entry.select("e_id")))
+        .filter(F.col("q_id") > F.col("e_id"))
+        .orderBy("q_id")
+        .limit(8)
+        .drop("e_id")
+    )
+    exact = brute_force_topk(emb, qs, k=10).select("q_id", "vec_id")
+    sweep = graph_beam_search_sweep(
+        stored_adj, entry, qs, beams=beams, hops=4, k=10
+    )
     hits = (
         sweep.join(exact, ["q_id", "vec_id"])
         .groupBy("beam")

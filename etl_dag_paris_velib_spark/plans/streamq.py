@@ -812,8 +812,8 @@ def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q161_stream_session_rollup",
     oracle="""
 WITH o AS (
-  SELECT user_id, ts, value,
-         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+  SELECT user_id, ts, value, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
   FROM events
 ),
 m AS (
@@ -823,7 +823,7 @@ m AS (
   FROM o
 ),
 s AS (
-  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING) AS sid
   FROM m
 )
@@ -849,8 +849,13 @@ FROM s GROUP BY user_id, sid
     "cumulative-sum session ids, then min/max/count/sum per island. "
     "Session bounds hash as epoch seconds: start = first event ts "
     "(floor), end = last ts + gap (floor commutes over the integer "
-    "shift). Tie-safety: same-ts events diff 0 < gap, so they land in "
-    "one island whatever order lag visits them. State is one row per "
+    "shift). Tie-safety: same-ts events diff 0 < gap, so no break can "
+    "fall between them — and BOTH windows order by (ts, event_id), a "
+    "total order, because lag and the island cumsum are independent "
+    "window evaluations: with ORDER BY ts alone, two same-ts rows "
+    "right after a gap jump could be visited brk-carrier-first by lag "
+    "but carrier-LAST by the cumsum, splitting the pair across "
+    "islands. State is one row per "
     "OPEN session per user, merged in the state store "
     "(MergingSessionsExec) and watermark-evicted in production "
     "append/update modes; complete-mode memory sink is the harness "

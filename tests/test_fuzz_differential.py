@@ -2628,3 +2628,148 @@ def _compare_stream(engines, build, duck_sql: str) -> None:
 def test_fuzzed_stream_batch_matches_duckdb(engines, seed):
     build, duck_sql = _gen_stream_config(random.Random(33000 + seed))
     _compare_stream(engines, build, duck_sql)
+
+
+# ---------------------------------------------------------------------------
+# grammar #26 — streaming SESSION-window/batch equivalence (q161 companion)
+# ---------------------------------------------------------------------------
+
+#: session gap pool (whole seconds): spans dense-regime gaps (5 min — at
+#: sf0.01 most per-user deltas chain) through sparse ones (2 h — nearly
+#: every event its own session), so the sweep exercises both heavy
+#: merging and heavy splitting in MergingSessionsExec.
+_SESSION_GAPS_26 = [5 * 60, 13 * 60, 30 * 60, 3600, 2 * 3600]
+#: session partition keys: per-user (q161's shape), per-type (few
+#: partitions, many intra-partition ts TIES — the island construction's
+#: hard case), composite, and the DERIVED 2-bucket key u2 = user_id % 2
+#: (near-global merged timelines with maximal tie density; a truly
+#: keyless session_window is rejected by Spark's streaming planner —
+#: "Global aggregation with session window ... is not supported", and a
+#: constant literal key is folded away and rejected identically, so the
+#: derived key is the closest supported global shape).
+_SESSION_KEYS_26 = [
+    ("user_id",),
+    ("event_type",),
+    ("user_id", "event_type"),
+    ("u2",),
+]
+
+
+def _gen_session_config(rng: random.Random):
+    """Streaming SESSION-window/batch equivalence (grammar #26): q161's
+    harness shape — readStream over events → watermark →
+    ``session_window(gap)`` × keys → availableNow drain — grammar-swept
+    over gap sizes, partition-key choices (incl. the keyless global
+    timeline), watermark delays (inert for complete-mode drains, the
+    proven #25 property — swept to assert it), and aggregate sets.
+
+    The batch replay is q161's island construction, parameterized: per
+    key group, ``lag(ts)`` marks a break when the MICROSECOND-exact gap
+    (epoch_us) reaches the threshold, a running sum of breaks labels
+    islands, and min/max/count/value-aggs per island rebuild the session
+    rows (end = max(ts) + gap; bounds hash as epoch seconds — floor
+    commutes over the integer gap shift). BOTH windows order by
+    (ts, event_id) — a TOTAL order. This is load-bearing, not style:
+    lag and the island cumsum are independent window evaluations, and
+    with ORDER BY ts alone two same-ts rows right after a gap jump may
+    be visited carrier-first by lag but carrier-last by the cumsum,
+    splitting the pair across islands. The per-type and global keys make
+    same-ts rows COMMON (every concurrent user collides), so this
+    grammar sweeps exactly the tie regime the per-user spec rarely hits.
+    Island aggregates themselves are order-free (min/max/count/sum).
+
+    Offline sweep record: seeds 34000-34999 (1,000 configs) at sf0.01 —
+    ZERO divergences (tools/fuzz_sweep_26.py replays it).
+    """
+    from pyspark.sql import functions as F
+
+    from etl_dag_paris_velib_spark.plans.streamq import _events_stream
+
+    gap = rng.choice(_SESSION_GAPS_26)
+    keys = rng.choice(_SESSION_KEYS_26)
+    delay = rng.choice(_DELAYS_25)
+    aggs = rng.choice(
+        [
+            ("count",),
+            ("count", "sum"),
+            ("count", "min", "max"),
+            ("sum", "max"),
+        ]
+    )
+
+    def agg_exprs():
+        out = []
+        if "count" in aggs:
+            out.append(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        if "sum" in aggs:
+            out.append(F.round(F.sum("value"), 2).alias("total_value"))
+        if "min" in aggs:
+            out.append(F.round(F.min("value"), 2).alias("min_value"))
+        if "max" in aggs:
+            out.append(F.round(F.max("value"), 2).alias("max_value"))
+        return out
+
+    def agg_sql():
+        out = []
+        if "count" in aggs:
+            out.append("count(*)::BIGINT AS n_events")
+        if "sum" in aggs:
+            out.append("round(sum(value), 2) AS total_value")
+        if "min" in aggs:
+            out.append("round(min(value), 2) AS min_value")
+        if "max" in aggs:
+            out.append("round(max(value), 2) AS max_value")
+        return ", ".join(out)
+
+    def build(spark, keys=keys):
+        s = _events_stream(spark, SF_ORACLE)
+        if "u2" in keys:
+            s = s.withColumn("u2", (F.col("user_id") % 2).cast("bigint"))
+        g = [F.session_window("ts", f"{gap} seconds").alias("w")] + [
+            F.col(k) for k in keys
+        ]
+        agg = s.withWatermark("ts", delay).groupBy(*g).agg(*agg_exprs())
+        rest = [c for c in agg.columns if c not in ("w",) + keys]
+        return agg.select(
+            *keys,
+            F.col("w.start").cast("long").alias("ss"),
+            F.col("w.end").cast("long").alias("se"),
+            *rest,
+        )
+
+    src = (
+        "(SELECT *, (user_id % 2)::BIGINT AS u2 FROM events)"
+        if "u2" in keys
+        else "events"
+    )
+    kcols = ", ".join(keys)
+    part = f"PARTITION BY {kcols} " if keys else ""
+    sel_keys = f"{kcols}, " if keys else ""
+    duck = f"""
+WITH o AS (
+  SELECT {sel_keys}ts, value, event_id,
+         lag(ts) OVER ({part}ORDER BY ts, event_id) AS pts
+  FROM {src}
+),
+m AS (
+  SELECT *, CASE WHEN pts IS NULL
+                   OR epoch_us(ts) - epoch_us(pts) >= {gap * 1000000}
+                 THEN 1 ELSE 0 END AS brk
+  FROM o
+),
+s AS (
+  SELECT *, sum(brk) OVER ({part}ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT {sel_keys}floor(epoch(min(ts)))::BIGINT AS ss,
+       floor(epoch(max(ts)))::BIGINT + {gap} AS se, {agg_sql()}
+FROM s GROUP BY {sel_keys}sid
+"""
+    return build, duck
+
+
+@pytest.mark.parametrize("seed", list(range(15)))
+def test_fuzzed_session_window_matches_duckdb(engines, seed):
+    build, duck_sql = _gen_session_config(random.Random(34000 + seed))
+    _compare_stream(engines, build, duck_sql)

@@ -72,6 +72,12 @@ BNLJ_WHITELIST = {
     "broadcast (exact leg), and the 1-row query-count broadcast — all "
     "bounded, data-independent build sides; every hop's frontier join "
     "is a keyed broadcast-hash join, not BNLJ",
+    "q163_nn_descent_curve": "the 1-row (max_id+1) broadcast crossed "
+    "onto the md5-seed fan-out (q50's bounds pattern) and the 1-row "
+    "exact-edge-count broadcast; every candidate/scoring join is keyed",
+    "q164_graph_ann_from_stored_index": "q162's bounded broadcasts "
+    "verbatim — the search runs over the parquet-read adjacency, same "
+    "init/entry/query-count 1-to-8-row build sides",
     "q136_pq_adc_recall": "the 3-row (m, subdim) settings / subspace-grid "
     "broadcasts, the fixed-size sub-codebook broadcast (encode + LUT "
     "legs), the |Q|-row query broadcast, and the 1-row query-count "

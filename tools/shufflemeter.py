@@ -61,6 +61,10 @@ LEDGER_EXTRA = (
     "q155_window_frame_matrix",
     "q156_purge_from_stored_index",
     "q157_incremental_ivf",
+    # r12 ledger additions: the graph-ANN builder/serving paths (q162
+    # itself earns a SCALING row via HEADLINE)
+    "q163_nn_descent_curve",
+    "q164_graph_ann_from_stored_index",
 )
 
 

@@ -190,8 +190,14 @@ def render_line(total, short, sf, regressions, limit=1800):
             "unit": "sec",
             "queries": q,
             "sf": sf,
-            "regressions": regressions,
         }
+        # an empty regressions list is pure overhead on a line that must
+        # fit the driver's 2000-char tail window: at 165 specs the 17
+        # chars of '"regressions":[]' are the difference between a
+        # complete per-query map and an omission count (r12). The key
+        # appears whenever there is something to report.
+        if regressions:
+            payload["regressions"] = regressions
         if omitted:
             payload["queries_omitted"] = omitted
         # compact separators: the default ", " rendering overflows the

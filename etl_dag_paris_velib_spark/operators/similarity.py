@@ -1830,12 +1830,12 @@ def graph_beam_search_sweep(
     hop counts on a single machine; here each hop is one bounded
     DISTRIBUTED join, and the hop count is a fixed parameter).
 
-    Scale shape: the frontier is |queries| × beam rows — broadcast
+    Scale shape: the frontier is |queries| × Σbeam rows — broadcast
     small by construction — so every hop is a broadcast-frontier join
     against the adjacency (partition-prunable on ``src``), one tiny
-    distinct, and a per-query window over ≤ beam × (g+1) rows. Nothing
-    scales with the corpus at serve time. Each hop's frontier is
-    LAZILY persisted (and tracked): hop i+1 references hop i twice
+    distinct, and a per-(beam, query) window over ≤ beam × (g+1) rows.
+    Nothing scales with the corpus at serve time. Each hop's frontier
+    is LAZILY persisted (and tracked): hop i+1 references hop i twice
     (carry-over union + expansion), so without the cache boundary the
     plan re-expands the whole prefix 2^i times; lazy persist keeps it
     one materialization per hop inside a SINGLE final job — the eager
@@ -1845,13 +1845,28 @@ def graph_beam_search_sweep(
     carries the GEMM's applyInPandas, which plain ``persist()`` cannot
     safely cache twice in one session (the repo-wide Spark 4.1.2
     gotcha). Beam trajectories are NOT nested (a wider beam can visit
-    different nodes), so unlike q133's nprobe sweep each beam runs its
-    own recurrence — against the one shared persisted adjacency.
+    different nodes), so each beam needs its own recurrence state —
+    but the recurrences are INDEPENDENT per (beam, query), so all
+    beams advance through ONE shared hop chain with ``beam`` as a
+    frontier column (exactly how the DuckDB oracle's hop CTEs carry
+    it): per fixed beam the rows evolve identically to a solo run —
+    the union, the distinct, and the (beam, q_id)-partitioned window
+    never mix beams — while the job count drops from |beams| × hops
+    chained stages to hops (r12: 12 persisted frontiers → 4, one
+    adjacency join per hop instead of three; measured same-session
+    q164 10.5s → 6.3s, q162 16.8s → 13.4s — q162's residual is the
+    one-time GEMM index build, not the search; plan diff in
+    plans/r12/).
     """
+    spark = queries.sparkSession
     adjacency = track_persist(_persist_udf_cache(adjacency))
-    sweep = None
-    wq = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
-    f0 = track_persist(
+    beams_df = spark.createDataFrame(
+        [(int(b),) for b in beams], "beam int"
+    )
+    wq = Window.partitionBy("beam", "q_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    frontier = track_persist(
         queries.crossJoin(F.broadcast(entry))
         .filter(F.col("e_id") != F.col("q_id"))
         .select(
@@ -1861,38 +1876,36 @@ def graph_beam_search_sweep(
             F.col("e_id").alias("vec_id"),
             _cos(F.col("qv"), "nq", F.col("ev"), "en"),
         )
+        .crossJoin(F.broadcast(beams_df))
         .persist()
     )
-    for b in beams:
-        frontier = f0
-        for _ in range(int(hops)):
-            expanded = (
-                frontier.select("q_id", "qv", "nq", "vec_id")
-                .join(adjacency, F.col("vec_id") == F.col("src"))
-                .filter(F.col("dst") != F.col("q_id"))
-                .select(
-                    "q_id",
-                    "qv",
-                    "nq",
-                    F.col("dst").alias("vec_id"),
-                    _cos(F.col("qv"), "nq", F.col("dv"), "dn"),
-                )
+    for _ in range(int(hops)):
+        expanded = (
+            frontier.select("beam", "q_id", "qv", "nq", "vec_id")
+            .join(adjacency, F.col("vec_id") == F.col("src"))
+            .filter(F.col("dst") != F.col("q_id"))
+            .select(
+                "beam",
+                "q_id",
+                "qv",
+                "nq",
+                F.col("dst").alias("vec_id"),
+                _cos(F.col("qv"), "nq", F.col("dv"), "dn"),
             )
-            frontier = track_persist(
-                frontier.unionByName(expanded)
-                .distinct()
-                .withColumn("_rn", F.row_number().over(wq))
-                .filter(F.col("_rn") <= int(b))
-                .drop("_rn")
-                .persist()
-            )
-        res = (
-            frontier.withColumn("_rn", F.row_number().over(wq))
-            .filter(F.col("_rn") <= int(k))
-            .select(F.lit(int(b)).alias("beam"), "q_id", "vec_id")
         )
-        sweep = res if sweep is None else sweep.unionByName(res)
-    return sweep
+        frontier = track_persist(
+            frontier.unionByName(expanded)
+            .distinct()
+            .withColumn("_rn", F.row_number().over(wq))
+            .filter(F.col("_rn") <= F.col("beam"))
+            .drop("_rn")
+            .persist()
+        )
+    return (
+        frontier.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= int(k))
+        .select("beam", "q_id", "vec_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -182,41 +182,49 @@ def near_dup_components(
         .select(F.col("src").alias("id"), F.col("src").alias("label"))
         .persist()
     )
-    # labels only ever decrease, so the label sum is a monotone potential:
-    # an unchanged sum means fixpoint. Summed as decimal(38,0) — an int64
-    # sum could wrap under non-ANSI mode at extreme id*node scales and
-    # fake an unchanged potential. Each iteration localCheckpoints its
-    # result: without lineage truncation the logical plan doubles per
-    # round (L' = L ⋈ f(L)) and the analyzer, not the data, becomes the
-    # bottleneck — the canonical Spark iterative-algorithm trap.
-    _dsum = F.sum(F.col("label").cast("decimal(38,0)"))
-    prev_sum = labels.agg(_dsum).first()[0]
+    # labels only ever decrease, so "no row changed this round" is the
+    # exact fixpoint test — checked per ROW (new != old), not via a sum
+    # potential, so there is no overflow to guard and no baseline sum to
+    # measure. Each iteration localCheckpoints its result: without
+    # lineage truncation the logical plan doubles per round
+    # (L' = L ⋈ f(L)) and the analyzer, not the data, becomes the
+    # bottleneck — the canonical Spark iterative-algorithm trap. The
+    # checkpoint is LAZY (eager=False) and the changed-row count is the
+    # first action over it, so one round costs ONE job — materialize +
+    # fixpoint test together — where the r11 shape paid two per round
+    # (eager checkpoint, then a sum) plus an up-front baseline-sum job
+    # (guide §1/§5: the driver round-trips, not the data, dominate
+    # these small iterative graphs; measured ~2x fewer jobs per
+    # components call across the q152–q158 lifecycle).
+    held = labels  # the storage-holding handle a round must release
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
+                F.col("label").alias("_old"),
                 F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
                     "label"
                 ),
             )
-            .localCheckpoint()  # eager; truncates lineage + caches
+            .localCheckpoint(eager=False)  # truncates lineage; caches on
+            # first action (the count below), costing zero extra jobs
         )
-        new_sum = new_labels.agg(_dsum).first()[0]
-        labels.unpersist()
-        labels = new_labels
-        if new_sum == prev_sum:
+        n_changed = stepped.filter(F.col("label") != F.col("_old")).count()
+        held.unpersist()
+        held = stepped
+        labels = stepped.select("id", "label")
+        if n_changed == 0:
             break
-        prev_sum = new_sum
     else:
         # exiting without the break = non-fixpoint: some cluster's diameter
         # exceeds the budget and its labels are WRONG, not approximate
-        labels.unpersist()
+        held.unpersist()
         edges.unpersist()
         raise RuntimeError(
             f"near_dup_components did not converge in {max_iterations} "

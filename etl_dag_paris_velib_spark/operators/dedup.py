@@ -190,28 +190,44 @@ def near_dup_components(
     # (L' = L ⋈ f(L)) and the analyzer, not the data, becomes the
     # bottleneck — the canonical Spark iterative-algorithm trap. The
     # checkpoint is LAZY (eager=False) and the changed-row count is the
-    # first action over it, so one round costs ONE job — materialize +
-    # fixpoint test together — where the r11 shape paid two per round
-    # (eager checkpoint, then a sum) plus an up-front baseline-sum job
-    # (guide §1/§5: the driver round-trips, not the data, dominate
-    # these small iterative graphs; measured ~2x fewer jobs per
-    # components call across the q152–q158 lifecycle).
+    # first action over it, so one round costs ONE driver action —
+    # materialize + fixpoint test together — where the r11 shape paid
+    # two per round (eager checkpoint, then a sum) plus an up-front
+    # baseline-sum job.
+    # One round = ONE join + ONE map-side-combinable aggregation (r12).
+    # The r11 shape ran three shuffling operators per round (neighbor
+    # join, groupBy-min, left-join-back onto the old labels); appending
+    # a SELF-LOOP row per node to the (symmetric, persisted) edge list
+    # folds all three into a single groupBy(src): the self-loop row
+    # carries label[src], so min(label) over the group is exactly
+    # least(old, neighbor-min), the conditional min over the self-loop
+    # row recovers the old label for the fixpoint test, and no node can
+    # drop out (every src has its self-loop row — what the left join
+    # used to guarantee). Partial aggregation shrinks what the round
+    # shuffles to one (src, partial-min) row per map partition per src
+    # (guide §2.3/§2.4); measured per-CC-call AQE job count 29–37 →
+    # 23–30 across the q152–q158 lifecycle with identical labels, and
+    # local sf0.1 wall time UNCHANGED within host noise — this is a
+    # plan-shape win (2 exchanges/round instead of 3–4, partial agg
+    # before the shuffle), not a local-latency one. Path compression
+    # (label ← label[label]) was tried and REVERTED: the planted
+    # near-dup clusters converge in 2 rounds, so the extra join per
+    # round cost more than the rounds it could save.
+    edges_self = edges.unionByName(
+        labels.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+    ).persist()
     held = labels  # the storage-holding handle a round must release
     for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
-        )
         stepped = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.col("label").alias("_old"),
-                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
-                    "label"
-                ),
+            edges_self.join(labels, edges_self.dst == labels.id)
+            .groupBy("src")
+            .agg(
+                F.min(
+                    F.when(F.col("dst") == F.col("src"), F.col("label"))
+                ).alias("_old"),
+                F.min("label").alias("label"),
             )
+            .select(F.col("src").alias("id"), "_old", "label")
             .localCheckpoint(eager=False)  # truncates lineage; caches on
             # first action (the count below), costing zero extra jobs
         )
@@ -225,12 +241,14 @@ def near_dup_components(
         # exiting without the break = non-fixpoint: some cluster's diameter
         # exceeds the budget and its labels are WRONG, not approximate
         held.unpersist()
+        edges_self.unpersist()
         edges.unpersist()
         raise RuntimeError(
             f"near_dup_components did not converge in {max_iterations} "
             "iterations — raise max_iterations (diameter exceeds budget) "
             "or use method='star' (diameter-independent)"
         )
+    edges_self.unpersist()
     edges.unpersist()
     out = labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
     if cache_key is not None:

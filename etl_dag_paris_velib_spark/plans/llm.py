@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cacheutil import track_persist
 from ..operators.dedup import bow_dedup, exact_dedup
 from ..operators.similarity import (
     all_pairs_nn,
@@ -2380,10 +2381,19 @@ def _bm25_batch_ranked(
         F.size("tk").cast("long").alias("dl"),
         F.explode("tk").alias("term"),
     )
-    tf = (
+    # tf is consumed twice (idf aggregation + the contrib join below);
+    # without the persist the full tokenize → explode → broadcast-join
+    # corpus pass appears TWICE in the physical plan — Spark does no
+    # common-subplan elimination across branches (guide §5: cache only
+    # what is reused AND expensive to recompute — tf is query-matched
+    # rows only, O(|queries| x matching docs), bounded at any corpus
+    # size). r12: one corpus scan removed from every BM25-family spec
+    # (q130/q137/q138/q142).
+    tf = track_persist(
         exploded.join(F.broadcast(q), "term")
         .groupBy("qid", "doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        .persist()
     )
     idf = tf.groupBy("qid", "term").agg(F.count(F.lit(1)).alias("df"))
     contrib = (
@@ -3433,13 +3443,19 @@ def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
     tdist = tk.select(
         "doc_id", F.explode(F.array_distinct("tk")).alias("term")
     )
-    rel = (
+    # rel feeds three branches (hits, and n_relevant below) and hits two
+    # (mrr + dcg); unpersisted, the final plan would contain the
+    # relevance corpus scan 3x and the whole BM25 scorer 2x — persist
+    # the two tiny (qid, doc_id)/(qid, rnk) frames instead (guide §5;
+    # both are O(|queries| x k)-bounded at any corpus size)
+    rel = track_persist(
         tdist.join(F.broadcast(qdf), "term")
         .groupBy("qid", "doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
         .join(F.broadcast(qsize), "qid")
         .filter(F.col("n_hit") == F.col("n_terms_q"))
         .select("qid", "doc_id")
+        .persist()
     )
     bm = _bm25_batch_ranked(spark, sf_dir, qrows, k=20).select(
         "qid", "doc_id", "rnk"
@@ -3448,7 +3464,9 @@ def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r, 1.0 / math.log2(r + 1)) for r in range(1, 21)],
         "rnk long, w double",
     )
-    hits = bm.join(rel, ["qid", "doc_id"]).select("qid", "rnk")
+    hits = track_persist(
+        bm.join(rel, ["qid", "doc_id"]).select("qid", "rnk").persist()
+    )
     mrr = hits.groupBy("qid").agg(
         (F.lit(1.0) / F.min("rnk")).alias("mrr")
     )
@@ -4101,15 +4119,20 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = F.zip_with(a, b, lambda x, y: x - y)
         return dot_fixed(d, d, 64)
 
-    # exact leg: brute-force squared-L2 top-k per query (self excluded)
+    # exact leg: brute-force squared-L2 top-k per query (self excluded).
+    # Persisted: it feeds BOTH the recall join (hits) and the coverage
+    # recomputation (nn_asg) — unpersisted, the corpus-wide crossJoin +
+    # window ran twice in the final plan (guide §5; the frame is
+    # |queries| x k rows at any corpus size)
     w_x = Window.partitionBy("q_id").orderBy("d", "vec_id")
-    exact = (
+    exact = track_persist(
         base.crossJoin(F.broadcast(qv))
         .filter(F.col("vec_id") != F.col("q_id"))
         .withColumn("d", sqdiff(F.col("v"), F.col("qv")))
         .withColumn("_rn", F.row_number().over(w_x))
         .filter(F.col("_rn") <= k)
         .select("q_id", "vec_id")
+        .persist()
     )
 
     cents = kmeans_centroids(emb)  # trained coarse codebook (driver state)
@@ -4134,7 +4157,10 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_ra") == 1)
         .select("q_id", "vec_id", "c_id")
     )
-    cov = nn_asg.join(probes, ["q_id", "c_id"], "left")
+    # cov feeds the two coverage counters (nprobe lo/hi); persist the
+    # |queries| x k frame so the assignment recomputation (a second
+    # corpus-broadcast cross + window) runs once, not twice
+    cov = track_persist(nn_asg.join(probes, ["q_id", "c_id"], "left").persist())
 
     nq = qv.agg(F.count(F.lit(1)).alias("n_queries"))
     h_hi = exact.join(hi, ["q_id", "vec_id"]).agg(
@@ -4523,14 +4549,22 @@ def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = graph_adjacency(emb, g=8).select("src", "dst")
     rounds = nn_descent_rounds(emb, g=8, rounds=2)
     nx = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
-    per_round = None
+    # grade all rounds in ONE join + ONE aggregation: the per-round
+    # graphs are already persisted by nn_descent_rounds, so tagging each
+    # with its round id and unioning costs nothing extra, while the
+    # r11 shape joined the exact adjacency once PER ROUND (3 joins, 3
+    # aggregations — guide §2.4). A left join + conditional count keeps
+    # rounds with zero hits in the output exactly as the per-round
+    # aggregate did (count over an empty frame = one 0-row).
+    tagged = None
     for r, gdf in enumerate(rounds):
-        h = (
-            gdf.join(exact, ["src", "dst"])
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
-            .select(F.lit(int(r)).alias("rnd"), "n_hits")
-        )
-        per_round = h if per_round is None else per_round.unionByName(h)
+        t = gdf.select(F.lit(int(r)).alias("rnd"), "src", "dst")
+        tagged = t if tagged is None else tagged.unionByName(t)
+    per_round = (
+        tagged.join(exact.withColumn("_hit", F.lit(1)), ["src", "dst"], "left")
+        .groupBy("rnd")
+        .agg(F.count("_hit").cast("bigint").alias("n_hits"))
+    )
     return per_round.crossJoin(F.broadcast(nx)).select(
         "rnd",
         "n_exact",

@@ -169,10 +169,27 @@ def near_dup_components(
         return out
     if method != "label":
         raise ValueError(f"unknown method: {method!r} (label | star)")
-    # symmetric edge list + self-loops seed the labels
+    # symmetric edge list + self-loops seed the labels. Symmetrization
+    # is an EXPLODE of both orientations from one scan, not a
+    # self-union: union(pairs, reversed(pairs)) embeds the pairs
+    # subtree twice in the physical plan, and for callers that pass an
+    # unpersisted pair set (q152/q153: the LSH verify chain) the whole
+    # candidate+verify computation ran twice inside the one edges
+    # materialization (guide §2.3 — compute once, fan out rows).
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .persist()
     )
@@ -404,8 +421,22 @@ def _components_star(
     """
 
     def _sym(e: DataFrame) -> DataFrame:
-        return e.unionByName(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        # explode, not self-union: one scan of e per symmetrization (the
+        # star rounds' e is an unpersisted projection — see the label
+        # method's edges note)
+        return (
+            e.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("src"), F.col("dst")),
+                        F.struct(
+                            F.col("dst").alias("src"),
+                            F.col("src").alias("dst"),
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select("e.src", "e.dst")
         )
 
     def _star(e: DataFrame, large: bool) -> DataFrame:

@@ -752,12 +752,27 @@ def containment_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    directed = inter.select(
-        F.col("id_a").alias("src_id"), F.col("id_b").alias("dst_id"), "n_common"
-    ).unionByName(
+    # both directions from ONE scan of inter (explode, not self-union):
+    # inter's inverted-index self-join + groupBy would otherwise execute
+    # twice in the physical plan (guide §2.3; same idiom as the
+    # components edge build)
+    directed = (
         inter.select(
-            F.col("id_b").alias("src_id"), F.col("id_a").alias("dst_id"), "n_common"
-        )
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("src_id"),
+                        F.col("id_b").alias("dst_id"),
+                        F.col("n_common"),
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src_id"),
+                        F.col("id_a").alias("dst_id"),
+                        F.col("n_common"),
+                    ),
+                )
+            ).alias("e")
+        ).select("e.src_id", "e.dst_id", "e.n_common")
     )
     zs = sizes.alias("zs")
     return (

@@ -899,11 +899,31 @@ SELECT v AS part, min(hops) AS hops FROM bfs GROUP BY v ORDER BY hops, part
 )
 def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    ep = basket_pair_counts(basket, min_count=2).select("part_a", "part_b")
-    edges = ep.select(
-        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
-    ).unionByName(
-        ep.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    # ep feeds the (bfs-internal-persisted) edge build AND the seed agg;
+    # symmetrize with one explode instead of a self-union so the
+    # support-pruned pair mining subtree appears once per consumer, and
+    # persist ep so seed + edges share one computation (guide §2.3; ep
+    # is the support-pruned pair set — corpus-sublinear by min_count)
+    ep = _track_graph_persist(
+        basket_pair_counts(basket, min_count=2)
+        .select("part_a", "part_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    edges = (
+        ep.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("part_a").alias("src"),
+                        F.col("part_b").alias("dst"),
+                    ),
+                    F.struct(
+                        F.col("part_b").alias("src"),
+                        F.col("part_a").alias("dst"),
+                    ),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
     )
     seed = ep.agg(F.min("part_a").alias("v"))
     dist = bfs_hops(edges, seed, max_hops=4)

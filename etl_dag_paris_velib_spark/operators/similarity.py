@@ -2193,11 +2193,18 @@ def ivfadc_topk(
     # the fold, residual via a rejoin: carrying (cv, v) through the fold
     # was measured 1.7x slower cold at sf10.0 (per-crossed-row
     # 128-double struct construction dwarfs the join it saves).
-    asg_ids = (
+    # Persisted: the assignment fold is the |vectors| x |lists| crossed
+    # expansion, and unpersisted it executed once under EACH consumer —
+    # the PQ training stream, the encode pass, and the candidate join
+    # (3x in the final plan; guide §2.3/§5). The cached frame is two
+    # longs per vector; consumers re-derive residuals from it with one
+    # cheap broadcast rejoin. JVM-only lineage -> plain persist is safe.
+    asg_ids = track_persist(
         base.crossJoin(F.broadcast(cents))
         .withColumn("d", sqd(F.col("v"), F.col("cv"), dim))
         .groupBy("vec_id")
         .agg(F.min_by("c_id", F.struct("d", "c_id")).alias("c_id"))
+        .persist()
     )
     asg = asg_ids.join(base, "vec_id")
     if residual:
@@ -2335,6 +2342,17 @@ def ivfadc_topk(
             )
             codebook = codebook.unionByName(fallback)
 
+    # The trained codebook feeds TWO broadcasts (encode join + query
+    # LUT join) whose canonicalized plans differ enough that exchange
+    # reuse never fired — the formatted plan showed the applyInPandas
+    # Lloyd training executing TWICE (q145 before-plan: two
+    # FlatMapGroupsInPandas nodes). Eagerly materialize it once through
+    # _persist_udf_cache (the sanctioned path for pandas-UDF-bearing
+    # caches — plain persist of such a plan trips the Spark 4.1.2
+    # second-cache-build bug) so both consumers scan the
+    # InMemoryRelation; the frame is lists*m*ks rows — broadcast-sized
+    # by construction.
+    codebook = track_persist(_persist_udf_cache(codebook))
     # PQ encode via the same min_by idiom (see asg): the encode window
     # was the dominant spill source — it sorted |vectors| x m x ks
     # joined rows per (vec, subspace); the hash aggregate collapses them

@@ -34,7 +34,17 @@ def main() -> None:
     from etl_dag_paris_velib_spark.plans import REGISTRY
     from etl_dag_paris_velib_spark.session import get_spark
 
-    spark = get_spark("explain-r12")
+    spark = get_spark(
+        "explain-r12",
+        extra_conf={
+            # the eager lifecycle fixpoints (q152-q158) blow the 1g
+            # default heap; honored here because this process launches
+            # the JVM (bench.py's note)
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "16g"
+            ),
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     out_dir = os.path.join(ROOT, "plans", "r12")
     os.makedirs(out_dir, exist_ok=True)

@@ -2221,6 +2221,18 @@ def ivfadc_topk(
     rsub = asg.crossJoin(F.broadcast(sub)).select(
         "c_id", "j", "vec_id", F.slice("r", start, sd).alias("rs")
     )
+    # rsub (the residual sub-slices — the PQ build's working set, what
+    # FAISS materializes as its training/encode input) feeds the
+    # codebook training, the encode pass, and the untrained-list guard.
+    # Persist it and materialize EAGERLY under normal AQE: the codebook
+    # cache below must be captured with AQE off (_persist_udf_cache),
+    # and with rsub unmaterialized that capture re-planned rsub's
+    # assignment joins as sort-merge (AQE off = no runtime broadcast),
+    # shuffling the vector column — the shuffle-budget guard caught the
+    # regression (q145 sw 346KB -> 775KB at the ledger sf). With rsub
+    # pinned here, the AQE-off plan only scans this InMemoryRelation.
+    rsub = track_persist(rsub.persist())
+    rsub.count()
 
     group_cols = ["c_id", "j"] if residual else ["j"]
     cb_fields = [StructField("j", IntegerType())]

@@ -2661,7 +2661,22 @@ def incremental_lsh_pairs(
         base_hs = _shingle_sets(
             base_needed, id_col, text_col, shingle_n
         ).select("id", shingle_hashes60(F.col("sh")).alias("hs"))
-    sh = base_hs.unionByName(delta_hs)
+    # sh is joined twice below (the id_a and id_b sides); without a
+    # persist the whole hash-derivation subtree executed twice — in the
+    # no-artifacts shape (q153) that was TWO delta shingle passes plus
+    # TWO semi-join + re-shingle passes over the touched base docs
+    # (guide §2.3/§5). Semi-join to the candidate ids FIRST so the
+    # persisted frame is candidate-bounded in EVERY shape — with stored
+    # artifacts (q154/q158) base_hs is the full corpus-sized index
+    # table, which must never be cached whole; the semi-join also cuts
+    # its scans 2 → 1 (rows outside cand_ids could never survive the
+    # verify joins, so the result is unchanged). JVM lineage only, so
+    # plain persist is safe.
+    sh = track_persist(
+        base_hs.unionByName(delta_hs)
+        .join(cand_ids, F.col("id") == F.col("_cid"), "left_semi")
+        .persist()
+    )
     sa = sh.select(F.col("id").alias("ia"), F.col("hs").alias("hsa"))
     sb = sh.select(F.col("id").alias("ib"), F.col("hs").alias("hsb"))
     return (

@@ -273,6 +273,138 @@ def near_dup_components(
     return out
 
 
+def near_dup_components_multi(
+    tagged_pairs: DataFrame,
+    tag_col: str = "rnd",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+    pin: bool = False,
+) -> DataFrame:
+    """Connected components over SEVERAL independent pair graphs in ONE
+    fixpoint loop: ``tagged_pairs`` carries a ``tag_col`` column naming
+    the graph each pair belongs to, and the result is
+    ``(tag, doc_id, component)`` — exactly
+    :func:`near_dup_components`'s output per tag.
+
+    Why it exists (r13, guide §2.4/§2.6): a caller that needs the
+    components of k INDEPENDENT graphs (q154's three admission rounds —
+    their pair sets all derive from pre-built index artifacts, with no
+    round feeding the next round's edges) would otherwise run k
+    serialized driver-loop fixpoints, paying k× the per-round action
+    latency (edges build + one count per round, each a full AQE job
+    barrier) while every job runs over a tiny label frame. Folding the
+    tag into the key — the same recurrence fold as the r12 beam-sweep
+    (`beam` as a frontier column) — runs ONE loop in
+    max(per-graph rounds) iterations over the union.
+
+    EQUIVALENCE: every key below is ``(tag, id)`` and no operator mixes
+    tags — the edge join matches on tag, the groupBy groups by tag, the
+    self-loop rows carry their tag — so for a fixed tag the label
+    evolution is row-for-row the single-graph recurrence; the only
+    shared thing is the fixpoint TEST (max over tags of per-graph
+    rounds), and extra rounds past a graph's own fixpoint are identity
+    on its labels (min over an unchanged frontier). Pinned by
+    tests/test_llm_operators.py's multi-vs-single differential.
+    """
+    try:
+        cache_key = (
+            "cc-multi",
+            session_token(tagged_pairs.sparkSession),
+            tagged_pairs.semanticHash(),
+            tag_col,
+            id_a,
+            id_b,
+            max_iterations,
+        )
+    except Exception:
+        cache_key = None
+    if cache_key is not None and cache_key in _CC_CACHE:
+        return _cc_cache_hit(cache_key, pin=pin)
+
+    tag = F.col(tag_col).alias("tag")
+    edges = (
+        tagged_pairs.select(
+            tag,
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select("tag", "e.src", "e.dst")
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select("tag", "src")
+        .distinct()
+        .select("tag", F.col("src").alias("id"), F.col("src").alias("label"))
+        .persist()
+    )
+    edges_self = edges.unionByName(
+        labels.select("tag", F.col("id").alias("src"), F.col("id").alias("dst"))
+    ).persist()
+    held = labels
+    for _ in range(max_iterations):
+        # the label side is RE-ALIASED per join (ltag/lid): round 1's
+        # labels lineage is embedded inside edges_self (the self-loop
+        # union branch), so unaliased references would be ambiguous
+        # under Spark's dataset-id self-join check — the single-graph
+        # version dodges this only because its join touches no shared
+        # column NAME; here `tag` is on both sides
+        lab = labels.select(
+            F.col("tag").alias("ltag"),
+            F.col("id").alias("lid"),
+            "label",
+        )
+        stepped = (
+            edges_self.join(
+                lab,
+                (F.col("tag") == F.col("ltag"))
+                & (F.col("dst") == F.col("lid")),
+            )
+            .groupBy("tag", "src")
+            .agg(
+                F.min(
+                    F.when(F.col("dst") == F.col("src"), F.col("label"))
+                ).alias("_old"),
+                F.min("label").alias("label"),
+            )
+            .select("tag", F.col("src").alias("id"), "_old", "label")
+            .localCheckpoint(eager=False)
+        )
+        n_changed = stepped.filter(F.col("label") != F.col("_old")).count()
+        held.unpersist()
+        held = stepped
+        labels = stepped.select("tag", "id", "label")
+        if n_changed == 0:
+            break
+    else:
+        held.unpersist()
+        edges_self.unpersist()
+        edges.unpersist()
+        raise RuntimeError(
+            f"near_dup_components_multi did not converge in {max_iterations}"
+            " iterations — raise max_iterations (diameter exceeds budget)"
+        )
+    edges_self.unpersist()
+    edges.unpersist()
+    out = labels.select(
+        F.col("tag").alias(tag_col),
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("component"),
+    )
+    if cache_key is not None:
+        _cc_cache_put(cache_key, out, pin=pin)
+    return out
+
+
 def near_dup_purge(
     docs: DataFrame,
     pairs: DataFrame,

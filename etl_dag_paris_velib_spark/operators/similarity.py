@@ -2224,15 +2224,22 @@ def ivfadc_topk(
     # rsub (the residual sub-slices — the PQ build's working set, what
     # FAISS materializes as its training/encode input) feeds the
     # codebook training, the encode pass, and the untrained-list guard.
-    # Persist it and materialize EAGERLY under normal AQE: the codebook
-    # cache below must be captured with AQE off (_persist_udf_cache),
-    # and with rsub unmaterialized that capture re-planned rsub's
-    # assignment joins as sort-merge (AQE off = no runtime broadcast),
-    # shuffling the vector column — the shuffle-budget guard caught the
-    # regression (q145 sw 346KB -> 775KB at the ledger sf). With rsub
-    # pinned here, the AQE-off plan only scans this InMemoryRelation.
+    # Persist it LAZILY, but persist it HERE, while AQE is still on: the
+    # codebook cache below is captured with AQE off (_persist_udf_cache),
+    # and in r12, with rsub entirely unpersisted, that capture re-planned
+    # rsub's assignment joins as sort-merge (AQE off = no runtime
+    # broadcast), shuffling the vector column — the shuffle-budget guard
+    # caught the regression (q145 sw 346KB -> 775KB at the ledger sf).
+    # persist() snapshots rsub's INNER plan with the session's current
+    # conf (CacheManager compiles the cached physical plan at cache
+    # time), so the snapshot is an AdaptiveSparkPlan with runtime
+    # broadcasts even though the first materialization happens inside
+    # the AQE-off codebook count — verified by the shuffle-budget guard
+    # after the r13 change that dropped the eager rsub.count() here
+    # (the count was one whole extra scheduled job per call whose only
+    # purpose the lazy snapshot already serves; guide §5 — cache, but
+    # don't pay an extra scheduling round for it).
     rsub = track_persist(rsub.persist())
-    rsub.count()
 
     group_cols = ["c_id", "j"] if residual else ["j"]
     cb_fields = [StructField("j", IntegerType())]

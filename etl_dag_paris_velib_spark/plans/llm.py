@@ -1260,8 +1260,7 @@ WHERE l.doc_id IS NULL
     tags=("dedup", "llm", "incremental", "transform"),
 )
 def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import incremental_near_dup_purge, near_dup_purge
-    from ..operators.similarity import build_lsh_index, lsh_pairs_from_index
+    from ..operators.dedup import near_dup_components_multi
 
     docs = _docs(spark, sf_dir)
     batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
@@ -1278,29 +1277,108 @@ def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
     # call reuses the set, a different sf_dir (diffcheck interleaves
     # two) evicts-and-unpersists the oldest beyond the cap.
     arts = _q154_artifacts(spark, docs, batches)
-    # round 0: the initial corpus dedups against itself, pairs derived
-    # from the already-built index — not a second shingle pass
-    kept = near_dup_purge(
-        batches[0], lsh_pairs_from_index(*arts[0], threshold=0.5)
-    ).withColumn("batch", F.lit(0))
-    seen = batches[0]
-    bands, hashes = arts[0]
-    for i in (1, 2):
-        dbands, dhashes = arts[i]
-        admitted = incremental_near_dup_purge(
-            seen,
-            batches[i],
-            base_bands=bands,
-            base_hashes=hashes,
-            delta_bands=dbands,
-            delta_hashes=dhashes,
+    # The three rounds' PAIR SETS all derive from the pre-built
+    # artifacts — no round's edges depend on an earlier round's
+    # component labels (admission only filters which DELTA docs are
+    # kept; rejected docs stay indexed, so the index growth is the
+    # unconditional artifact union either way). That independence is
+    # what lets the whole replay fuse (r13; guide §2.4/§2.6 — the r12
+    # verdict measured ~107 eager AQE jobs for the serialized form,
+    # dominated by per-round action barriers over tiny frames):
+    #
+    # 1. ONE round-tagged candidate probe instead of three. A pair
+    #    enters round i's incremental probe iff exactly one of its
+    #    members is in delta_i and the other in a batch <= i, i.e.
+    #    rnd(pair) = max(batch(id_a), batch(id_b)) — so the batch-
+    #    tagged band self-join with `a.batch <= d.batch` emits every
+    #    round's candidate set, tagged, in one join: the d-side row of
+    #    a pair is its later member, whose batch IS the round. Round
+    #    0's self-dedup candidates (old lsh_pairs_from_index, id_a <
+    #    id_b) are the batch-0 x batch-0 cells of the same join —
+    #    least/greatest + distinct emits each unordered pair once,
+    #    identical to the id_a < id_b form. Per-round candidate sets
+    #    are DISJOINT by the max() rule, exactly as the old per-round
+    #    probes were (a pair probes only in its later member's round).
+    # 2. ONE verify pass instead of three: a doc's 60-bit shingle-hash
+    #    set is round-independent, so the tagged candidates verify
+    #    against one union hash table (semi-joined to candidate ids
+    #    first — the incremental_lsh_pairs rule: never cache an index
+    #    table corpus-wide), with the same exact-Jaccard expression.
+    # 3. ONE components fixpoint instead of three:
+    #    near_dup_components_multi keys every operator by (rnd, id),
+    #    so per round the labels are provably the single-graph
+    #    fixpoint's (tests/test_llm_operators.py's multi-vs-single
+    #    differential).
+    #
+    # At 100 TB the fused probe moves the same bytes as the three
+    # sequential probes summed (each pair is still enumerated once,
+    # from its later member's bands, against the same buckets) — what
+    # it removes is the 3x chain of blocking driver actions, which is
+    # pure serialization at any scale. Oracle unchanged and green at
+    # sf0.01 + sf0.001 (the sequential recursive-CTE replay).
+    bands_tagged = None
+    hashes_all = None
+    for b, (bt, ht) in enumerate(arts):
+        t = bt.select(F.lit(b).alias("batch"), "id", "band", "band_key")
+        bands_tagged = (
+            t if bands_tagged is None else bands_tagged.unionByName(t)
+        )
+        hashes_all = ht if hashes_all is None else hashes_all.unionByName(ht)
+    d, a = bands_tagged.alias("d"), bands_tagged.alias("a")
+    cand = track_persist(
+        d.join(
+            a,
+            (F.col("d.band") == F.col("a.band"))
+            & (F.col("d.band_key") == F.col("a.band_key"))
+            & (F.col("d.id") != F.col("a.id"))
+            & (F.col("a.batch") <= F.col("d.batch")),
+        )
+        .select(
+            F.col("d.batch").alias("rnd"),
+            F.least("d.id", "a.id").alias("id_a"),
+            F.greatest("d.id", "a.id").alias("id_b"),
+        )
+        .distinct()
+        .persist()  # consumed 3x: the two cand_ids arms + the verify join
+    )
+    cand_ids = (
+        cand.select(F.col("id_a").alias("_cid"))
+        .unionByName(cand.select(F.col("id_b").alias("_cid")))
+        .distinct()
+    )
+    sh = track_persist(
+        hashes_all.join(
+            cand_ids, F.col("id") == F.col("_cid"), "left_semi"
+        ).persist()  # consumed 2x: the id_a and id_b verify sides
+    )
+    sa = sh.select(F.col("id").alias("ia"), F.col("hs").alias("hsa"))
+    sb = sh.select(F.col("id").alias("ib"), F.col("hs").alias("hsb"))
+    tagged = (
+        cand.join(sa, F.col("id_a") == F.col("ia"))
+        .join(sb, F.col("id_b") == F.col("ib"))
+        .filter(
+            (
+                F.size(F.array_intersect("hsa", "hsb"))
+                / F.size(F.array_union("hsa", "hsb"))
+            )
+            >= F.lit(0.5)
+        )
+        .select("rnd", "id_a", "id_b")
+    )
+    comp = near_dup_components_multi(tagged, tag_col="rnd")
+    losers = comp.filter(F.col("doc_id") != F.col("component"))
+    kept = None
+    for i in range(3):
+        # same anti-join per round as near_dup_purge /
+        # incremental_near_dup_purge: batch i keeps its docs that are
+        # not a loser of ROUND i's graph (the delta-restriction the old
+        # per-round call sites got from anti-joining delta only)
+        admitted = batches[i].join(
+            losers.filter(F.col("rnd") == i).select("doc_id"),
+            on="doc_id",
+            how="left_anti",
         ).withColumn("batch", F.lit(i))
-        kept = kept.unionByName(admitted)
-        # the index grows by the delta's artifacts — REJECTED docs stay
-        # indexed so later near-dups of them are still rejected
-        bands = bands.unionByName(dbands)
-        hashes = hashes.unionByName(dhashes)
-        seen = seen.unionByName(batches[i])
+        kept = admitted if kept is None else kept.unionByName(admitted)
     return kept.select(
         "doc_id",
         F.col("batch").cast("int").alias("batch"),
@@ -4554,16 +4632,27 @@ def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with its round id and unioning costs nothing extra, while the
     # r11 shape joined the exact adjacency once PER ROUND (3 joins, 3
     # aggregations — guide §2.4). A left join + conditional count keeps
-    # rounds with zero hits in the output exactly as the per-round
-    # aggregate did (count over an empty frame = one 0-row).
+    # rounds with zero HITS in the output exactly as the per-round
+    # aggregate did (count over an all-miss frame = one 0-row); a round
+    # whose graph has zero ROWS outright would vanish from the groupBy,
+    # so a literal rounds frame is left-joined back underneath (ADVICE
+    # r12) — len(rounds) rows, broadcast, closing the only gap in the
+    # claimed exact equivalence with the old per-round aggregates.
     tagged = None
     for r, gdf in enumerate(rounds):
         t = gdf.select(F.lit(int(r)).alias("rnd"), "src", "dst")
         tagged = t if tagged is None else tagged.unionByName(t)
-    per_round = (
+    grouped = (
         tagged.join(exact.withColumn("_hit", F.lit(1)), ["src", "dst"], "left")
         .groupBy("rnd")
         .agg(F.count("_hit").cast("bigint").alias("n_hits"))
+    )
+    all_rounds = spark.createDataFrame(
+        [(i,) for i in range(len(rounds))], "rnd int"
+    )
+    per_round = all_rounds.join(grouped, "rnd", "left").select(
+        "rnd",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
     )
     return per_round.crossJoin(F.broadcast(nx)).select(
         "rnd",

@@ -95,6 +95,25 @@ def test_bench_json_line_fits_driver_tail_window():
     subsec = render_line(123.456, {k: 0.71 for k in short}, 0.1, [])
     assert "queries_omitted" not in json.loads(subsec)
     assert len(json.loads(subsec)["queries"]) == len(names)
+    # the r12 8-core failure mode: a realistic full-width map PLUS a
+    # non-empty regressions list must never drop per-query entries —
+    # the renderer sheds the regressions key (details live on stderr)
+    # before sacrificing any query cell, so the driver's scaling block
+    # has no holes
+    flagged = render_line(
+        123.456,
+        {k: 9.99 for k in short},
+        0.1,
+        sorted(k for k in list(short)[:3]),
+    )
+    assert len(flagged) <= 1800
+    parsed_f = json.loads(flagged)
+    omitted_f = parsed_f.get("queries_omitted", 0)
+    assert len(parsed_f["queries"]) + omitted_f == len(names)
+    assert omitted_f <= json.loads(realistic).get("queries_omitted", 0), (
+        "a regressions list must not cost more query cells than the "
+        "regression-free line at the same width"
+    )
 
 
 def test_every_spec_has_budget_entries():

@@ -237,6 +237,43 @@ def test_near_dup_components_transitive(spark):
     assert star == got
 
 
+def test_components_multi_matches_per_graph_single(spark):
+    """near_dup_components_multi over a tagged union of INDEPENDENT
+    graphs must reproduce near_dup_components run per graph, including
+    graphs with different convergence depths (a chain vs flat pairs) —
+    the fused-fixpoint equivalence q154's three admission rounds rely
+    on (r13)."""
+    from etl_dag_paris_velib_spark.operators.dedup import (
+        near_dup_components,
+        near_dup_components_multi,
+    )
+
+    graphs = {
+        0: [(1, 2), (2, 3), (10, 11)],
+        # a 6-node chain: needs more label rounds than graph 0, so the
+        # shared fixpoint runs past graph 0's own convergence — extra
+        # rounds must be identity on its labels
+        1: [(i, i + 1) for i in range(20, 25)],
+        2: [(7, 9), (9, 5), (5, 7)],  # cycle
+    }
+    tagged = spark.createDataFrame(
+        [(t, a, b) for t, ps in graphs.items() for a, b in ps],
+        ["rnd", "id_a", "id_b"],
+    )
+    fused = {
+        (r.rnd, r.doc_id, r.component)
+        for r in near_dup_components_multi(tagged, tag_col="rnd").collect()
+    }
+    single = {
+        (t, r.doc_id, r.component)
+        for t, ps in graphs.items()
+        for r in near_dup_components(
+            spark.createDataFrame(ps, ["id_a", "id_b"])
+        ).collect()
+    }
+    assert fused == single and fused
+
+
 def test_star_components_beat_label_on_chains(spark):
     """Kiveris large/small-star converges in O(log²) rounds where label
     propagation needs the diameter: a 64-node chain exhausts a 20-round

@@ -36,41 +36,84 @@ REGISTRY.merge(_streamq)
 # registry — window and tail — with the identical rows+schema+hash
 # comparison, so no spec anywhere lacks local differential evidence).
 #
-# Round-12 window policy (the round-11 verdict's #2, decided in r11):
-# the window takes (a) the 15 r08-era relational waiters (q02/q04/q09/
-# q11/q12/q13/q14/q16/q17/q18/q19/q24/q37/q38/q39) — after r12 no
-# spec's newest driver row predates r09; (b) 30 of the 47 r09-green
-# specs, prioritizing this round's churn neighbors (the dedup/
-# similarity/IVF families around the q158 idempotency rework and the
-# q159 drift-rebuild seam, the streaming tier, retrieval, media, BPE)
-# plus the oldest central relational shapes; (c) q158 — its sink was
-# REWORKED this round (batch_id-keyed idempotent writes), and the
-# standing policy rotates refactored specs in; (d) q159/q160/q161/q162
-# — NEW this round, landing in-window so none is born-demoted (q45 and
-# q106 yield the two extra slots; see the r13 group).
+# Round-13 window policy (the round-12 verdict's #1: a spec whose newest
+# driver row predates its last semantic RESTRUCTURE owes the oracle a
+# fresh row, and that debt outranks age-based rotation). The 50 slots:
+# (a) the 11 restructured-or-never-verified specs the r12 verdict names
+#     — q163/q164 (born in the interrupted build window, NEVER in any
+#     driver correctness window, then restructured by the r12 beam fold
+#     and grading fold) and q93/q122/q138/q142/q144/q152/q153/q154/q156
+#     (restructured in r12 — symmetrization, persisted intermediates,
+#     CC round fuse, verify semi-join — but last driver-verified at r11);
+# (b) q145 and q158 — restructured again THIS round (lazy rsub persist;
+#     fused q154 pair probe shared with q158's oracle; threaded
+#     admission writes);
+# (c) the stateful streaming tier q108/q110/q112/q116/q120/q135/q160/
+#     q161 — their stream-start state-partition sizing changes this
+#     round (input-derived instead of CPUS-pinned), and a stateful
+#     restructure without a fresh driver row would recreate exactly the
+#     debt (a) pays down;
+# (d) the 17 r09-green waiters promised this rotation (q123/q124/q125/
+#     q128/q129/q131/q132/q146/q47/q49-q51/q53-q55/q58/q59) plus
+#     q45/q106 (promised with this group in r12);
+# (e) the IVF/codegen-floor family q81/q133/q134/q136/q139/q147 (this
+#     round's compile-floor measurement touches their story) and the
+#     global-ordered pair q148/q150 — all r10-green, oldest rows among
+#     the remaining candidates.
+# The rest of the r10-green block (q60-q80-era relational/curation
+# shapes, untouched since r10 with green rows and full demoted-parity
+# coverage) waits one more rotation — restructure debt outranks age,
+# and 50 is 50.
 # CANARY POLICY (standing): q21_near_dup_pairs and q42_dedup_clusters
 # — the LSH pair-cache builder and its consumer — keep a window slot in
 # EVERY rotation regardless of row age, so the cache-reuse path always
 # has a fresh driver row.
-# 17 r09-era specs wait one more round (listed in their own group
-# below); they rotate in r13 alongside the r10-green block.
 DEMOTED = (
-    # --- r10-green block (driver rows fresh from r10), waiting with the
-    # r09 tail; rotates in r13 ---
+    "q02_forecast_revenue",
+    "q04_order_priority",
+    "q05_region_revenue",
+    "q06_latest_order_per_customer",
+    "q09_status_priority_rollup",
+    "q10_events_cube",
+    "q11_distinct_customers",
+    "q11b_approx_distinct",
+    "q12_set_ops",
+    "q13_hourly_events",
+    "q14_event_pivot",
+    "q16_topk_per_group",
+    "q17_customers_without_orders",
+    "q18_scalar_functions",
+    "q19_brand_revenue",
+    "q39_grouping_sets",
+    "q43_sessionize_events",
+    "q24_full_outer",
+    "q32_filename_parse",
+    "q34_right_outer",
+    "q36_incremental_dedup",
+    "q37_salted_join_revenue",
+    "q38_value_percentiles",
+    "q40_corpus_pipeline",
+    "q41_top_terms",
+    "q159_drift_rebuild_ivf",
+    "q44_tfidf_keywords",
+    "q117_bm25_topk",
+    "q118_semantic_dedup",
+    "q130_bm25_batch_topk",
+    "q137_rrf_hybrid_retrieval",
+    "q162_graph_ann_recall",
+    "q56_canonical_docs",
+    "q57_quantized_embeddings",
+    "q115_bpe_pair_stats",
+    "q119_bpe_encode_counts",
+    "q126_centroid_drift",
+    "q113_png_decode",
+    "q114_adpcm_decode",
+    "q127_gif_decode",
     "q67_rank_distribution",
     "q69_variant_props",
     "q76_robust_stats",
     "q79_incremental_agg_merge",
-    "q148_global_running_revenue",
-    "q150_global_order_statistics",
     "q68_unigram_logprob",
-    "q81_srp_lsh_topk",
-    "q133_ivf_recall_curve",
-    "q134_srp_recall_curve",
-    "q136_pq_adc_recall",
-    "q138_retrieval_eval_metrics",
-    "q139_ivfadc_topk",
-    "q147_ivf_all_nn",
     "q60_rolling_range_frame",
     "q71_kmv_distinct",
     "q73_event_paths",
@@ -96,50 +139,11 @@ DEMOTED = (
     "q107_association_rules",
     "q109_frequent_triples",
     "q121_copurchase_triangles",
-    "q122_copurchase_bfs_hops",
     "q91_regression_stats",
     "q94_winsorized_stats",
     "q95_bigram_logprob",
     "q96_mutual_nn_pairs",
     "q97_kmv_sketch_merge",
-    "q110_stream_dedup_rollup",
-    "q135_stream_crash_restart",
-    # --- the 17 r09-green specs the 50-slot window cannot fit this
-    # round (47 r09 candidates, 30 free slots after the must-rotate
-    # set); they rotate in r13 ---
-    "q123_negative_samples",
-    "q124_masked_lm_pairs",
-    "q125_source_kl_drift",
-    "q128_hll_distinct",
-    "q129_copurchase_edge_churn",
-    "q131_personalized_pagerank",
-    "q132_quality_threshold_sweep",
-    "q146_try_arithmetic_matrix",
-    "q47_stratified_sample",
-    "q49_range_join_pairs",
-    "q50_gapfill_rollup",
-    "q51_countmin_heavy_hitters",
-    "q53_bloom_semi_join",
-    "q54_repetition_signals",
-    "q55_decontamination",
-    "q58_mixture_weights",
-    "q59_sequence_packing",
-    # q45 and q106 yield their r12 slots to the round's two late specs —
-    # q161 (the third streaming-window kind, session) and q162 (the
-    # graph-ANN family) deserve born-in-window driver rows like
-    # q159/q160; q45/q106 rotate with this r13 group instead.
-    "q45_approx_percentiles",
-    "q106_content_checksum",
-    # --- BORN-DEMOTED r12 late additions (the window was already at 50
-    # with four new in-window specs): q163/q164 complete the graph-ANN
-    # lifecycle (approximate builder + stored-index serving). Both are
-    # oracle-checked by tests/test_demoted_parity.py every pytest run;
-    # they take window slots in the r13 rotation ---
-    "q163_nn_descent_curve",
-    "q164_graph_ann_from_stored_index",
-    # --- r11-green window (driver rows fresh from r11), rotating out;
-    # q21/q42 (standing canaries) and q158 (sink reworked this round)
-    # stay IN-window instead ---
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q07_running_total",
@@ -161,18 +165,12 @@ DEMOTED = (
     "q30_winnow_fingerprints",
     "q31_doc_chunks",
     "q35_ngram_jaccard",
-    "q152_near_dup_purge",
-    "q153_incremental_purge",
-    "q154_multi_increment_dedup",
-    "q156_purge_from_stored_index",
     "q157_incremental_ivf",
     "q46_edit_distance_pairs",
     "q48_kmeans_clusters",
     "q33_embedding_nn",
     "q52_embedding_dedup",
-    "q142_rrf_query_vectors",
     "q141_ivfadc_residual_topk",
-    "q144_incremental_lsh_pairs",
     "q151_calendar_arithmetic",
     "q155_window_frame_matrix",
     "q104_shard_shuffle",
@@ -180,7 +178,6 @@ DEMOTED = (
     "q86_supplier_pagerank",
     "q90_lateral_agg",
     "q92_funnel_conversion",
-    "q93_containment_pairs",
     "q103_kmv_set_overlap",
     "q98_media_decode",
     "q101_frame_dedup",

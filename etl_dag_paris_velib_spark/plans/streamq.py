@@ -98,24 +98,103 @@ def _span_covering_delay(spark: SparkSession, sf_dir: str) -> str:
 _SPAN_CACHE: dict[str, str] = {}
 
 
+def _stream_state_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """State-store partition count for the stateful streaming specs,
+    derived from INPUT SIZE instead of inherited from the session's
+    ``spark.sql.shuffle.partitions`` (= $SPARK_GRAFT_CPUS).
+
+    Why (r13; guide §2.2 "fewer, larger partitions" — and AQE cannot
+    help here, because streaming pins the state-store partition count
+    at stream start for the checkpoint's lifetime): with the count
+    pinned to the core count, a tiny event volume fragments into one
+    state store PER CORE — each paying its own per-micro-batch
+    checkpoint file I/O and task — which is why the r12 scaling block
+    measured the stateful tier INVERSELY scaling from 8 to 32 cores
+    (q116 0.58, q110 0.62, q160 0.73, q112 0.75: 4x the state stores
+    over the same events). Sizing from bytes is the scale-adaptive
+    form: ceil(input_bytes / target) partitions, capped by the
+    cluster's parallelism — at 100 TB the cap binds and this equals
+    the old CPUS pinning (every core holds state), while a small input
+    gets the few stores its state actually fills. ``target`` is
+    parameterized (SPARK_GRAFT_STREAM_STATE_TARGET_BYTES, default 32
+    MB — deliberately below the guide's 100 MB+ batch-shuffle range:
+    state operators carry per-row store overhead batch shuffles do
+    not). Changing the partition count never changes results — it is
+    the same hash aggregation/join over a different partition count —
+    and every stateful spec re-enters the driver's correctness window
+    this round to prove it (plans/__init__.py window policy (c))."""
+    target = int(
+        os.environ.get(
+            "SPARK_GRAFT_STREAM_STATE_TARGET_BYTES", str(32 * 1024 * 1024)
+        )
+    )
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        size = sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if not f.startswith((".", "_"))
+        )
+    else:
+        size = os.path.getsize(path)
+    cap = spark.sparkContext.defaultParallelism
+    return max(1, min(cap, -(-size // target)))
+
+
+class _stream_shuffle_conf:
+    """Scoped override of ``spark.sql.shuffle.partitions`` around a
+    StreamingQuery's lifetime. StreamExecution clones the session at
+    start(), so the count is frozen into the stream there — but the
+    restore still happens in ``__exit__`` AFTER the drain completes,
+    not right after start(), so no assumption about clone timing is
+    load-bearing (the specs run their drains sequentially; nothing
+    else plans against the session mid-drain — the repo's documented
+    one-query-stream-per-session execution model)."""
+
+    def __init__(self, spark: SparkSession, n: int | None):
+        self._conf = spark.conf
+        self._n = n
+        self._prev = None
+
+    def __enter__(self):
+        if self._n is not None:
+            self._prev = self._conf.get("spark.sql.shuffle.partitions")
+            self._conf.set("spark.sql.shuffle.partitions", str(self._n))
+        return self
+
+    def __exit__(self, *exc):
+        if self._n is not None and self._prev is not None:
+            self._conf.set("spark.sql.shuffle.partitions", self._prev)
+        return False
+
+
 def _drain_to_memory(
-    df: DataFrame, prefix: str, output_mode: str, timeout_sec: int = 300
+    df: DataFrame,
+    prefix: str,
+    output_mode: str,
+    timeout_sec: int = 300,
+    shuffle_partitions: int | None = None,
 ) -> str:
     """Run ``df`` as a StreamingQuery with an ``availableNow`` trigger
     into a uniquely-named in-memory table; block until drained; PROVE the
     streaming engine processed rows (recentProgress) — a plan that never
-    became a StreamingQuery cannot return. Returns the table name."""
+    became a StreamingQuery cannot return. Returns the table name.
+    ``shuffle_partitions`` pins the stream's state-store partition count
+    (see :func:`_stream_state_partitions`)."""
     name = f"{prefix}_{uuid.uuid4().hex[:10]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(timeout_sec):
-        q.stop()
-        raise TimeoutError(f"streaming drain {name!r} exceeded {timeout_sec}s")
+    with _stream_shuffle_conf(df.sparkSession, shuffle_partitions):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(
+                f"streaming drain {name!r} exceeded {timeout_sec}s"
+            )
     rows_in = sum(p["numInputRows"] for p in q.recentProgress)
     if rows_in <= 0:
         raise RuntimeError(
@@ -172,7 +251,12 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    name = _drain_to_memory(agg, "q108", "complete")
+    name = _drain_to_memory(
+        agg,
+        "q108",
+        "complete",
+        shuffle_partitions=_stream_state_partitions(spark, sf_dir),
+    )
     return spark.table(name)
 
 
@@ -223,7 +307,12 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
-    name = _drain_to_memory(agg, "q110", "complete")
+    name = _drain_to_memory(
+        agg,
+        "q110",
+        "complete",
+        shuffle_partitions=_stream_state_partitions(spark, sf_dir),
+    )
     return spark.table(name)
 
 
@@ -267,7 +356,12 @@ def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
-    name = _drain_to_memory(agg, "q112", "complete")
+    name = _drain_to_memory(
+        agg,
+        "q112",
+        "complete",
+        shuffle_partitions=_stream_state_partitions(spark, sf_dir),
+    )
     return spark.table(name)
 
 
@@ -328,7 +422,12 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_ts",
         "purchase_value",
     )
-    name = _drain_to_memory(joined, "q116", "append")
+    name = _drain_to_memory(
+        joined,
+        "q116",
+        "append",
+        shuffle_partitions=_stream_state_partitions(spark, sf_dir),
+    )
     return spark.table(name)
 
 
@@ -382,7 +481,12 @@ def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import streaming_distinct_users
 
     est = streaming_distinct_users(_events_stream(spark, sf_dir), k=16)
-    name = _drain_to_memory(est, "q120", "update")
+    name = _drain_to_memory(
+        est,
+        "q120",
+        "update",
+        shuffle_partitions=_stream_state_partitions(spark, sf_dir),
+    )
     w = Window.partitionBy("event_type").orderBy(F.desc("n_batches"))
     return (
         spark.table(name)
@@ -471,17 +575,25 @@ def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped = stream.withWatermark("ts", delay).dropDuplicatesWithinWatermark(
             ["event_id"]
         )
-        q = (
-            deduped.writeStream.format("parquet")
-            .option("path", gold)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("q135 incarnation exceeded 300s")
+        # input-derived dedup-state partition count (see
+        # _stream_state_partitions); both incarnations compute the same
+        # value, and the checkpoint's offset-log metadata pins the
+        # count for incarnation 2 regardless — exactly-once semantics
+        # never depend on it
+        with _stream_shuffle_conf(
+            spark, _stream_state_partitions(spark, sf_dir)
+        ):
+            q = (
+                deduped.writeStream.format("parquet")
+                .option("path", gold)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("q135 incarnation exceeded 300s")
         return [
             (p["batchId"], p["numInputRows"]) for p in q.recentProgress
         ]
@@ -836,7 +948,12 @@ def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    name = _drain_to_memory(agg, "q160", "complete")
+    name = _drain_to_memory(
+        agg,
+        "q160",
+        "complete",
+        shuffle_partitions=_stream_state_partitions(spark, sf_dir),
+    )
     return spark.table(name)
 
 
@@ -915,5 +1032,10 @@ def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    name = _drain_to_memory(agg, "q161", "complete")
+    name = _drain_to_memory(
+        agg,
+        "q161",
+        "complete",
+        shuffle_partitions=_stream_state_partitions(spark, sf_dir),
+    )
     return spark.table(name)

@@ -116,6 +116,41 @@ def clear_cc_cache() -> None:
     _CC_CACHE.clear()
 
 
+def _iterate_scan_partitions(n_rows: int) -> int:
+    """Partition count for the per-round scan of a fixpoint's persisted
+    edge frame, derived from its ROW COUNT (r13; guide §2.2 — make
+    partitioning scale-adaptive, derive from input size).
+
+    Why this exists: a persisted frame keeps its creation-time shuffle
+    partitioning for the cache's whole lifetime — AQE cannot re-coalesce
+    a cached plan (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
+    is false) — so a tiny component graph built under
+    spark.sql.shuffle.partitions = core count fragments into ~2x
+    core-count cached partitions, and EVERY fixpoint round's join then
+    scans them all as separate scheduled tasks. Measured at sf0.1
+    (q154's three admission graphs): 999 edge rows held in 64 cached
+    partitions cost 201 tasks across 12 stages PER ROUND, ~1.6-2.6 s/
+    round of pure task-scheduling floor. The same disease class as the
+    streaming state-store pinning fixed in plans/streamq.py — partition
+    count inherited from the core count instead of the data.
+
+    The fix is a narrow ``coalesce(ceil(n_rows / target))`` over the
+    cache: rows-per-partition ``target`` is env-tunable
+    (SPARK_GRAFT_CC_ROWS_PER_PARTITION, default 1M rows ~ tens of MB of
+    (tag, src, dst) longs — the guide's §2.2 partition-size band for an
+    in-memory hash-join probe side). No upper clamp is needed:
+    ``coalesce`` never INCREASES partition count, so a 100 TB edge list
+    whose ceil(n/target) exceeds its existing partitioning keeps that
+    partitioning unchanged — small graphs merge, big graphs are
+    untouched, and nothing is pinned to the local core count."""
+    import os
+
+    target = int(
+        os.environ.get("SPARK_GRAFT_CC_ROWS_PER_PARTITION", str(1 << 20))
+    )
+    return max(1, -(-n_rows // target))
+
+
 def near_dup_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -193,11 +228,22 @@ def near_dup_components(
         .distinct()
         .persist()
     )
+    # labels and edges_self are localCheckpoint(eager=False), NOT persist
+    # (r13): a cached frame short-circuits EXECUTION but keeps its full
+    # LOGICAL plan, so every fixpoint round's query re-analyzes the whole
+    # upstream candidate+verify tree through the InMemoryRelation —
+    # measured on q154's graphs (999 edge rows): 1.6-2.6 s/round of
+    # driver-side Catalyst work vs a 0.28 s same-shape round against a
+    # lineage-free frame. The checkpoint truncates the lineage the same
+    # way the per-round `stepped` checkpoint has since r11 (same
+    # executor-loss trade, documented there), cutting the whole fixpoint
+    # 8.9 -> 2.9 s at sf0.1 with identical labels. Storage is released
+    # when the reference is GC'd (the _CC_CACHE entry note).
     labels = (
         edges.select("src")
         .distinct()
         .select(F.col("src").alias("id"), F.col("src").alias("label"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     # labels only ever decrease, so "no row changed this round" is the
     # exact fixpoint test — checked per ROW (new != old), not via a sum
@@ -232,11 +278,24 @@ def near_dup_components(
     # round cost more than the rounds it could save.
     edges_self = edges.unionByName(
         labels.select(F.col("id").alias("src"), F.col("id").alias("dst"))
-    ).persist()
-    held = labels  # the storage-holding handle a round must release
+    ).localCheckpoint(eager=False)
+    # ONE count materializes the checkpoints (the union's branches read
+    # edges' cache and compute labels) — round 1 paid exactly this
+    # lazily before — and its row count sizes a narrow coalesce of the
+    # per-round scan, so a tiny graph stops fragmenting into core-count
+    # partitions (see _iterate_scan_partitions; labels' round-1 view
+    # gets the same treatment — rounds 2+ join against the 1-partition
+    # stepped checkpoint). edges is fully consumed once both
+    # checkpoints are materialized, so its cache is released HERE, not
+    # at function exit — the residual footprint is the two
+    # checkpointed, GC-released frames.
+    nparts = _iterate_scan_partitions(edges_self.count())
+    scan = edges_self.coalesce(nparts)
+    edges.unpersist()
+    labels = labels.coalesce(nparts)
     for _ in range(max_iterations):
         stepped = (
-            edges_self.join(labels, edges_self.dst == labels.id)
+            scan.join(labels, scan.dst == labels.id)
             .groupBy("src")
             .agg(
                 F.min(
@@ -249,24 +308,17 @@ def near_dup_components(
             # first action (the count below), costing zero extra jobs
         )
         n_changed = stepped.filter(F.col("label") != F.col("_old")).count()
-        held.unpersist()
-        held = stepped
         labels = stepped.select("id", "label")
         if n_changed == 0:
             break
     else:
         # exiting without the break = non-fixpoint: some cluster's diameter
         # exceeds the budget and its labels are WRONG, not approximate
-        held.unpersist()
-        edges_self.unpersist()
-        edges.unpersist()
         raise RuntimeError(
             f"near_dup_components did not converge in {max_iterations} "
             "iterations — raise max_iterations (diameter exceeds budget) "
             "or use method='star' (diameter-independent)"
         )
-    edges_self.unpersist()
-    edges.unpersist()
     out = labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
     if cache_key is not None:
         _cc_cache_put(cache_key, out, pin=pin)
@@ -341,16 +393,23 @@ def near_dup_components_multi(
         .distinct()
         .persist()
     )
+    # localCheckpoint + sizing count + narrow coalesce, exactly as in
+    # near_dup_components — see the comments there for the measured
+    # lineage-reanalysis and fragmentation numbers (both measured on
+    # THIS caller's graphs, q154)
     labels = (
         edges.select("tag", "src")
         .distinct()
         .select("tag", F.col("src").alias("id"), F.col("src").alias("label"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     edges_self = edges.unionByName(
         labels.select("tag", F.col("id").alias("src"), F.col("id").alias("dst"))
-    ).persist()
-    held = labels
+    ).localCheckpoint(eager=False)
+    nparts = _iterate_scan_partitions(edges_self.count())
+    scan = edges_self.coalesce(nparts)
+    edges.unpersist()
+    labels = labels.coalesce(nparts)
     for _ in range(max_iterations):
         # the label side is RE-ALIASED per join (ltag/lid): round 1's
         # labels lineage is embedded inside edges_self (the self-loop
@@ -364,7 +423,7 @@ def near_dup_components_multi(
             "label",
         )
         stepped = (
-            edges_self.join(
+            scan.join(
                 lab,
                 (F.col("tag") == F.col("ltag"))
                 & (F.col("dst") == F.col("lid")),
@@ -380,21 +439,14 @@ def near_dup_components_multi(
             .localCheckpoint(eager=False)
         )
         n_changed = stepped.filter(F.col("label") != F.col("_old")).count()
-        held.unpersist()
-        held = stepped
         labels = stepped.select("tag", "id", "label")
         if n_changed == 0:
             break
     else:
-        held.unpersist()
-        edges_self.unpersist()
-        edges.unpersist()
         raise RuntimeError(
             f"near_dup_components_multi did not converge in {max_iterations}"
             " iterations — raise max_iterations (diameter exceeds budget)"
         )
-    edges_self.unpersist()
-    edges.unpersist()
     out = labels.select(
         F.col("tag").alias(tag_col),
         F.col("id").alias("doc_id"),

@@ -1723,7 +1723,20 @@ def nn_descent_rounds(
         .join(ids, "dst")
         .select("src", "dst")
         .distinct()
-        .persist()
+        # localCheckpoint, not persist (r13): each round references the
+        # prior round's graph ~7x (edges + und's two orientations + the
+        # four co compositions), and persist() keeps the full logical
+        # plan, so round k's plan embedded ~7^k copies of the seed plan
+        # and the analyzer, not the data, became the bottleneck — the
+        # same lineage-reanalysis disease measured in
+        # dedup._iterate_scan_partitions's comment. The checkpoint
+        # compiles each round's plan ONCE at construction (eager=False
+        # defers only the jobs, not the lineage truncation); the
+        # docstring's no-pandas-UDF guarantee is what makes it safe
+        # (the repo-wide cache-serializer gotcha). Measured: q163 cold
+        # min-of-4 interleaved 14.0 -> 11.2 s (the residual cell is
+        # dominated by the exact-GEMM grading leg, not the rounds).
+        .localCheckpoint(eager=False)
     )
     out = [track_persist(edges)]
     src_side = base.select(
@@ -1767,7 +1780,7 @@ def nn_descent_rounds(
             scored.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= int(g))
             .select("src", "dst")
-            .persist()
+            .localCheckpoint(eager=False)  # see the seed-graph comment
         )
         out.append(edges)
     return out

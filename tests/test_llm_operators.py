@@ -274,6 +274,50 @@ def test_components_multi_matches_per_graph_single(spark):
     assert fused == single and fused
 
 
+def test_iterate_scan_partitions_sizing(monkeypatch):
+    """The fixpoint's per-round scan partition count derives from edge
+    rows (r13): ceil(n/target), floor 1, env-tunable target — and no
+    upper clamp, because coalesce() can only shrink, so a huge edge
+    list keeps its existing partitioning untouched."""
+    from etl_dag_paris_velib_spark.operators.dedup import (
+        _iterate_scan_partitions,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_CC_ROWS_PER_PARTITION", raising=False)
+    assert _iterate_scan_partitions(0) == 1  # empty graph still valid
+    assert _iterate_scan_partitions(1) == 1
+    assert _iterate_scan_partitions(1 << 20) == 1
+    assert _iterate_scan_partitions((1 << 20) + 1) == 2
+    assert _iterate_scan_partitions(10 * (1 << 20)) == 10
+    monkeypatch.setenv("SPARK_GRAFT_CC_ROWS_PER_PARTITION", "100")
+    assert _iterate_scan_partitions(250) == 3
+
+
+def test_components_fixpoint_under_tiny_scan_partitions(spark, monkeypatch):
+    """Components must be partition-count independent: force the sizing
+    target down so the per-round scan runs MULTI-partition even on a
+    toy graph, and the labels must not change."""
+    from etl_dag_paris_velib_spark.operators.dedup import (
+        clear_cc_cache,
+        near_dup_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (21, 22), (20, 21)], ["id_a", "id_b"]
+    )
+    clear_cc_cache()  # the transitive test above caches this exact graph
+    monkeypatch.setenv("SPARK_GRAFT_CC_ROWS_PER_PARTITION", "2")
+    got = {
+        (r.doc_id, r.component) for r in near_dup_components(pairs).collect()
+    }
+    clear_cc_cache()  # drop the tiny-target entry before other tests reuse
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
 def test_star_components_beat_label_on_chains(spark):
     """Kiveris large/small-star converges in O(log²) rounds where label
     propagation needs the diameter: a 64-node chain exhausts a 20-round
